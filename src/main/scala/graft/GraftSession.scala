@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the settings this engine assumes.
+  *
+  * Local mode stands in for a multi-executor cluster; shuffle partitions are
+  * sized to cores (not the 200 default) and AQE is on so plans re-partition /
+  * skew-split at runtime — the same configs we'd ship in spark-submit at
+  * cluster scale.
+  */
+object GraftSession {
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.PiiFunctions.register(spark)
+    spark
+  }
+}

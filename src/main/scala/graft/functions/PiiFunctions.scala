@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.core.{PiiCategories, PiiDetector}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst-native PII functions.
+  *
+  * The detector object (compiled patterns) is a JVM singleton — loaded once
+  * per executor classloader, satisfying the compile-once-per-executor rule.
+  * The expressions run inside the generated plan (CodegenFallback: children
+  * stay codegen'd; the expression itself is an eval call — no Scala-UDF
+  * serialization/encoder overhead, exact null semantics).
+  */
+object PiiSchema {
+  val resultType: StructType = StructType(
+    PiiCategories.names.map(n => StructField(n, ArrayType(StringType, containsNull = false), nullable = true)))
+}
+
+/** detect_pii(text) → struct of 12 nullable array<string> fields (canonical
+  * category order). Byte-identical semantics with the reference detector. */
+case class PiiDetectExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = PiiSchema.resultType
+  override def prettyName: String = "detect_pii"
+  override def nullSafeEval(input: Any): Any = {
+    val r = PiiDetector.detect(input.asInstanceOf[UTF8String].toString)
+    val fields = new Array[Any](PiiCategories.size)
+    var i = 0
+    while (i < fields.length) {
+      val l = r.cats(i)
+      if (l != null)
+        fields(i) = ArrayData.toArrayData(l.iterator.map(UTF8String.fromString).toArray[Any])
+      i += 1
+    }
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(fields))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** scrub_pii(text) → text with every detected span replaced by `[<category>]`
+  * (overlaps merged; deterministic left-to-right). Net-new redaction semantics
+  * — see graft.core.PiiDetector.scrub. */
+case class PiiScrubExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "scrub_pii"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(PiiDetector.scrub(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+object PiiFunctions {
+  /** Column API: detect_pii($"text") */
+  def detect_pii(c: Column): Column = ColumnBridge.column(PiiDetectExpression(ColumnBridge.expression(c)))
+  def scrub_pii(c: Column): Column = ColumnBridge.column(PiiScrubExpression(ColumnBridge.expression(c)))
+
+  /** SQL registration: SELECT detect_pii(text), scrub_pii(text) ... */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "detect_pii", exprs => PiiDetectExpression(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scrub_pii", exprs => PiiScrubExpression(exprs.head), "scala_udf")
+  }
+}
