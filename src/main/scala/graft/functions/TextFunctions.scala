@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the web-text pipeline, composed from
+  * codegen'd built-ins (`org.apache.spark.sql.functions`) so they stay inside
+  * whole-stage codegen and push down/prune like any native expression.
+  *
+  * Conventions are deliberately portable (same semantics expressible in
+  * ANSI/DuckDB SQL) so driver-side oracles can verify them exactly:
+  * tokenization = whitespace split of trimmed text; the portable 60-bit hash
+  * is the first 15 hex digits of md5 (exact in both engines).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text (canonical tokenizer of the engine). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokensLower(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Non-whitespace character count (used for mean word length). */
+  def charCount(text: Column): Column = length(regexp_replace(text, "\\s", ""))
+
+  /** Portable deterministic 60-bit hash of a string (first 15 hex of md5).
+    * DuckDB equivalent: CAST(('0x'||substr(md5(s),1,15)) AS UBIGINT). */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Salted variant for minhash permutations: hash60(s + "#" + i). */
+  def hash60Salted(c: Column, salt: Column): Column =
+    hash60(concat(c, lit("#"), salt.cast("string")))
+
+  /** Distinct word k-shingles (joined with single spaces) of the lowered
+    * token array; empty array when fewer than k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val w = tokensLower(text)
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(0), size(w) - k),
+        j => concat_ws(" ", (0 until k).map(o => element_at(w, j + o + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Document fingerprint: md5 of the lowercased text with all non-word
+    * characters removed — robust to whitespace/punctuation reflow. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9가-힣]", ""))
+
+  // --- Gopher/C4-style quality signals ---------------------------------
+
+  def meanWordLen(text: Column): Column =
+    charCount(text).cast("double") / tokenCount(text)
+
+  /** Fraction of tokens containing at least one ASCII letter (lowered). */
+  def alphaWordRatio(text: Column): Column = {
+    val w = tokensLower(text)
+    size(filter(w, x => x.rlike("[a-z]"))).cast("double") / size(w)
+  }
+
+  /** (# of '#' or ellipsis chars) / word count (Gopher symbol-to-word). */
+  def symbolToWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = length(text) - length(regexp_replace(text, "…", ""))
+    (hashes + ellipses).cast("double") / tokenCount(text)
+  }
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "that")
+
+  /** How many of the canonical stopwords occur as tokens (C4 requires ≥ a
+    * minimum number of stopword hits). */
+  def stopwordHits(text: Column): Column = {
+    val w = tokensLower(text)
+    size(filter(array(stopwords.map(lit): _*), sw => array_contains(w, sw)))
+  }
+}

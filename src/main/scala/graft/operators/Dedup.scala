@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All hashes go through the portable 60-bit md5 prefix (TF.hash60) so every
+  * step is deterministic, engine-independent, and oracle-checkable. Scale
+  * notes per operator inline — the unit of work is one shuffle per stage,
+  * with map-side partial aggregation wherever the key is pre-hashed.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest, keep the smallest id as
+    * canonical. One shuffle on the digest (uniform by construction). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("digest"), col(idCol).cast("long").as("id"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("canonical_id"))
+
+  /** MinHash signatures: k permutations h_i(s) = hash60(s + "#" + i) over the
+    * distinct word-3-shingle set. Emitted long-form (id, i, sig) so the band
+    * step is a single re-aggregation.
+    *
+    * Scale: explode is a narrow flatMap; the groupBy key (id, i) is uniform.
+    * k and shingle width bound the cost at O(k · shingles) per doc.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, shingleWidth: Int = 3): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        explode(TF.shingles(col(textCol), shingleWidth)).as("s"))
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("s"))
+      .groupBy("id", "i")
+      .agg(min(TF.hash60Salted(col("s"), col("i"))).as("sig"))
+
+  /** LSH band digests: group each signature into bands of `rowsPerBand`,
+    * digest = md5 of the ordered sig values. Docs sharing any (band, digest)
+    * are near-duplicate candidates. */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    sigs.groupBy(col("id"), floor(col("i") / rowsPerBand).as("band"))
+      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+        x => x.getField("sig").cast("string")), ",")).as("band_digest"))
+
+  /** Candidate pairs: self-join on (band, digest), id_a < id_b, distinct.
+    * Scale: the join key is a digest — uniformly distributed; identical-doc
+    * floods (one digest with huge multiplicity) are the skew case, handled
+    * by AQE skew-join plus an optional per-bucket cap upstream. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_digest"), col("id").as("id_a"))
+    val b = bands.select(col("band"), col("band_digest"), col("id").as("id_b"))
+    a.join(b, Seq("band", "band_digest"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (verification step after LSH —
+    * only candidates pay the full set comparison). */
+  def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
+                    pairs: DataFrame, shingleWidth: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      TF.shingles(col(textCol), shingleWidth).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash-64: per token-hash bit voting — near-identical docs land on
+    * digests within small Hamming distance. Pure column algebra: for each of
+    * 64 bits, sum ±1 votes across token hashes; bit set iff the sum > 0. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = df.select(col(idCol).cast("long").as("id"),
+        explode(TF.tokensLower(col(textCol))).as("tok"))
+      .select(col("id"), TF.hash60(col("tok")).as("h"))
+    // votes: for bit b, +1 if set else -1  →  sum>0 ⇒ bit b of simhash set
+    val bitCols = (0 until 60).map { b =>
+      sum(when(((col("h").bitwiseAND(lit(1L << b))) =!= 0L), 1).otherwise(-1)).as(s"b$b")
+    }
+    th.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("id"),
+        (0 until 60).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, narrow score
+  * pass, per-query top-k via window). Scale path: LSH bucketing by random
+  * hyperplane signs — candidates share a signature bucket, cutting the score
+  * pass from |corpus|·|queries| to bucket-local work.
+  */
+object Similarity {
+
+  /** Cosine similarity of two equal-length float-array columns, computed in
+    * double with a deterministic left-to-right fold (portable to DuckDB's
+    * list_cosine_similarity over DOUBLE[]). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k: queries are broadcast (small side); the corpus scan
+    * stays narrow; one shuffle on query_id for the per-query ranking. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(q)
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded Gaussian via Box-Muller over a
+    * splitmix-style counter) — same planes on every run/executor. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id for an embedding column: bit b = (v · plane_b) > 0. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, b) =>
+      val dot = aggregate(
+        zip_with(emb, lit(p), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << b)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via sign-LSH: score only same-bucket candidates. Recall < 1 by
+    * construction; nProbes>1 would add neighboring buckets. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      lshBucket(col("embedding"), planes).as("bucket")))
+    val scored = c.join(q, "bucket")
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+}

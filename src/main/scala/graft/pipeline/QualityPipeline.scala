@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.filter.LangIdModel
+import graft.functions.{PiiFunctions, QualityFunctions, TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** The web-text quality-filter + PII-scrub pipeline (north rule):
+  * extract → langid → heuristic quality rules → PII scrub → keep/drop,
+  * with stage checkpointing for exact resume, per-partition lineage, and a
+  * salted host aggregation for skewed domains.
+  *
+  * Every stage is a narrow projection (no shuffle) — the only shuffles are
+  * the metrics rollups at the end. At cluster scale the same plan reads an
+  * Iceberg/parquet table partitioned by crawl date and bucketed by url hash;
+  * filters/pruning push into the scan (no Iceberg runtime ships in this
+  * sandbox — parquet directories stand in with identical layout).
+  */
+object QualityPipeline {
+
+  final case class Config(
+      minWords: Int = 10,
+      maxWords: Int = 200000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaWordRatio: Double = 0.5,
+      maxRepetitionRatio: Double = 0.2,
+      minLangConfidence: Double = 0.0,
+      allowedLangs: Seq[String] = Nil) // empty = all
+
+  /** Stage 1: extract text/host from the raw page row. The text column is
+    * carried through verbatim (byte-identical invariant). */
+  def extract(pages: DataFrame): DataFrame =
+    pages.select(
+      col("url"),
+      regexp_extract(col("url"), "https?://([^/]+)/", 1).as("host"),
+      col("warc_ts"), col("text"), col("lang"))
+
+  /** Stage 2: language identification (fastText-style hashed n-gram model). */
+  def langIdStage(df: DataFrame, model: LangIdModel = LangIdModel.default): DataFrame =
+    df.withColumn("lid", QualityFunctions.langid(col("text"), model))
+      .withColumn("lang_pred", col("lid.lang"))
+      .withColumn("lang_conf", col("lid.confidence"))
+      .drop("lid")
+
+  /** Stage 3: Gopher/C4-style heuristic quality signals + drop reasons. */
+  def qualityStage(df: DataFrame, cfg: Config = Config()): DataFrame = {
+    val withSignals = df
+      .withColumn("n_words", TF.tokenCount(col("text")))
+      .withColumn("mean_word_len", TF.meanWordLen(col("text")))
+      .withColumn("symbol_ratio", TF.symbolToWordRatio(col("text")))
+      .withColumn("alpha_word_ratio", TF.alphaWordRatio(col("text")))
+      .withColumn("repetition_ratio", QualityFunctions.repetition_ratio(col("text"), 2))
+    val reasons = array_compact(array(
+      when(col("n_words") < cfg.minWords, lit("too_few_words")),
+      when(col("n_words") > cfg.maxWords, lit("too_many_words")),
+      when(col("mean_word_len") < cfg.minMeanWordLen ||
+        col("mean_word_len") > cfg.maxMeanWordLen, lit("word_len_out_of_range")),
+      when(col("symbol_ratio") > cfg.maxSymbolRatio, lit("symbol_heavy")),
+      when(col("alpha_word_ratio") < cfg.minAlphaWordRatio, lit("non_alpha")),
+      when(col("repetition_ratio") > cfg.maxRepetitionRatio, lit("repetitive")),
+      when(lit(cfg.allowedLangs.nonEmpty) &&
+        !col("lang_pred").isin(cfg.allowedLangs: _*), lit("lang_filtered")),
+      when(col("lang_conf") < cfg.minLangConfidence, lit("lang_low_conf"))))
+    withSignals
+      .withColumn("drop_reasons", reasons)
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+  }
+
+  /** Stage 4: PII detection + redaction (Catalyst expressions; patterns are
+    * executor singletons). Detection counts feed the metrics table. */
+  def piiStage(df: DataFrame): DataFrame =
+    df.withColumn("pii", PiiFunctions.detect_pii(col("text")))
+      .withColumn("n_pii", graft.core.PiiCategories.names
+        .map(n => coalesce(size(col(s"pii.`$n`")), lit(0)))
+        .reduce(_ + _))
+      .withColumn("text_scrubbed",
+        when(col("n_pii") > 0, PiiFunctions.scrub_pii(col("text"))).otherwise(col("text")))
+      .drop("pii")
+
+  /** Full chain. */
+  def run(pages: DataFrame, cfg: Config = Config(),
+          model: LangIdModel = LangIdModel.default): DataFrame =
+    piiStage(qualityStage(langIdStage(extract(pages), model), cfg))
+
+  /** Per-partition lineage rows: (stage, partition, rows, kept, pii_rows) —
+    * written alongside outputs so every output row is attributable to an
+    * input partition. */
+  def lineage(result: DataFrame, stage: String): DataFrame =
+    result.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("pii_rows"))
+      .withColumn("stage", lit(stage))
+
+  /** Salted two-phase per-host rollup: pre-aggregate on (host, salt) so a
+    * skewed host fans out over `salts` reducers, then combine. AQE skew
+    * handling is the backstop; this makes the plan skew-proof by construction. */
+  def hostRollup(result: DataFrame, salts: Int = 16): DataFrame = {
+    val salted = result
+      .withColumn("salt", pmod(hash(col("url")), lit(salts)))
+      .groupBy(col("host"), col("salt"))
+      .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+    salted.groupBy("host")
+      .agg(sum("n").as("n_pages"), sum("kept").as("n_kept"))
+  }
+
+  /** Checkpointed stage write: parquet + marker; `resume` skips any stage
+    * whose marker exists (idempotent restart — the resume-from-checkpoint
+    * contract). Returns the (re)loaded stage output. */
+  def checkpointStage(spark: SparkSession, df: => DataFrame, outDir: String, stage: String): DataFrame = {
+    val path = s"$outDir/stage=$stage"
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+      df.write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.2-§2.6) expressed over the
+  * driver's TPC-H-ish tables, each with a DuckDB-equivalent oracle.
+  *
+  * Numeric-parity conventions (Spark vs DuckDB hash compare):
+  * - money sums go through DECIMAL(18,2) (exact, associative — safe under
+  *   any partitioning), then CAST AS DOUBLE in both engines;
+  * - ratios are double divisions of exact sums (identical IEEE result);
+  * - floating aggregates (stddev/percentile) are rounded to 4 decimals;
+  * - every result carries an ORDER BY on a unique key.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  val fns: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3/A4: groupBy rollup with exact decimal sums (TPC-H Q1 shape).
+    "q1_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+          (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1/P2/P3: contains + equality + IN filters with pushdown, projection.
+    "q2_filter_project" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" &&
+          col("o_orderpriority").contains("1") &&
+          col("o_custkey").isin(1L to 200L: _*))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // J1: multi-way equi join; dims are broadcast (small sides).
+    "q3_join_enrich" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec("c_acctbal")).cast("double").as("sum_bal"))
+        .orderBy("r_name")
+    }),
+
+    // J2: left join with default for missing matches (coalesce-on-null).
+    "q4_left_join_default" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum(dec("o_totalprice")).as("tot"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"),
+          coalesce(col("tot").cast("double"), lit(0.0)).as("total_spend"))
+        .orderBy("c_custkey")
+    }),
+
+    // O2: top-k by ascending metric with unique-key tiebreak.
+    "q5_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // P6/U4/A5: difficulty-split labeling + unionByName + per-split rollup.
+    "q6_union_split" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val base = o.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("split", lit("base"))
+      val advanced = o.filter(col("o_orderpriority") =!= "1-URGENT")
+        .withColumn("split", lit("advanced"))
+      base.unionByName(advanced)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") > 100000.0, 1).otherwise(0)).as("n_large"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .orderBy("split")
+    }),
+
+    // A8: latency-stats shape — mean/stddev/median/P90/P95/P99 (interpolated).
+    "q7_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round((sum(dec("value")).cast("double") / count(lit(1))), 4).as("mean_v"),
+          round(stddev_samp(col("value")), 4).as("stdev_v"),
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+          round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+          round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+        .orderBy("event_type")
+    }),
+
+    // A6/A7: binary presence confusion matrix + accuracy (per user: does an
+    // 'error' event predict a 'click' event?).
+    "q8_confusion" -> ((s, dir) => {
+      val flags = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "error", 1).otherwise(0)).as("pred"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("actual"))
+      flags.agg(
+        sum(when(col("pred") === 1 && col("actual") === 1, 1).otherwise(0)).as("tp"),
+        sum(when(col("pred") === 1 && col("actual") === 0, 1).otherwise(0)).as("fp"),
+        sum(when(col("pred") === 0 && col("actual") === 1, 1).otherwise(0)).as("fn"),
+        sum(when(col("pred") === 0 && col("actual") === 0, 1).otherwise(0)).as("tn"),
+        count(lit(1)).as("total"))
+    }),
+
+    // O1 + scalar functions: per-day event rollup (date truncation, string ops).
+    "q9_daily_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast("double").as("sum_v"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day", "event_type")
+    }))
+
+  val sql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '%1%'
+        |  AND o_custkey BETWEEN 1 AND 200
+        |ORDER BY o_orderkey""".stripMargin,
+    "q3_join_enrich" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_left_join_default" ->
+      """SELECT c_custkey,
+        | COALESCE(cnt, 0) AS n_orders,
+        | COALESCE(CAST(tot AS DOUBLE), 0.0) AS total_spend
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS cnt,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |  FROM orders GROUP BY 1) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q6_union_split" ->
+      """SELECT split, COUNT(*) AS n,
+        | SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_large,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT *, 'base' AS split FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT *, 'advanced' AS split FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean_v,
+        | ROUND(STDDEV_SAMP(value), 4) AS stdev_v,
+        | ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50,
+        | ROUND(QUANTILE_CONT(value, 0.9), 4) AS p90,
+        | ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95,
+        | ROUND(QUANTILE_CONT(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_confusion" ->
+      """SELECT
+        | SUM(CASE WHEN pred=1 AND actual=1 THEN 1 ELSE 0 END) AS tp,
+        | SUM(CASE WHEN pred=1 AND actual=0 THEN 1 ELSE 0 END) AS fp,
+        | SUM(CASE WHEN pred=0 AND actual=1 THEN 1 ELSE 0 END) AS fn,
+        | SUM(CASE WHEN pred=0 AND actual=0 THEN 1 ELSE 0 END) AS tn,
+        | COUNT(*) AS total
+        |FROM (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS pred,
+        |    MAX(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS actual
+        |  FROM events GROUP BY 1)""".stripMargin,
+    "q9_daily_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+}

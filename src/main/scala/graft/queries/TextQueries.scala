@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.functions.{PiiFunctions, QualityFunctions, TextFunctions => TF}
+import graft.operators.{Dedup, Similarity}
+import graft.pipeline.{QualityPipeline, SyntheticPages}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator coverage over `documents`/`embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
+  * text analysis, PII detection/scrub, and the full quality pipeline.
+  *
+  * Oracle-checkable queries use only portable constructs (md5-based hash60,
+  * whitespace tokenization, double arithmetic on exact ints); detector/
+  * pipeline queries are deterministic but not SQL-expressible → rows-only.
+  */
+object TextQueries {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ deterministic near-duplicates (doc_id+1000000, first two
+    * tokens dropped) — gives the dedup operators real positives. */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val mutated = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(TF.tokens(col("text")), 3, 1000000), " ").as("text"))
+    d.unionByName(mutated)
+  }
+
+  val fns: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup over documents ∪ exact copies of every 25th doc.
+    "q10_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val dup = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.exactGroups(d.unionByName(dup), "doc_id", "text")
+        .filter(col("n_docs") > 1)
+        .orderBy("canonical_id")
+    }),
+
+    // Token statistics (canonical tokenizer).
+    "q11_token_stats" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          round(TF.charCount(col("text")).cast("double") / TF.tokenCount(col("text")), 4)
+            .as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher/C4 quality signals + keep decision.
+    "q12_quality_flags" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_words"),
+          round(TF.meanWordLen(col("text")), 4).as("mean_word_len"),
+          round(TF.alphaWordRatio(col("text")), 4).as("alpha_ratio"),
+          TF.stopwordHits(col("text")).as("stop_hits"))
+        .withColumn("keep",
+          col("n_words") >= 10 && col("mean_word_len") >= 2.0 &&
+          col("mean_word_len") <= 12.0 && col("alpha_ratio") >= 0.5 &&
+          col("stop_hits") >= 1)
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint (normalization-robust digest).
+    "q13_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signatures (k=16, word-3-shingles, portable hash60).
+    "q14_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text").orderBy("id", "i")),
+
+    // LSH band digests (bands of 4 rows).
+    "q15_lsh_bands" -> ((s, dir) =>
+      Dedup.lshBands(Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"))
+        .orderBy("id", "band")),
+
+    // Near-dup candidate pairs + exact n-gram Jaccard verification.
+    "q16_dup_pairs" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+      val pairs = Dedup.candidatePairs(
+        Dedup.lshBands(Dedup.minhashSignatures(d, "doc_id", "text")))
+      Dedup.jaccardVerify(d, "doc_id", "text", pairs)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash-64 digests.
+    "q17_simhash" -> ((s, dir) =>
+      Dedup.simhash64(docs(s, dir), "doc_id", "text").orderBy("id")),
+
+    // Brute-force cosine top-5 for 10 query vectors.
+    "q18_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (recall<1 by design; deterministic planes).
+    "q19_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PII detection counts over documents with deterministic synthetic PII.
+    "q20_pii_detect" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        SyntheticPages.piiText(col("text"), col("doc_id")).as("text"))
+      d.select(col("doc_id"), PiiFunctions.detect_pii(col("text")).as("pii"))
+        .select(col("doc_id"),
+          coalesce(size(col("pii.이메일")), lit(0)).as("n_email"),
+          coalesce(size(col("pii.전화번호")), lit(0)).as("n_phone"),
+          coalesce(size(col("pii.주민등록번호")), lit(0)).as("n_rrn"),
+          graft.core.PiiCategories.names
+            .map(n => coalesce(size(col(s"pii.`$n`")), lit(0)))
+            .reduce(_ + _).as("n_total"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub: digest of redacted text (deterministic).
+    "q21_pii_scrub" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          SyntheticPages.piiText(col("text"), col("doc_id")).as("text"))
+        .select(col("doc_id"), md5(PiiFunctions.scrub_pii(col("text"))).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID over documents (fastText-style classifier; rows-only).
+    "q22_langid" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), col("lang"),
+          QualityFunctions.langid(col("text")).as("lid"))
+        .select(col("doc_id"), col("lang"), col("lid.lang").as("lang_pred"),
+          round(col("lid.confidence"), 4).as("confidence"))
+        .orderBy("doc_id")
+    }),
+
+    // Full pipeline: extract → langid → quality → scrub, summary per host.
+    "q23_pipeline_hosts" -> ((s, dir) => {
+      val result = QualityPipeline.run(SyntheticPages.fromDocuments(s, dir))
+      QualityPipeline.hostRollup(result).orderBy("host")
+    }),
+
+    // Per-page pipeline verdicts (keep + reasons + scrub digest).
+    "q24_pipeline_pages" -> ((s, dir) => {
+      QualityPipeline.run(SyntheticPages.fromDocuments(s, dir))
+        .select(col("url"), col("keep"),
+          array_join(col("drop_reasons"), ",").as("reasons"),
+          col("n_pii"), md5(col("text_scrubbed")).as("scrubbed_md5"))
+        .orderBy("url")
+    }))
+
+  val sql: Map[String, String] = Map(
+    "q10_dedup_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0)
+        |SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+        |FROM u GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_id""".stripMargin,
+    "q11_token_stats" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_quality_flags" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nc
+        |  FROM documents)
+        |SELECT doc_id, len(w) AS n_words,
+        | ROUND(CAST(nc AS DOUBLE)/len(w), 4) AS mean_word_len,
+        | ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(w), 4) AS alpha_ratio,
+        | len(list_filter(['the','a','of','to','and','in','is','that'], sw -> list_contains(w, sw))) AS stop_hits,
+        | (len(w) >= 10 AND CAST(nc AS DOUBLE)/len(w) >= 2.0 AND CAST(nc AS DOUBLE)/len(w) <= 12.0
+        |   AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(w) >= 0.5
+        |   AND len(list_filter(['the','a','of','to','and','in','is','that'], sw -> list_contains(w, sw))) >= 1) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q13_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9가-힣]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_minhash_sig" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |         j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]))) AS s
+        |  FROM toks WHERE len(w) >= 3)
+        |SELECT doc_id AS id, i,
+        |  CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
+        |FROM sh, (SELECT unnest(range(16)) AS i)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q15_lsh_bands" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |         j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]))) AS s
+        |  FROM toks WHERE len(w) >= 3
+        |), sig AS (
+        |  SELECT doc_id AS id, i,
+        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
+        |  FROM sh, (SELECT unnest(range(16)) AS i) GROUP BY 1,2)
+        |SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS band_digest
+        |FROM sig GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q18_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        | scored AS (
+        |  SELECT q.query_id, e.vec_id AS cand_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+        |  FROM embeddings e, q),
+        | ranked AS (
+        |  SELECT query_id, cand_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank,
+        |    ROUND(sim, 6) AS sim
+        |  FROM scored)
+        |SELECT query_id, cand_id, CAST(rank AS INT) AS rank, sim FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "text").cache()
+
+  test("exact dedup groups exact copies and keeps min id as canonical") {
+    val withCopy = docs.unionByName(
+      docs.filter($"doc_id" === 0).select(lit(999L).as("doc_id"), $"text"))
+    val groups = Dedup.exactGroups(withCopy, "doc_id", "text")
+      .filter($"n_docs" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("canonical_id") == 0L)
+    assert(groups.head.getAs[Long]("n_docs") == 2L)
+  }
+
+  test("minhash similarity estimate tracks exact jaccard for a near-dup") {
+    val base = docs.filter($"doc_id" === 0)
+    val mutated = base.select(lit(1L).as("doc_id"),
+      array_join(slice(graft.functions.TextFunctions.tokens($"text"), 4, 100000), " ").as("text"))
+    val two = base.select($"doc_id", $"text").unionByName(mutated)
+    val sigs = Dedup.minhashSignatures(two, "doc_id", "text", k = 64)
+      .collect().groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("i")).map(_.getAs[Long]("sig")).toSeq).toMap
+    val est = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }.toDouble / 64
+    val exact = Dedup.jaccardVerify(two, "doc_id", "text",
+      Seq((0L, 1L)).toDF("id_a", "id_b")).head().getAs[Double]("jaccard")
+    assert(math.abs(est - exact) < 0.25, s"est=$est exact=$exact")
+    assert(exact > 0.8)
+  }
+
+  test("LSH candidates contain the planted near-duplicate pair") {
+    val near = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000L).as("doc_id"),
+        array_join(slice(graft.functions.TextFunctions.tokens($"text"), 3, 100000), " ").as("text"))
+    val all = docs.unionByName(near)
+    val pairs = Dedup.candidatePairs(Dedup.lshBands(
+      Dedup.minhashSignatures(all, "doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 20).count(i => pairs.contains((i.toLong, i + 1000L)))
+    assert(found >= 16, s"only $found/20 planted pairs found")
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val base = docs.filter($"doc_id" === 0)
+    val mutated = base.select(lit(1L).as("doc_id"),
+      concat($"text", lit(" extra token")).as("text"))
+    val far = docs.filter($"doc_id" === 7).select(lit(2L).as("doc_id"), $"text")
+    val three = base.unionByName(mutated).unionByName(far)
+    val sh = Dedup.simhash64(three, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)),
+      s"near=${hamming(sh(0L), sh(1L))} far=${hamming(sh(0L), sh(2L))}")
+    assert(hamming(sh(0L), sh(1L)) <= 8)
+  }
+
+  test("brute-force cosine top-k: self is rank 1 with sim 1.0") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val top = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 3), 5)
+      .filter($"rank" === 1).collect()
+    assert(top.length == 3)
+    assert(top.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("cand_id")))
+    assert(top.forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9))
+  }
+
+  test("LSH ANN: cosine-identical queries land in the source's bucket and rank it first") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // scaling preserves cosine and all hyperplane signs ⇒ the source vector
+    // must share the bucket and surface at rank 1 with sim == 1
+    val q = e.filter($"vec_id" < 10)
+      .select(($"vec_id" + 5000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val lsh = Similarity.lshTopK(e, q, 3).filter($"rank" === 1).collect()
+    assert(lsh.length == 10)
+    assert(lsh.forall(r => r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") - 5000L))
+    assert(lsh.forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6))
+  }
+}
