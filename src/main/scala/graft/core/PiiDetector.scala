@@ -88,6 +88,27 @@ object PiiDetector {
     val bufs = new Array[mutable.ListBuffer[String]](PiiCategories.size)
     val seen = new Array[mutable.HashSet[String]](PiiCategories.size)
 
+    // Necessary-condition gates: one cheap char scan decides which pattern
+    // groups can possibly match (a pattern that requires a digit cannot match
+    // a digit-free document). Pure skip-ahead — detection output is unchanged
+    // (pinned by the golden parity suite); on non-Korean, digit-free web text
+    // (the common case at crawl scale) the full regex battery is skipped.
+    var hasDigit = false; var hasHangul = false; var hasAt = false
+    var hasColon = false; var hasDot = false; var hasBracket = false
+    locally {
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c >= '가' && c <= '힣') hasHangul = true
+        else if (c == '@' || c == '＠') hasAt = true
+        else if (c == ':') hasColon = true
+        else if (c == '.') hasDot = true
+        else if (c == '[' || c == '(' || c == '{') hasBracket = true
+        else if (Character.isDigit(c)) hasDigit = true
+        i += 1
+      }
+    }
+
     def add(cat: Int, rawVal: String, start: Int, end: Int): Unit = {
       val v = pyStrip(rawVal)
       if (v.isEmpty) return
@@ -97,36 +118,43 @@ object PiiDetector {
     }
 
     // 1. 이름 (label-based; value and scrub span = captured group)
-    forEach(namePattern, text) { m => add(Name, m.group(1), m.start(1), m.end(1)) }
+    if (hasHangul)
+      forEach(namePattern, text) { m => add(Name, m.group(1), m.start(1), m.end(1)) }
 
     // 2. 주소
-    forEach(roadAddr, text) { m => add(Addr, m.group(0), m.start, m.end) }
-    forEach(lotAddr, text) { m => add(Addr, m.group(0), m.start, m.end) }
+    if (hasHangul && hasDigit) {
+      forEach(roadAddr, text) { m => add(Addr, m.group(0), m.start, m.end) }
+      forEach(lotAddr, text) { m => add(Addr, m.group(0), m.start, m.end) }
+    }
 
     // 3. 주민등록번호 — split form emitted re-hyphenated canonical (g1-g2)
-    forEach(rrnPattern, text) { m => add(Rrn, m.group(1) + "-" + m.group(2), m.start, m.end) }
-    forEach(rrnContinuous, text) { m => add(Rrn, m.group(1), m.start(1), m.end(1)) }
+    if (hasDigit) {
+      forEach(rrnPattern, text) { m => add(Rrn, m.group(1) + "-" + m.group(2), m.start, m.end) }
+      forEach(rrnContinuous, text) { m => add(Rrn, m.group(1), m.start(1), m.end(1)) }
 
-    // 4. 여권번호 — PASSPORT_FOREIGN intentionally never applied (ref :61 unused)
-    forEach(passportKr, text) { m => add(Passport, m.group(0), m.start, m.end) }
+      // 4. 여권번호 — PASSPORT_FOREIGN intentionally never applied (ref :61 unused)
+      forEach(passportKr, text) { m => add(Passport, m.group(0), m.start, m.end) }
 
-    // 5. 운전면허번호
-    forEach(driverLicense, text) { m => add(License, m.group(0), m.start, m.end) }
+      // 5. 운전면허번호
+      forEach(driverLicense, text) { m => add(License, m.group(0), m.start, m.end) }
+    }
 
     // 6. 이메일 — standard matches filtered by substring + role-prefix rules
-    forEach(emailPattern, text) { m =>
+    if (hasAt) forEach(emailPattern, text) { m =>
       val email = pyStrip(m.group(0))
       val lower = email.toLowerCase(java.util.Locale.ROOT)
       val excluded = emailExcludeSubstrings.exists(lower.contains) ||
         emailRolePrefix.matcher(lower).find()
       if (!excluded) add(Email, email, m.start, m.end)
     }
-    forEach(emailObfuscated, text) { m => add(Email, pyStrip(m.group(0)), m.start, m.end) }
-    forEach(emailMasked, text) { m => add(Email, pyStrip(m.group(0)), m.start, m.end) }
+    if (hasAt || hasBracket || hasHangul)
+      forEach(emailObfuscated, text) { m => add(Email, pyStrip(m.group(0)), m.start, m.end) }
+    if (hasAt)
+      forEach(emailMasked, text) { m => add(Email, pyStrip(m.group(0)), m.start, m.end) }
 
     // 7. IP주소 — well-known IPs dropped; private ranges dropped only in
     // CIDR/design context (±80/+20-char window); ip:port form when port present
-    forEach(ipv4Pattern, text) { m =>
+    if (hasDigit && hasDot) forEach(ipv4Pattern, text) { m =>
       val ip = m.group(1)
       val port = m.group(2)
       if (!excludeIps.contains(ip)) {
@@ -149,7 +177,7 @@ object PiiDetector {
         }
       }
     }
-    forEach(ipv6Pattern, text) { m =>
+    if (hasColon) forEach(ipv6Pattern, text) { m =>
       val v6 = m.group(0)
       if (v6 != "::1") add(Ip, v6, m.start, m.end)
     }
@@ -158,15 +186,19 @@ object PiiDetector {
     // the span of its FIRST occurrence in the text (indexOf — bug-compatible)
     // overlaps a service-number/toll-free span.
     val phoneCands = mutable.ArrayBuffer.empty[(String, Int, Int)]
-    forEach(phoneMobile, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
-    forEach(phoneLandline, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
-    forEach(phoneIntl, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
-    forEach(phoneContinuous, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
-    forEach(phoneMasked, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
+    if (hasDigit) {
+      forEach(phoneMobile, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
+      forEach(phoneLandline, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
+      forEach(phoneIntl, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
+      forEach(phoneContinuous, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
+      forEach(phoneMasked, text) { m => phoneCands += ((m.group(0), m.start, m.end)) }
+    }
 
     val serviceSpans = mutable.ArrayBuffer.empty[(Int, Int)]
-    forEach(serviceNumber, text) { m => serviceSpans += ((m.start, m.end)) }
-    forEach(tollFree, text) { m => serviceSpans += ((m.start, m.end)) }
+    if (phoneCands.nonEmpty) {
+      forEach(serviceNumber, text) { m => serviceSpans += ((m.start, m.end)) }
+      forEach(tollFree, text) { m => serviceSpans += ((m.start, m.end)) }
+    }
 
     for ((phone, s0, e0) <- phoneCands) {
       val idx = text.indexOf(phone)
@@ -176,25 +208,31 @@ object PiiDetector {
       if (!isService) add(Phone, phone, s0, e0)
     }
 
-    // 9. 계좌번호 — captured number group only
-    forEach(accountLabels, text) { m => add(Account, m.group(1), m.start(1), m.end(1)) }
-    forEach(accountWithBank, text) { m => add(Account, m.group(1), m.start(1), m.end(1)) }
+    // 9. 계좌번호 — captured number group only (labels/banks are Hangul or "SC")
+    if (hasDigit && (hasHangul || text.contains("SC"))) {
+      forEach(accountLabels, text) { m => add(Account, m.group(1), m.start(1), m.end(1)) }
+      forEach(accountWithBank, text) { m => add(Account, m.group(1), m.start(1), m.end(1)) }
+    }
 
-    // 10. 카드번호 (incl. BTC/ETH wallets by design)
-    forEach(cardPattern, text) { m => add(Card, m.group(0), m.start, m.end) }
-    forEach(cardMasked, text) { m => add(Card, m.group(0), m.start, m.end) }
-    forEach(btcAddr, text) { m => add(Card, m.group(0), m.start, m.end) }
-    forEach(ethAddr, text) { m => add(Card, m.group(0), m.start, m.end) }
+    // 10. 카드번호 (incl. BTC/ETH wallets by design; all forms require a digit)
+    if (hasDigit) {
+      forEach(cardPattern, text) { m => add(Card, m.group(0), m.start, m.end) }
+      forEach(cardMasked, text) { m => add(Card, m.group(0), m.start, m.end) }
+      forEach(btcAddr, text) { m => add(Card, m.group(0), m.start, m.end) }
+      forEach(ethAddr, text) { m => add(Card, m.group(0), m.start, m.end) }
 
-    // 11. 생년월일
-    forEach(dobPattern, text) { m => add(Dob, m.group(1), m.start(1), m.end(1)) }
+      // 11. 생년월일 (captured date requires digits)
+      forEach(dobPattern, text) { m => add(Dob, m.group(1), m.start(1), m.end(1)) }
+    }
 
-    // 12. 기타_고유식별정보
-    forEach(studentId, text) { m => add(Other, m.group(1), m.start(1), m.end(1)) }
-    forEach(vehiclePlate, text) { m => add(Other, m.group(0), m.start, m.end) }
-    forEach(militaryId, text) { m => add(Other, m.group(1), m.start(1), m.end(1)) }
-    forEach(employeeId, text) { m => add(Other, m.group(1), m.start(1), m.end(1)) }
-    forEach(doorlock, text) { m => add(Other, m.group(1), m.start(1), m.end(1)) }
+    // 12. 기타_고유식별정보 (labels and plates all require Hangul + digit)
+    if (hasHangul && hasDigit) {
+      forEach(studentId, text) { m => add(Other, m.group(1), m.start(1), m.end(1)) }
+      forEach(vehiclePlate, text) { m => add(Other, m.group(0), m.start, m.end) }
+      forEach(militaryId, text) { m => add(Other, m.group(1), m.start(1), m.end(1)) }
+      forEach(employeeId, text) { m => add(Other, m.group(1), m.start(1), m.end(1)) }
+      forEach(doorlock, text) { m => add(Other, m.group(1), m.start(1), m.end(1)) }
+    }
 
     var i = 0
     while (i < lists.length) {

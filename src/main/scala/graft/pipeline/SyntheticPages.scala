@@ -17,6 +17,7 @@ object SyntheticPages {
     * the scrub stage has real work on synthetic data. */
   def fromDocuments(spark: SparkSession, sfDir: String, hosts: Int = 50): DataFrame = {
     spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .withColumn("page_text",
         when(pmod(col("doc_id"), lit(5)) === 0, piiText(col("text"), col("doc_id")))
           .otherwise(col("text")))
@@ -32,7 +33,9 @@ object SyntheticPages {
   /** Skewed variant: ~half of all pages land on one host — exercises the
     * salting path in host-level aggregations. */
   def skewed(spark: SparkSession, sfDir: String, hosts: Int = 50): DataFrame = {
-    spark.read.parquet(s"$sfDir/documents.parquet").select(
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .select(
       concat(lit("https://host-"),
         when(pmod(col("doc_id"), lit(2)) === 0, lit(0)).otherwise(pmod(col("doc_id"), lit(hosts))),
         lit(".example.org/doc/"), col("doc_id")).as("url"),

@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   * pipeline queries are deterministic but not SQL-expressible → rows-only.
   */
 object TextQueries {
+  /** The driver fixtures are single-row-group parquet files (one input
+    * split); real crawl input arrives as thousands of splits. Repartition to
+    * default parallelism so per-row work (detect/minhash/scrub) runs wide —
+    * the 1-file shuffle is negligible next to the per-row compute. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism * 2)
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
