@@ -59,9 +59,82 @@ case class LangIdExpression(child: Expression, model: LangIdModel)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer et al., MOSS): rolling
+  * Rabin-Karp hashes of char k-grams; per sliding window of w hashes keep the
+  * rightmost minimum; output = sorted distinct fingerprint set. Near-identical
+  * documents share most fingerprints regardless of alignment. O(n) per row.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+  private val Base = 257L
+  private val Mod = (1L << 61) - 1
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < k) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    // rolling hashes of all k-grams
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < k) {
+      h = mulmod(h, Base) + s.charAt(i)
+      if (h >= Mod) h -= Mod
+      if (i < k - 1) pow = mulmod(pow, Base)
+      i += 1
+    }
+    hashes(0) = h
+    i = 1
+    while (i < n) {
+      h = h + Mod - mulmod(s.charAt(i - 1).toLong, pow) % Mod
+      h %= Mod
+      h = mulmod(h, Base) + s.charAt(i + k - 1)
+      if (h >= Mod) h -= Mod
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: rightmost min per window of w
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start + w <= n) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j
+        j += 1
+      }
+      out.add(hashes(minIdx))
+      start += 1
+    }
+    if (out.isEmpty && n > 0) out.add(hashes.min)
+    val arr = new Array[Long](out.size)
+    val it = out.iterator(); var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  /** (a·b) mod (2^61-1) via 128-bit product + Mersenne folding. */
+  @inline private def mulmod(a: Long, b: Long): Long = {
+    val hi = java.lang.Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & Mod)
+    while (r >= Mod) r -= Mod
+    r
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object QualityFunctions {
   def repetition_ratio(c: Column, n: Int): Column =
     ColumnBridge.column(RepetitionRatio(ColumnBridge.expression(c), n))
   def langid(c: Column, model: LangIdModel = LangIdModel.default): Column =
     ColumnBridge.column(LangIdExpression(ColumnBridge.expression(c), model))
+  def winnow_fingerprint(c: Column, k: Int = 8, w: Int = 16): Column =
+    ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(c), k, w))
 }

@@ -65,6 +65,15 @@ object TextFunctions {
     (hashes + ellipses).cast("double") / tokenCount(text)
   }
 
+  /** BPE-ish subword tokenization count: GPT-2-style pretokenizer pattern,
+    * simplified to lookahead-free so the same pattern runs under java.util.regex
+    * and RE2 (DuckDB oracle): contractions | space+letters | space+digits |
+    * space+punct-run | whitespace-run. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "that")
 
   /** How many of the canonical stopwords occur as tokens (C4 requires ≥ a

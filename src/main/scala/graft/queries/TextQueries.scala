@@ -158,6 +158,27 @@ object TextQueries {
           array_join(col("drop_reasons"), ",").as("reasons"),
           col("n_pii"), md5(col("text_scrubbed")).as("scrubbed_md5"))
         .orderBy("url")
+    }),
+
+    // BPE-ish + whitespace token counting (portable regex, SQL-oracled).
+    "q25_bpe_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          TF.bpeTokenCount(col("text")).as("n_bpe"),
+          TF.tokenCount(col("text")).as("n_ws"))
+        .orderBy("doc_id")
+    }),
+
+    // Winnowing rolling-hash fingerprints: shared-fingerprint near-dup pairs.
+    "q26_winnow_pairs" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+      val fps = d.select(col("doc_id"),
+        explode(QualityFunctions.winnow_fingerprint(col("text"))).as("fp"))
+      val a = fps.select(col("fp"), col("doc_id").as("id_a"))
+      val b = fps.select(col("fp"), col("doc_id").as("id_b"))
+      a.join(b, "fp").filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 10)
+        .orderBy("id_a", "id_b")
     }))
 
   val sql: Map[String, String] = Map(
@@ -214,6 +235,11 @@ object TextQueries {
         |  FROM sh, (SELECT unnest(range(16)) AS i) GROUP BY 1,2)
         |SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS band_digest
         |FROM sig GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q25_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),
