@@ -179,6 +179,20 @@ object TextQueries {
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 10)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal pipeline: binary media → decode(stub) → features → rollup.
+    "q27_media_pipeline" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val decoded = Multimodal.decode(
+        Multimodal.syntheticMedia(SyntheticPages.fromDocuments(s, dir)))
+      val feats = Multimodal.features(decoded)
+        .select(col("media_id"), col("media_type"),
+          round(sqrt(aggregate(col("embedding"),
+            lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("feat_norm"))
+      feats.groupBy("media_type")
+        .agg(count(lit(1)).as("n"), round(avg("feat_norm"), 4).as("avg_norm"))
+        .orderBy("media_type")
     }))
 
   val sql: Map[String, String] = Map(

