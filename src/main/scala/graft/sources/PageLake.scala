@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake layout for crawl pages — the Iceberg-shaped table this pipeline
+  * targets (`BASELINE.json input_hint`). No Iceberg runtime ships in this
+  * sandbox, so the layout is plain partitioned parquet with the identical
+  * physical organization Iceberg's `days(warc_ts)` + `bucket(url)` spec
+  * would produce:
+  *
+  *   crawl_date=YYYY-MM-DD/ part-*.parquet   (hive-style date partitions)
+  *   rows sorted by url_bucket within files  (co-locates url hash ranges →
+  *                                            cheap per-host scans + stable
+  *                                            bucket-join pre-org)
+  *
+  * Date filters prune whole partitions at planning time (PartitionFilters in
+  * the scan); url filters ride min/max row-group stats via the sort.
+  */
+object PageLake {
+  val Buckets = 64
+
+  def urlBucket(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(url), lit(Buckets))
+
+  def write(pages: DataFrame, path: String): Unit =
+    pages
+      .withColumn("crawl_date", to_date(col("warc_ts")))
+      .withColumn("url_bucket", urlBucket(col("url")))
+      .repartition(col("crawl_date"))
+      .sortWithinPartitions("url_bucket", "url")
+      .write.mode("overwrite")
+      .partitionBy("crawl_date")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** A day's slice: resolves to a partition-pruned scan. */
+  def readDay(spark: SparkSession, path: String, day: String): DataFrame =
+    read(spark, path).filter(col("crawl_date") === lit(day))
+}

@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape regressions: the physical plans that make these queries viable
+  * at crawl scale — filter pushdown into the parquet scan, column pruning,
+  * broadcast joins for dimensions, map-side partial aggregation, and
+  * whole-stage codegen — must not silently regress. */
+class PlanSpec extends SparkSpecBase {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: filters and IN-set push into the parquet scan; columns pruned") {
+    val p = executedPlan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull("), "pushdown missing")
+    assert(p.contains("EqualTo(o_orderstatus,O)") || p.contains("(o_orderstatus#"), "status filter missing")
+    // only the referenced columns reach the scan (no o_orderdate)
+    assert(!p.contains("o_orderdate"))
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), "codegen missing")
+  }
+
+  test("q3: dimension joins are broadcast, aggregation is partial+final") {
+    val p = executedPlan("q3_join_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+    assert(p.contains("partial_count"), "map-side partial agg missing")
+    // customer scan reads only join key + aggregated column
+    assert(!p.contains("c_name") && !p.contains("c_mktsegment"), "customer columns not pruned")
+  }
+
+  test("q1: single shuffle — partial agg before exchange, no extra exchanges") {
+    val p = executedPlan("q1_pricing_agg")
+    assert(p.contains("partial_sum"))
+    // exactly one hash-partition shuffle (the groupBy); orderBy adds a range one
+    val idx = p.indexOf("== Initial Plan ==")
+    val finalSection = if (idx >= 0) p.substring(0, idx) else p
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(exchanges <= 1, s"unexpected shuffles ($exchanges):\n$finalSection")
+  }
+
+  test("q18: query side is broadcast — no shuffle of the corpus for scoring") {
+    val p = executedPlan("q18_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries must broadcast:\n$p")
+  }
+
+  test("q20: detector scan reads only doc_id and text") {
+    val p = executedPlan("q20_pii_detect")
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "documents scan must prune unused columns")
+  }
+}
