@@ -1,0 +1,39 @@
+package graft
+
+import graft.filter.LangIdModel
+import graft.functions.{LangIdExpression, PiiDetectExpression, PiiScrubExpression, RepetitionRatio, WinnowFingerprint}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension packaging: register the engine's Catalyst expressions as
+  * SQL functions without touching application code —
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * Then `SELECT scrub_pii(text) FROM pages` works from pure SQL (including
+  * thrift/JDBC sessions). The same registrations are applied per-session by
+  * GraftSession.local for programmatic use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("detect_pii"),
+      info("detect_pii", "detect_pii(text) - 12-category PII detection struct"),
+      (args: Seq[Expression]) => PiiDetectExpression(args.head)))
+    e.injectFunction((FunctionIdentifier("scrub_pii"),
+      info("scrub_pii", "scrub_pii(text) - text with PII spans redacted"),
+      (args: Seq[Expression]) => PiiScrubExpression(args.head)))
+    e.injectFunction((FunctionIdentifier("repetition_ratio"),
+      info("repetition_ratio", "repetition_ratio(text) - top word-2gram frequency share"),
+      (args: Seq[Expression]) => RepetitionRatio(args.head, 2)))
+    e.injectFunction((FunctionIdentifier("langid"),
+      info("langid", "langid(text) - struct(lang, confidence)"),
+      (args: Seq[Expression]) => LangIdExpression(args.head, LangIdModel.default)))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint", "winnow_fingerprint(text) - rolling-hash fingerprint set"),
+      (args: Seq[Expression]) => WinnowFingerprint(args.head, 8, 16)))
+  }
+}

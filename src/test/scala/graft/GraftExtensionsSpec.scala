@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions packaging: a session created with
+  * `spark.sql.extensions=graft.GraftExtensions` exposes the engine's
+  * functions to pure SQL (the spark-submit / thrift-server path). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions register detect/scrub/quality functions for SQL sessions") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val scrubbed = spark.sql(
+        "SELECT scrub_pii('문의: kim.cs@corp.co.kr 주민등록번호 850315-1234567 끝') AS s")
+        .head().getString(0)
+      assert(scrubbed == "문의: [이메일] 주민등록번호 [주민등록번호] 끝")
+      val detected = spark.sql(
+        "SELECT detect_pii('연락처 010-1234-5678').`전화번호` AS p").head().getSeq[String](0)
+      assert(detected == Seq("010-1234-5678"))
+      val rep = spark.sql("SELECT repetition_ratio('a b a b a b') AS r").head().getDouble(0)
+      assert(rep > 0.3)
+      val lang = spark.sql("SELECT langid('the quick brown fox and the lazy dog of the north').lang AS l")
+        .head().getString(0)
+      assert(lang == "en")
+      assert(spark.sql("SELECT winnow_fingerprint('some reasonably long text for fingerprinting') AS f")
+        .head().getSeq[Long](0).nonEmpty)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

@@ -74,6 +74,22 @@ class PiiParitySpec extends AnyFunSuite {
     }
   }
 
+  test("scrub goldens: redacted text digests are frozen (net-new semantics pin)") {
+    val docs = loadCorpus("combined_test_cases")
+    val goldens = mapper.readTree(Files.readAllBytes(Paths.get(
+      getClass.getResource("/goldens/scrub_md5_combined.json").toURI)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var checked = 0
+    goldens.fieldNames().forEachRemaining { id =>
+      val digest = md.digest(PiiDetector.scrub(docs(id))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      assert(digest == goldens.get(id).asText(), s"scrub drift on $id")
+      checked += 1
+    }
+    assert(checked == 300)
+  }
+
   test("quirk: masked RRN at end of string does not match (trailing \\b)") {
     assert(PiiDetector.detect("주민번호는 850315-1******").isEmptyAll)
     assert(PiiDetector.detect("주민번호는 850315-1****** 입니다").isEmptyAll)
