@@ -70,6 +70,20 @@ object QualityPipeline {
       .withColumn("keep", size(col("drop_reasons")) === 0)
   }
 
+  /** Optional stage 3b: Kneser-Ney perplexity scoring against a broadcast
+    * bigram LM (fit on a sample upstream); documents above the threshold get
+    * a drop reason. Broadcast-model scalar scoring — no shuffle. */
+  def perplexityStage(df: DataFrame, lm: org.apache.spark.broadcast.Broadcast[graft.filter.BigramLM],
+                      maxPerplexity: Double): DataFrame = {
+    val pplUdf = udf((t: String) => lm.value.perplexity(t))
+    df.withColumn("perplexity", pplUdf(col("text")))
+      .withColumn("drop_reasons",
+        when(col("perplexity") > maxPerplexity,
+          array_union(col("drop_reasons"), array(lit("high_perplexity"))))
+          .otherwise(col("drop_reasons")))
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+  }
+
   /** Stage 4: PII detection + redaction (Catalyst expressions; patterns are
     * executor singletons). Detection counts feed the metrics table. */
   def piiStage(df: DataFrame): DataFrame =

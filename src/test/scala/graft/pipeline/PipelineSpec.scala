@@ -59,6 +59,22 @@ class PipelineSpec extends SparkSpecBase {
     assert(h0 > salted.map(_._2).sum / 4)
   }
 
+  test("perplexity stage drops gibberish, keeps in-domain text") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet").select("text").as[String]
+    val lm = spark.sparkContext.broadcast(graft.filter.BigramLM.fit(texts, maxVocab = 4096))
+    val base = QualityPipeline.qualityStage(QualityPipeline.langIdStage(
+      QualityPipeline.extract(SyntheticPages.fromDocuments(spark, sfDir))))
+    // in-domain pages survive a loose threshold
+    val scored = QualityPipeline.perplexityStage(base, lm, maxPerplexity = 500).cache()
+    assert(scored.filter(array_contains(col("drop_reasons"), "high_perplexity")).count() == 0)
+    // gibberish page gets dropped under the same threshold
+    val gib = base.limit(1).withColumn("text",
+      lit("zzq qqx wvk jjy pzf mmr ttb zzq qqx wvk jjy pzf"))
+    val dropped = QualityPipeline.perplexityStage(gib, lm, maxPerplexity = 500)
+    assert(dropped.filter(array_contains(col("drop_reasons"), "high_perplexity")).count() == 1)
+  }
+
   test("lineage rows cover all partitions and sum to the input count") {
     val result = QualityPipeline.run(SyntheticPages.fromDocuments(spark, sfDir))
     val lin = QualityPipeline.lineage(result, "full").collect()
