@@ -35,6 +35,28 @@ object Dedup {
       .groupBy("id", "i")
       .agg(min(TF.hash60Salted(col("s"), col("i"))).as("sig"))
 
+  /** Production signature path: one-pass per-row MinHash expression — no
+    * explode, no shuffle (vs the long-form `minhashSignatures`, which is kept
+    * as the SQL-oracle-checkable formulation). Value-identical hashes; docs
+    * with fewer than `shingleWidth` tokens get all-Long.MaxValue signatures
+    * (the long form drops them entirely). */
+  def minhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 16, shingleWidth: Int = 3): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      graft.functions.MinHashFunctions.minhash_sigs(col(textCol), k, shingleWidth).as("sigs"))
+
+  /** Band digests straight from the signature array — a narrow projection +
+    * posexplode; the only shuffle left in the whole LSH pipeline is the final
+    * candidate join. */
+  def lshBandsFast(sigs: DataFrame, rowsPerBand: Int = 4, k: Int = 16): DataFrame = {
+    val nBands = k / rowsPerBand
+    sigs.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(nBands - 1)), b =>
+          md5(concat_ws(",", transform(
+            slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")))))))
+      .select(col("id"), col("pos").cast("long").as("band"), col("col").as("band_digest"))
+  }
+
   /** LSH band digests: group each signature into bands of `rowsPerBand`,
     * digest = md5 of the ordered sig values. Docs sharing any (band, digest)
     * are near-duplicate candidates. */

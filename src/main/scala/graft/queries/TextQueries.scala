@@ -84,11 +84,12 @@ object TextQueries {
       Dedup.lshBands(Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"))
         .orderBy("id", "band")),
 
-    // Near-dup candidate pairs + exact n-gram Jaccard verification.
+    // Near-dup candidate pairs + exact n-gram Jaccard verification
+    // (production path: per-row signature expression, no explode shuffle).
     "q16_dup_pairs" -> ((s, dir) => {
       val d = docsWithNearDups(s, dir)
       val pairs = Dedup.candidatePairs(
-        Dedup.lshBands(Dedup.minhashSignatures(d, "doc_id", "text")))
+        Dedup.lshBandsFast(Dedup.minhashSignaturesFast(d, "doc_id", "text")))
       Dedup.jaccardVerify(d, "doc_id", "text", pairs)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .filter(col("jaccard") >= 0.5)
@@ -181,6 +182,20 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Structured-Streaming rollup over the events table (file stream source,
+    // AvailableNow, Complete mode) — result equals the batch/SQL answer.
+    "q28_stream_window" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val tmp = java.nio.file.Files.createTempDirectory("evstream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("part-0.parquet"))
+      EventStream.runOnce(s,
+          EventStream.windowedRollupExact(EventStream.readEvents(s, tmp.toString)),
+          s"q28_win_${System.nanoTime}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("w_start", "event_type")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -249,6 +264,11 @@ object TextQueries {
         |  FROM sh, (SELECT unnest(range(16)) AS i) GROUP BY 1,2)
         |SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS band_digest
         |FROM sig GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q28_stream_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q25_bpe_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe,

@@ -34,6 +34,16 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Tumbling-window rollup with exact decimal sums (oracle-parity variant,
+    * run in Complete mode so every window is emitted). */
+  def windowedRollupExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   final case class Session(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long,
       totalValue: Double)
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -46,6 +46,22 @@ class DedupSpec extends SparkSpecBase {
     assert(found >= 16, s"only $found/20 planted pairs found")
   }
 
+  test("fast per-row minhash path is value-identical to the long form") {
+    val sigsFast = Dedup.minhashSignaturesFast(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigsLong = Dedup.minhashSignatures(docs, "doc_id", "text").collect()
+      .groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("i")).map(_.getAs[Long]("sig")).toSeq).toMap
+    assert(sigsLong.keySet.subsetOf(sigsFast.keySet))
+    for ((id, s) <- sigsLong) assert(sigsFast(id) == s, s"doc $id")
+    // band digests identical too
+    val bandsFast = Dedup.lshBandsFast(Dedup.minhashSignaturesFast(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val bandsLong = Dedup.lshBands(Dedup.minhashSignatures(docs, "doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("band")) -> r.getAs[String]("band_digest")).toMap
+    for ((k, v) <- bandsLong) assert(bandsFast(k) == v, s"band $k")
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val base = docs.filter($"doc_id" === 0)
     val mutated = base.select(lit(1L).as("doc_id"),
