@@ -45,7 +45,7 @@ object Bench {
     // share the same cores in local mode).
     val bigCpus = math.max(math.min(cpus / 2, nprocs / 2), 4)
     val smallCpus = math.max(bigCpus / 4, 1)
-    val repFactor = sys.env.getOrElse("SPARK_GRAFT_REP", "40").toInt
+    val repFactor = sys.env.getOrElse("SPARK_GRAFT_REP", "100").toInt
 
     val headline = Seq(
       "q1_pricing_agg", "q3_join_enrich", "q7_percentiles",
