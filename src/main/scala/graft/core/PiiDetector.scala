@@ -94,20 +94,39 @@ object PiiDetector {
     // (pinned by the golden parity suite); on non-Korean, digit-free web text
     // (the common case at crawl scale) the full regex battery is skipped.
     var hasDigit = false; var hasHangul = false; var hasAt = false
-    var hasColon = false; var hasDot = false; var hasBracket = false
+    var hasDot = false; var hasFullColon = false
+    var colonCount = 0
+    var hasBracketAt = false    // literal [at] / (at) / {at}, any case
+    var hasSiGunGuWs = false    // 시|군|구 followed by whitespace (address grammars)
+    var hasRoGil = false        // 로|길 (road-address suffix)
     locally {
       var i = 0
-      while (i < text.length) {
+      val n = text.length
+      while (i < n) {
         val c = text.charAt(i)
-        if (c >= '가' && c <= '힣') hasHangul = true
+        if (c >= '가' && c <= '힣') {
+          hasHangul = true
+          if (c == '로' || c == '길') hasRoGil = true
+          else if ((c == '시' || c == '군' || c == '구') && i + 1 < n &&
+            PyCompat.isPySpace(text.charAt(i + 1))) hasSiGunGuWs = true
+        }
         else if (c == '@' || c == '＠') hasAt = true
-        else if (c == ':') hasColon = true
+        else if (c == ':') colonCount += 1
+        else if (c == '：') hasFullColon = true
         else if (c == '.') hasDot = true
-        else if (c == '[' || c == '(' || c == '{') hasBracket = true
+        else if (c == '[' || c == '(' || c == '{') {
+          if (i + 3 < n) {
+            val a = text.charAt(i + 1); val t = text.charAt(i + 2); val cl = text.charAt(i + 3)
+            val close = if (c == '[') ']' else if (c == '(') ')' else '}'
+            if ((a == 'a' || a == 'A') && (t == 't' || t == 'T') && cl == close)
+              hasBracketAt = true
+          }
+        }
         else if (Character.isDigit(c)) hasDigit = true
         i += 1
       }
     }
+    val hasColonAny = colonCount > 0 || hasFullColon
 
     def add(cat: Int, rawVal: String, start: Int, end: Int): Unit = {
       val v = pyStrip(rawVal)
@@ -117,13 +136,15 @@ object PiiDetector {
       if (seen(cat).add(v)) bufs(cat) += v
     }
 
-    // 1. 이름 (label-based; value and scrub span = captured group)
-    if (hasHangul)
+    // 1. 이름 (label-based; the grammar requires a colon after the label)
+    if (hasHangul && hasColonAny)
       forEach(namePattern, text) { m => add(Name, m.group(1), m.start(1), m.end(1)) }
 
-    // 2. 주소
-    if (hasHangul && hasDigit) {
-      forEach(roadAddr, text) { m => add(Addr, m.group(0), m.start, m.end) }
+    // 2. 주소 — both grammars require 시|군|구 followed by whitespace;
+    // the road grammar additionally needs a 로|길 suffix char
+    if (hasHangul && hasDigit && hasSiGunGuWs) {
+      if (hasRoGil)
+        forEach(roadAddr, text) { m => add(Addr, m.group(0), m.start, m.end) }
       forEach(lotAddr, text) { m => add(Addr, m.group(0), m.start, m.end) }
     }
 
@@ -147,7 +168,7 @@ object PiiDetector {
         emailRolePrefix.matcher(lower).find()
       if (!excluded) add(Email, email, m.start, m.end)
     }
-    if (hasAt || hasBracket || hasHangul)
+    if (hasBracketAt || (hasHangul && text.contains("골뱅이")))
       forEach(emailObfuscated, text) { m => add(Email, pyStrip(m.group(0)), m.start, m.end) }
     if (hasAt)
       forEach(emailMasked, text) { m => add(Email, pyStrip(m.group(0)), m.start, m.end) }
@@ -177,7 +198,7 @@ object PiiDetector {
         }
       }
     }
-    if (hasColon) forEach(ipv6Pattern, text) { m =>
+    if (colonCount >= 2) forEach(ipv6Pattern, text) { m =>
       val v6 = m.group(0)
       if (v6 != "::1") add(Ip, v6, m.start, m.end)
     }
@@ -208,10 +229,12 @@ object PiiDetector {
       if (!isService) add(Phone, phone, s0, e0)
     }
 
-    // 9. 계좌번호 — captured number group only (labels/banks are Hangul or "SC")
+    // 9. 계좌번호 — captured number group only; the bank-name variant only
+    // runs when one of the 20 bank-name literals is present
     if (hasDigit && (hasHangul || text.contains("SC"))) {
       forEach(accountLabels, text) { m => add(Account, m.group(1), m.start(1), m.end(1)) }
-      forEach(accountWithBank, text) { m => add(Account, m.group(1), m.start(1), m.end(1)) }
+      if (PiiPatterns.bankNames.exists(text.contains))
+        forEach(accountWithBank, text) { m => add(Account, m.group(1), m.start(1), m.end(1)) }
     }
 
     // 10. 카드번호 (incl. BTC/ETH wallets by design; all forms require a digit)

@@ -109,6 +109,10 @@ object PiiPatterns {
     "(?:국민|신한|우리|하나|농협|기업|SC|씨티|대구|부산|경남|광주|전북|제주|수협|" +
     "새마을|신협|우체국|카카오|토스|케이)\\s*(?:은행)?\\s*" +
     "(\\d{2,6}[-\\s]?\\d{2,8}[-\\s]?\\d{2,8}(?:[-\\s]?\\d{1,4})?)", U)
+  /** The bank-name literals of ACCOUNT_WITH_BANK (necessary-condition gate). */
+  val bankNames: IndexedSeq[String] = Vector(
+    "국민", "신한", "우리", "하나", "농협", "기업", "SC", "씨티", "대구", "부산",
+    "경남", "광주", "전북", "제주", "수협", "새마을", "신협", "우체국", "카카오", "토스", "케이")
 
   // 10. 카드번호 (regex_pii_detector.py:137-145); crypto wallets intentionally
   // land in this category, mirroring TYPE_NORMALIZATION.

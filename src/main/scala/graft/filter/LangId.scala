@@ -25,10 +25,12 @@ final case class LangIdModel(
     java.lang.Math.floorMod(h, dim)
   }
 
-  /** Classify text → (language, confidence∈(0,1]). Deterministic. */
+  /** Classify text → (language, confidence∈(0,1]). Deterministic. Scoring is
+    * capped to the first 4000 chars — ample signal for language ID, and keeps
+    * per-row cost bounded on multi-MB crawl documents. */
   def classify(text: String): (String, Double) = {
     if (text == null || text.isEmpty) return ("und", 0.0)
-    val t = text
+    val t = if (text.length > 4000) text.substring(0, 4000) else text
     // Script features: decisive for non-Latin scripts.
     var hangul = 0; var han = 0; var kana = 0; var cyr = 0; var arab = 0
     var latin = 0; var letters = 0

@@ -55,10 +55,34 @@ case class PiiScrubExpression(child: Expression) extends UnaryExpression with Co
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** process_pii(text) → struct(text_scrubbed string, n_pii int): detection and
+  * redaction from ONE detector pass (detect_pii + scrub_pii as separate
+  * columns would each run the full pattern battery). The pipeline's hot path. */
+case class PiiProcessExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("text_scrubbed", StringType, nullable = false),
+    StructField("n_pii", IntegerType, nullable = false)))
+  override def prettyName: String = "process_pii"
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val (res, spans) = PiiDetector.detectWithSpans(text)
+    var n = 0
+    var i = 0
+    while (i < PiiCategories.size) {
+      if (res.cats(i) != null) n += res.cats(i).length
+      i += 1
+    }
+    val scrubbed = if (spans.isEmpty) text else PiiDetector.scrubSpans(text, spans)
+    InternalRow(UTF8String.fromString(scrubbed), n)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object PiiFunctions {
   /** Column API: detect_pii($"text") */
   def detect_pii(c: Column): Column = ColumnBridge.column(PiiDetectExpression(ColumnBridge.expression(c)))
   def scrub_pii(c: Column): Column = ColumnBridge.column(PiiScrubExpression(ColumnBridge.expression(c)))
+  def process_pii(c: Column): Column = ColumnBridge.column(PiiProcessExpression(ColumnBridge.expression(c)))
 
   /** SQL registration: SELECT detect_pii(text), scrub_pii(text) ... */
   def register(spark: SparkSession): Unit = {

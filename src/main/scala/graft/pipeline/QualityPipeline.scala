@@ -84,16 +84,13 @@ object QualityPipeline {
       .withColumn("keep", size(col("drop_reasons")) === 0)
   }
 
-  /** Stage 4: PII detection + redaction (Catalyst expressions; patterns are
-    * executor singletons). Detection counts feed the metrics table. */
+  /** Stage 4: PII detection + redaction in ONE detector pass per row
+    * (process_pii expression; patterns are executor singletons). */
   def piiStage(df: DataFrame): DataFrame =
-    df.withColumn("pii", PiiFunctions.detect_pii(col("text")))
-      .withColumn("n_pii", graft.core.PiiCategories.names
-        .map(n => coalesce(size(col(s"pii.`$n`")), lit(0)))
-        .reduce(_ + _))
-      .withColumn("text_scrubbed",
-        when(col("n_pii") > 0, PiiFunctions.scrub_pii(col("text"))).otherwise(col("text")))
-      .drop("pii")
+    df.withColumn("pp", PiiFunctions.process_pii(col("text")))
+      .withColumn("n_pii", col("pp.n_pii"))
+      .withColumn("text_scrubbed", col("pp.text_scrubbed"))
+      .drop("pp")
 
   /** Full chain. */
   def run(pages: DataFrame, cfg: Config = Config(),
