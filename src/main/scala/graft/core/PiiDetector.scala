@@ -136,9 +136,11 @@ object PiiDetector {
       if (seen(cat).add(v)) bufs(cat) += v
     }
 
-    // 1. 이름 (label-based; the grammar requires a colon after the label)
+    // 1. 이름 (label-based; the grammar requires a colon after the label).
+    // NameScan is the hand-rolled finditer equivalent of NAME_PATTERN —
+    // differential-fuzzed and golden-verified byte-identical.
     if (hasHangul && hasColonAny)
-      forEach(namePattern, text) { m => add(Name, m.group(1), m.start(1), m.end(1)) }
+      NameScan.scan(text)((_, n0, n1) => add(Name, text.substring(n0, n1), n0, n1))
 
     // 2. 주소 — both grammars require 시|군|구 followed by whitespace;
     // the road grammar additionally needs a 로|길 suffix char
