@@ -47,6 +47,22 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9가-힣]", ""))
 
+  /** Minimal HTML → text extraction for crawl pages without a pre-extracted
+    * text column: drop script/style blocks, strip tags, decode the common
+    * entities, collapse whitespace. Pure codegen'd regexp chain — a real
+    * deployment swaps in a DOM-aware extractor behind the same column
+    * contract (string html → string text). */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noTags = regexp_replace(noScript, "(?s)<[^>]*>", " ")
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e), r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // --- Gopher/C4-style quality signals ---------------------------------
 
   def meanWordLen(text: Column): Column =

@@ -196,6 +196,36 @@ object TextQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // Embedding near-dup pairs: cosine ≥ threshold among corpus ∪ planted
+    // scaled copies (cosine-identical by construction).
+    "q29_embed_neardup" -> ((s, dir) => {
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val all = e.unionByName(planted)
+      val a = all.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = all.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", Similarity.cosine(col("emb_a"), col("emb_b")))
+        .filter(col("sim") >= 0.99)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Salted two-phase per-host count over skewed hosts — must equal the
+    // direct rollup (oracle): the skew-proof aggregation pattern.
+    "q30_salted_hosts" -> ((s, dir) => {
+      val pages = SyntheticPages.skewed(s, dir)
+        .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      pages
+        .withColumn("salt", pmod(hash(col("url")), lit(16)))
+        .groupBy("host", "salt").agg(count(lit(1)).as("n"))
+        .groupBy("host").agg(sum("n").as("n_pages"))
+        .orderBy("host")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -264,6 +294,25 @@ object TextQueries {
         |  FROM sh, (SELECT unnest(range(16)) AS i) GROUP BY 1,2)
         |SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS band_digest
         |FROM sig GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q29_embed_neardup" ->
+      """WITH planted AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    CAST(list_transform(embedding, x -> x * 2.0) AS FLOAT[]) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        | allv AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM allv a, allv b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q30_salted_hosts" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'host-0.example.org'
+        |            ELSE 'host-' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
+        |       COUNT(*) AS n_pages
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
         | COUNT(*) AS n,

@@ -46,6 +46,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(java.nio.file.Files.exists(marker))
   }
 
+  test("partial checkpoint (no _SUCCESS marker) is recomputed, not trusted") {
+    val out = java.nio.file.Files.createTempDirectory("ckpt-partial").toString
+    val stageDir = java.nio.file.Paths.get(out, "stage=final")
+    // simulate a crash mid-write: directory with data but no marker
+    java.nio.file.Files.createDirectories(stageDir)
+    java.nio.file.Files.writeString(stageDir.resolve("part-garbage.parquet"), "corrupt")
+    val df = QualityPipeline.checkpointStage(spark,
+      QualityPipeline.run(SyntheticPages.fromDocuments(spark, sfDir))
+        .select("url", "keep", "n_pii"),
+      out, "final")
+    assert(df.count() > 0) // overwrite succeeded; corrupt partial discarded
+    assert(java.nio.file.Files.exists(stageDir.resolve("_SUCCESS")))
+  }
+
   test("salted host rollup equals direct rollup on skewed hosts") {
     val result = QualityPipeline.run(SyntheticPages.skewed(spark, sfDir)).cache()
     val salted = QualityPipeline.hostRollup(result, salts = 16)
