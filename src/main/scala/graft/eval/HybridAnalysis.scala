@@ -37,7 +37,7 @@ object HybridAnalysis {
     import spark.implicits._
     def predMap(df: DataFrame, as: String) =
       df.select(col("id"), col("predicted").as(as))
-    val joined = corpus.toDF
+    val joined = corpus.toDF()
       .join(broadcast(predMap(llm, "llm_pred")), Seq("id"), "left")
       .join(broadcast(predMap(regex, "regex_pred")), Seq("id"), "left")
     joined.map { row =>

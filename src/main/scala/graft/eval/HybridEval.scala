@@ -26,7 +26,7 @@ object HybridEval {
     val spark = corpus.sparkSession
     import spark.implicits._
     val llmPreds = llm.select(col("id"), col("predicted"))
-    val joined = corpus.toDF.join(broadcast(llmPreds), Seq("id"), "left")
+    val joined = corpus.toDF().join(broadcast(llmPreds), Seq("id"), "left")
     joined.flatMap { row =>
       val id = row.getAs[String]("id")
       val text = row.getAs[String]("document_text")
