@@ -37,6 +37,27 @@ object Bench {
 
   private def nprocs: Int = Runtime.getRuntime.availableProcessors()
 
+  /** Single-thread detector throughput on the real Korean corpus — the direct
+    * comparison with the reference's single-process run (~3k docs/sec). Plain
+    * JVM loop; measured before any Spark work for a clean JIT/CPU state. */
+  private def detectorBenchJson(): String = {
+    val corpusPath = java.nio.file.Paths.get("/root/reference/combined_test_cases.json")
+    if (!java.nio.file.Files.exists(corpusPath)) return ""
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(corpusPath))
+    val docs = new Array[String](node.size())
+    for (i <- 0 until node.size()) docs(i) = node.get(i).get("document_text").asText()
+    var sink = 0
+    for (_ <- 1 to 5) docs.foreach(d => sink += graft.core.PiiDetector.detect(d).cats.length)
+    val passes = 30
+    val t0 = System.nanoTime()
+    var p = 0
+    while (p < passes) { docs.foreach(d => sink += graft.core.PiiDetector.detect(d).cats.length); p += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val dps = docs.length.toLong * passes / sec
+    s""","detector":{"corpus_docs":${docs.length},"passes":$passes,"docs_sec_1thread":${"%.1f".format(dps)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -45,7 +66,9 @@ object Bench {
     // share the same cores in local mode).
     val bigCpus = math.max(math.min(cpus / 2, nprocs / 2), 4)
     val smallCpus = math.max(bigCpus / 4, 1)
-    val repFactor = sys.env.getOrElse("SPARK_GRAFT_REP", "100").toInt
+    val repFactor = sys.env.getOrElse("SPARK_GRAFT_REP", "200").toInt
+
+    val detectorJson = detectorBenchJson() // before any Spark work: clean JIT/CPU state
 
     val headline = Seq(
       "q1_pricing_agg", "q3_join_enrich", "q7_percentiles",
@@ -91,27 +114,6 @@ object Bench {
     val eff = ratios(ratios.length / 2)
     val total = queryTimes.map(_._2).sum + t4n
 
-    // Single-thread detector throughput on the real Korean corpus — the
-    // direct comparison with the reference's single-process run (BASELINE.md:
-    // ~300 docs in <1s). Plain JVM loop, no Spark in the measurement.
-    val detectorJson = {
-      val corpusPath = java.nio.file.Paths.get("/root/reference/combined_test_cases.json")
-      if (java.nio.file.Files.exists(corpusPath)) {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-          java.nio.file.Files.readAllBytes(corpusPath))
-        val docs = new Array[String](node.size())
-        for (i <- 0 until node.size()) docs(i) = node.get(i).get("document_text").asText()
-        var sink = 0
-        docs.foreach(d => sink += graft.core.PiiDetector.detect(d).cats.length) // warm
-        val passes = 20
-        val t0 = System.nanoTime()
-        var p = 0
-        while (p < passes) { docs.foreach(d => sink += graft.core.PiiDetector.detect(d).cats.length); p += 1 }
-        val sec = (System.nanoTime() - t0) / 1e9
-        val dps = docs.length.toLong * passes / sec
-        s""","detector":{"corpus_docs":${docs.length},"passes":$passes,"docs_sec_1thread":${"%.1f".format(dps)}}"""
-      } else ""
-    }
 
     def f(d: Double) = f"$d%.3f"
     val qJson = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
