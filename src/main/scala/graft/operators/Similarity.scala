@@ -55,6 +55,79 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) coarse quantizer: deterministic Lloyd's k-means over
+    * a driver-collected sample (at crawl scale: a bounded random sample);
+    * centroids are broadcast, corpus rows are assigned in a narrow map, and
+    * queries probe the `nProbe` nearest cells only. */
+  def ivfCentroids(sample: Array[Array[Float]], k: Int, iters: Int = 10,
+                   seed: Long = 42L): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val idx = rnd.shuffle(sample.indices.toVector).take(k)
+    var centroids = idx.map(i => sample(i).map(_.toDouble)).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      for (v <- sample) {
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val ctr = centroids(c)
+      while (i < ctr.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCells(v: Array[Float], centroids: Array[Array[Double]], nProbe: Int): Seq[Int] = {
+    centroids.indices.map { c =>
+      var d = 0.0; var i = 0
+      val ctr = centroids(c)
+      while (i < ctr.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+      c -> d
+    }.sortBy(_._2).take(nProbe).map(_._1)
+  }
+
+  /** IVF ANN: corpus assigned to its nearest cell (one narrow pass); each
+    * query probes its nProbe nearest cells; scoring joins on cell id. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, sampleSize: Int = 2048): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = corpus.select("embedding").limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = ivfCentroids(sample, nCells)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    val probeUdf = udf((v: Seq[Float]) => nearestCells(v.toArray, bc.value, nProbe))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding"),
+      cellUdf(col("embedding")).as("cell"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      explode(probeUdf(col("embedding"))).as("cell")))
+    val scored = c.join(q, "cell")
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** ANN via sign-LSH: score only same-bucket candidates. Recall < 1 by
     * construction; nProbes>1 would add neighboring buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -114,6 +114,13 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN (k-means coarse quantizer, 4/16 cells probed; rows-only).
+    "q31_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // PII detection counts over documents with deterministic synthetic PII.
     "q20_pii_detect" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),

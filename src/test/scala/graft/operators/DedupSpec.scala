@@ -85,6 +85,24 @@ class DedupSpec extends SparkSpecBase {
     assert(top.forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9))
   }
 
+  test("IVF ANN: deterministic, self found at rank 1, decent recall vs brute force") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val ivf = Similarity.ivfTopK(e, q, 5).collect()
+    assert(ivf.nonEmpty)
+    // self vector probes its own cell → rank 1 sim 1.0
+    val rank1 = ivf.filter(_.getAs[Int]("rank") == 1)
+    assert(rank1.forall(r => r.getAs[Long]("query_id") == r.getAs[Long]("cand_id")))
+    // recall vs brute-force top-5 (random vectors, 4/16 cells probed)
+    val bf = Similarity.bruteForceTopK(e, q, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val hits = ivf.count(r => bf.contains((r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))))
+    assert(hits >= bf.size / 4, s"recall too low: $hits/${bf.size}")
+    // deterministic across runs
+    val again = Similarity.ivfTopK(e, q, 5).collect()
+    assert(again.map(_.toString).sorted.toSeq == ivf.map(_.toString).sorted.toSeq)
+  }
+
   test("LSH ANN: cosine-identical queries land in the source's bucket and rank it first") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // scaling preserves cosine and all hyperplane signs ⇒ the source vector
