@@ -130,6 +130,37 @@ object RelationalQueries {
           sum(dec("value")).cast("double").as("sum_v"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("day", "event_type")
+    }),
+
+    // CUBE rollup: all grouping-set combinations in one pass.
+    "q32_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .cube(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_v"))
+        .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+    }),
+
+    // Window functions: per-user running sum + inter-event gap (lag).
+    "q33_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"),
+          sum(dec("value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_v"),
+          coalesce(col("event_id") - lag(col("event_id"), 1).over(w), lit(-1L)).as("gap"),
+          row_number().over(w).as("rn"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Vocabulary stats: exact distinct tokens per language (explode + agg).
+    "q34_vocab_stats" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), explode(graft.functions.TextFunctions.tokensLower(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+        .orderBy("lang")
     }))
 
   val sql: Map[String, String] = Map(
@@ -197,5 +228,24 @@ object RelationalQueries {
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         | COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q32_cube" ->
+      """SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY CUBE(event_type, dayofweek(ts) + 1)
+        |ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST""".stripMargin,
+    "q33_window_running" ->
+      """SELECT user_id, event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_v,
+        | COALESCE(event_id - LAG(event_id, 1) OVER
+        |   (PARTITION BY user_id ORDER BY event_id), -1) AS gap,
+        | CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS rn
+        |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "q34_vocab_stats" ->
+      """SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+        |FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
