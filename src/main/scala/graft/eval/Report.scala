@@ -107,9 +107,9 @@ object Report {
         .map(r => r.getString(0) -> DiffRow(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
         .toMap
 
-    // top-k worst failures (O2)
+    // top-k worst failures (O2); id tie-break keeps the listing deterministic
     val worst = cached.filter(col("microF1") =!= 1.0)
-      .orderBy(col("microF1").asc).limit(10)
+      .orderBy(col("microF1").asc, col("id").asc).limit(10)
       .select("id", "microF1").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
 
