@@ -154,6 +154,20 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // As-of join: each click event picks up the latest prior error value of
+    // the same user (point-in-time lookup; DuckDB-native ASOF JOIN oracle).
+    "q35_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value").as("last_error_value"))
+      graft.operators.AsOfJoin.asofLeft(clicks, errors, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          coalesce(round(col("last_error_value"), 2), lit(-1.0)).as("last_error_value"))
+        .orderBy("event_id")
+    }),
+
     // Vocabulary stats: exact distinct tokens per language (explode + agg).
     "q34_vocab_stats" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
@@ -243,6 +257,13 @@ object RelationalQueries {
         |   (PARTITION BY user_id ORDER BY event_id), -1) AS gap,
         | CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS rn
         |FROM events WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin,
+    "q35_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        | COALESCE(ROUND(e.value, 2), -1.0) AS last_error_value
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type='click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q34_vocab_stats" ->
       """SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
         |FROM (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
