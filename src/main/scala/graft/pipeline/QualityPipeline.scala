@@ -97,6 +97,16 @@ object QualityPipeline {
           model: LangIdModel = LangIdModel.default): DataFrame =
     piiStage(qualityStage(langIdStage(extract(pages), model), cfg))
 
+  /** Zero-extra-pass metrics: `observe` accumulates named aggregates while
+    * the main action runs (no second job); read them from the returned
+    * Observation after any action on the result. */
+  def observed(result: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
+    result.observe(obs,
+      count(lit(1)).as("rows"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+      sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("pii_rows"),
+      sum(col("n_pii").cast("long")).as("pii_items"))
+
   /** Per-partition lineage rows: (stage, partition, rows, kept, pii_rows) —
     * written alongside outputs so every output row is attributable to an
     * input partition. */

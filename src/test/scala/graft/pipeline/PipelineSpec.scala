@@ -89,6 +89,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(dropped.filter(array_contains(col("drop_reasons"), "high_perplexity")).count() == 1)
   }
 
+  test("observe() metrics accumulate during the main action (no extra pass)") {
+    val obs = org.apache.spark.sql.Observation("pipeline")
+    val result = QualityPipeline.observed(
+      QualityPipeline.run(SyntheticPages.fromDocuments(spark, sfDir)), obs)
+    val n = result.count() // single action drives both result and metrics
+    val m = obs.get
+    assert(m("rows") == n)
+    assert(m("kept").asInstanceOf[Long] <= n)
+    assert(m("pii_rows").asInstanceOf[Long] > 0)
+    assert(m("pii_items").asInstanceOf[Long] >= m("pii_rows").asInstanceOf[Long])
+  }
+
   test("lineage rows cover all partitions and sum to the input count") {
     val result = QualityPipeline.run(SyntheticPages.fromDocuments(spark, sfDir))
     val lin = QualityPipeline.lineage(result, "full").collect()
