@@ -26,7 +26,17 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // Tokenize EXACTLY like the long form / SQL oracle, i.e. Spark's
+    // split(lower(trim(text)), "\s+"): trim strips only ' ' (not \t/\n like
+    // JVM String.trim), and split keeps leading/trailing empty tokens
+    // (Pattern.split limit -1, unlike String.split's trailing-empty drop).
+    // Crawl text with leading/trailing \t or \n must shingle identically.
+    var s = 0
+    var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    val toks = MinHashSignatures.Ws.split(
+      text.substring(s, e).toLowerCase(java.util.Locale.ROOT), -1)
     val sigs = Array.fill(k)(Long.MaxValue)
     if (toks.length >= shingleWidth) {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -64,6 +74,11 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object MinHashSignatures {
+  /** Same pattern Spark's split uses; compiled once per JVM. */
+  private[functions] val Ws = java.util.regex.Pattern.compile("\\s+")
 }
 
 object MinHashFunctions {

@@ -210,7 +210,7 @@ object RelationalQueries {
         |ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q6_union_split" ->
       """SELECT split, COUNT(*) AS n,
-        | SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_large,
+        | CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM (
         |  SELECT *, 'base' AS split FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -228,10 +228,10 @@ object RelationalQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q8_confusion" ->
       """SELECT
-        | SUM(CASE WHEN pred=1 AND actual=1 THEN 1 ELSE 0 END) AS tp,
-        | SUM(CASE WHEN pred=1 AND actual=0 THEN 1 ELSE 0 END) AS fp,
-        | SUM(CASE WHEN pred=0 AND actual=1 THEN 1 ELSE 0 END) AS fn,
-        | SUM(CASE WHEN pred=0 AND actual=0 THEN 1 ELSE 0 END) AS tn,
+        | CAST(SUM(CASE WHEN pred=1 AND actual=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        | CAST(SUM(CASE WHEN pred=1 AND actual=0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        | CAST(SUM(CASE WHEN pred=0 AND actual=1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        | CAST(SUM(CASE WHEN pred=0 AND actual=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
         | COUNT(*) AS total
         |FROM (
         |  SELECT user_id,

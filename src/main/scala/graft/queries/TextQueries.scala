@@ -75,13 +75,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // MinHash signatures (k=16, word-3-shingles, portable hash60).
+    // MinHash signatures (k=16, word-3-shingles, portable hash60) — the
+    // production per-row expression (narrow map, no explode shuffle);
+    // posexplode reshapes to the oracle's long (id, i, sig) layout. Docs with
+    // <3 tokens (all-MaxValue sentinel sigs) are dropped like the long form.
+    // Value-identity with Dedup.minhashSignatures is pinned in DedupSpec.
     "q14_minhash_sig" -> ((s, dir) =>
-      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text").orderBy("id", "i")),
+      Dedup.minhashSignaturesFast(docs(s, dir), "doc_id", "text")
+        .filter(element_at(col("sigs"), 1) =!= Long.MaxValue)
+        .select(col("id"), posexplode(col("sigs")))
+        .select(col("id"), col("pos").as("i"), col("col").as("sig"))
+        .orderBy("id", "i")),
 
-    // LSH band digests (bands of 4 rows).
+    // LSH band digests (bands of 4 rows) straight off the per-row signatures.
     "q15_lsh_bands" -> ((s, dir) =>
-      Dedup.lshBands(Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"))
+      Dedup.lshBandsFast(
+          Dedup.minhashSignaturesFast(docs(s, dir), "doc_id", "text")
+            .filter(element_at(col("sigs"), 1) =!= Long.MaxValue))
         .orderBy("id", "band")),
 
     // Near-dup candidate pairs + exact n-gram Jaccard verification
@@ -301,6 +311,51 @@ object TextQueries {
         |  FROM sh, (SELECT unnest(range(16)) AS i) GROUP BY 1,2)
         |SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS band_digest
         |FROM sig GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // Full LSH dedup pipeline end-to-end: near-dup corpus → signatures →
+    // bands → candidate self-join → exact shingle-Jaccard ≥ 0.5.
+    "q16_dup_pairs" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), shl AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |           j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u)
+        |  WHERE len(w) >= 3
+        |), sig AS (
+        |  SELECT doc_id AS id, i,
+        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |  GROUP BY 1,2
+        |), bands AS (
+        |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
+        |  FROM sig GROUP BY 1,2
+        |), pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bd = b.bd AND a.id < b.id
+        |), j AS (
+        |  SELECT p.id_a, p.id_b,
+        |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+        |  FROM pairs p JOIN shl sa ON sa.doc_id = p.id_a JOIN shl sb ON sb.doc_id = p.id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // SimHash-64 (60 hash bits): per-token ±1 bit votes, bit set iff sum > 0.
+    "q17_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, ('0x'||substr(md5(tok),1,15))::UBIGINT AS h FROM t
+        |), v AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h, (SELECT unnest(range(60)) AS b) GROUP BY 1,2)
+        |SELECT doc_id AS id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS BIGINT) AS simhash
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_embed_neardup" ->
       """WITH planted AS (
         |  SELECT vec_id + 100000 AS vec_id,

@@ -62,6 +62,25 @@ class DedupSpec extends SparkSpecBase {
     for ((k, v) <- bandsLong) assert(bandsFast(k) == v, s"band $k")
   }
 
+  test("fast minhash matches long form on text with leading/trailing \\t \\n (crawl whitespace)") {
+    // Spark trim strips only ' '; split keeps leading/trailing empty tokens.
+    // The per-row expression must shingle these exactly like the long form.
+    val tricky = Seq(
+      (1L, "\tthe quick brown fox jumps over the dog\n"),
+      (2L, "  the quick brown fox jumps over the dog  "),
+      (3L, "\n\nalpha beta gamma delta\t"),
+      (4L, "one\ttwo\nthree four five"),
+      (5L, " \t mixed   inner\t\twhitespace runs here \n ")
+    ).toDF("doc_id", "text")
+    val fast = Dedup.minhashSignaturesFast(tricky, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val long = Dedup.minhashSignatures(tricky, "doc_id", "text").collect()
+      .groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("i")).map(_.getAs[Long]("sig")).toSeq).toMap
+    assert(long.keySet == fast.keySet)
+    for ((id, s) <- long) assert(fast(id) == s, s"doc $id diverges on whitespace tokenization")
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val base = docs.filter($"doc_id" === 0)
     val mutated = base.select(lit(1L).as("doc_id"),

@@ -35,6 +35,11 @@ for name, sql in sorted(oracles.items()):
     bad = None
     for c in exp.columns:
         ev, gv = exp[c], got[c]
+        # Dtype-strict: the driver's hash is dtype-sensitive, so an int64
+        # Spark column vs a HUGEINT/float64 oracle column must FAIL here too.
+        if ev.dtype.kind != gv.dtype.kind:
+            bad = f"col {c}: dtype kind differs: oracle={ev.dtype} spark={gv.dtype}"
+            break
         if ev.dtype.kind == 'f' or gv.dtype.kind == 'f':
             diff = ~((ev.isna() & gv.isna()) | (abs(ev - gv) <= 0))
         else:
