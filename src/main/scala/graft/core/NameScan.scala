@@ -35,9 +35,13 @@ object NameScan {
     "대리업무자", "피청구인", "원고", "피고", "채권자", "채무자", "임차인", "임대인",
     "수하인", "송하인").distinct
 
-  /** `\s` under UNICODE_CHARACTER_CLASS = Unicode White_Space property. */
+  /** CPython `re.\s`: Unicode White_Space property PLUS the bidi control
+    * chars U+001C-U+001F that CPython counts as whitespace (Java's
+    * UNICODE_CHARACTER_CLASS `\s` excludes them; the compiled patterns add
+    * them back via PiiPatterns.pyWs — this scanner must agree). */
   @inline private def isWs(c: Char): Boolean =
     (c >= '\u0009' && c <= '\u000D') || c == ' ' || c == '\u0085' ||
+    (c >= '\u001C' && c <= '\u001F') ||
     c == '\u00A0' || c == '\u1680' || (c >= '\u2000' && c <= '\u200A') ||
     c == '\u2028' || c == '\u2029' || c == '\u202F' || c == '\u205F' || c == '\u3000'
 

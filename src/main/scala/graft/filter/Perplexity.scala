@@ -66,7 +66,8 @@ object BigramLM {
 
   /** Fit from a corpus of texts. Distributed counting; only the capped
     * vocab/bigram tables come back to the driver. */
-  def fit(texts: Dataset[String], maxVocab: Int = 1 << 16, discount: Double = 0.75): BigramLM = {
+  def fit(texts: Dataset[String], maxVocab: Int = 1 << 16, discount: Double = 0.75,
+          maxBigrams: Int = 1 << 20): BigramLM = {
     val spark: SparkSession = texts.sparkSession
     import spark.implicits._
 
@@ -76,10 +77,15 @@ object BigramLM {
     val vocab = topVocab.map(_._1).toSet
     val vb = spark.sparkContext.broadcast(vocab)
 
+    // Bigram TYPES over the vocab can reach maxVocab² on diverse corpora —
+    // far past driver memory. Cap like the vocab: keep the most frequent
+    // maxBigrams (deterministic tie-break), which carry nearly all the
+    // probability mass; the long tail folds into the KN back-off.
     val bigrams = texts.flatMap { t =>
       val ts = tokenize(t).map(w => if (vb.value.contains(w)) w else "<unk>")
       ts.sliding(2).collect { case Array(a, b) => (a, b) }
     }.groupBy("_1", "_2").count()
+      .orderBy(desc("count"), asc("_1"), asc("_2")).limit(maxBigrams)
       .as[(String, String, Long)].collect()
 
     val uni = topVocab.toMap

@@ -67,11 +67,17 @@ object Dedup {
 
   /** Candidate pairs: self-join on (band, digest), id_a < id_b, distinct.
     * Scale: the join key is a digest — uniformly distributed; identical-doc
-    * floods (one digest with huge multiplicity) are the skew case, handled
-    * by AQE skew-join plus an optional per-bucket cap upstream. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_digest"), col("id").as("id_a"))
-    val b = bands.select(col("band"), col("band_digest"), col("id").as("id_b"))
+    * floods (one digest with huge multiplicity) would square into pair
+    * blowup, so (band, digest) buckets larger than `maxBucket` are dropped
+    * before the self-join: a bucket that large is an exact-duplicate flood
+    * by construction, and exact dedup (`exactGroups`) owns that case. The
+    * cap costs one window pass on the same key the join shuffles on. */
+  def candidatePairs(bands: DataFrame, maxBucket: Int = 4096): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_digest")
+    val capped = bands.withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val a = capped.select(col("band"), col("band_digest"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("band_digest"), col("id").as("id_b"))
     a.join(b, Seq("band", "band_digest"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

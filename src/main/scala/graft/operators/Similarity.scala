@@ -128,6 +128,46 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** All-pairs near-duplicate search at a cosine threshold — scale-safe:
+    * multi-table sign-LSH candidate generation (OR-construction over
+    * `nTables` tables of `nPlanes` hyperplanes each) + exact cosine verify on
+    * candidates only. No cartesian product anywhere: the candidate step is an
+    * equi-self-join on (table, bucket), the verify step joins embeddings back
+    * by id.
+    *
+    * Recall: identical-direction vectors (exact/scaled duplicates) share
+    * every table's bucket deterministically → always found. For threshold t,
+    * a pair at angle θ = arccos(t) is missed with probability
+    * (1 − (1−θ/π)^nPlanes)^nTables — at t=0.99 with 12 planes × 8 tables
+    * that is ~1e-3 per pair. Per-(table, bucket) membership above
+    * `maxBucket` is dropped before the self-join (flood guard: a bucket that
+    * large is an exact-duplicate flood, which is exact-dedup's job). */
+  def neardupPairs(vectors: DataFrame, threshold: Double, dim: Int,
+                   nTables: Int = 8, nPlanes: Int = 12,
+                   maxBucket: Int = 4096): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        lshBucket(col("embedding"), hyperplanes(nPlanes, dim, seed = 1000L + t)).as("bucket"))
+    }
+    val bucketed = vectors
+      .select(col("vec_id").as("id"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val w = Window.partitionBy("t", "bucket")
+    val capped = bucketed.withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val pairs = capped.select(col("t"), col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("t"), col("bucket"), col("id").as("id_b")), Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val e = vectors.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** ANN via sign-LSH: score only same-bucket candidates. Recall < 1 by
     * construction; nProbes>1 would add neighboring buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -23,7 +23,7 @@ object PipelineMain {
 
     val result = QualityPipeline.checkpointStage(spark,
       QualityPipeline.run(SyntheticPages.fromDocuments(spark, sfDir)),
-      outDir, "scored")
+      outDir, "scored", QualityPipeline.inputFingerprint(sfDir))
 
     // kept pages → partitioned lake (the pipeline's product)
     PageLake.write(

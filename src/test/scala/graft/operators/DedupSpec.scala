@@ -95,6 +95,42 @@ class DedupSpec extends SparkSpecBase {
     assert(hamming(sh(0L), sh(1L)) <= 8)
   }
 
+  test("candidate-pair flood cap: 1k identical docs produce zero pairs, not 500k") {
+    // An identical-doc flood puts every copy in the same (band, digest)
+    // bucket; without the cap the self-join squares it (1000 copies →
+    // ~499,500 pairs per band). The cap drops the bucket — exact-duplicate
+    // floods are exactGroups' job.
+    val flood = (0L until 1000L).map(i =>
+      (i, "the same exact boilerplate text repeated verbatim on every page"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBandsFast(Dedup.minhashSignaturesFast(flood, "doc_id", "text"))
+    assert(Dedup.candidatePairs(bands, maxBucket = 64).count() == 0L)
+    // a small planted near-dup pair alongside the flood still surfaces
+    val two = docs.filter($"doc_id" < 2).unionByName(flood)
+    val bands2 = Dedup.lshBandsFast(Dedup.minhashSignaturesFast(
+      two.unionByName(docs.filter($"doc_id" < 2)
+        .select(($"doc_id" + 5000L).as("doc_id"), $"text")), "doc_id", "text"))
+    val pairs2 = Dedup.candidatePairs(bands2, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2.contains((0L, 5000L)) && pairs2.contains((1L, 5001L)))
+  }
+
+  test("neardupPairs: planted scaled duplicates all found, plan has no cartesian product") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val planted = e.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val all = e.unionByName(planted)
+    val res = Similarity.neardupPairs(all, threshold = 0.99, dim = 64)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "near-dup search must not be all-pairs")
+    val pairs = res.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = e.filter($"vec_id" % 20 === 0).collect()
+      .map(_.getAs[Long]("vec_id")).map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${expected -- pairs}")
+  }
+
   test("brute-force cosine top-k: self is rank 1 with sim 1.0") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val top = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 3), 5)

@@ -46,6 +46,29 @@ class PipelineSpec extends SparkSpecBase {
     assert(java.nio.file.Files.exists(marker))
   }
 
+  test("content-addressed resume: changed input re-executes the stage, same input skips") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("ckpt-in").toString
+    val out = java.nio.file.Files.createTempDirectory("ckpt-fp").toString
+    Seq((1L, "v1")).toDF("id", "v").write.mode("overwrite").parquet(in)
+    var runs = 0
+    def stage = { runs += 1; spark.read.parquet(in) }
+    val fp1 = QualityPipeline.inputFingerprint(in)
+    QualityPipeline.checkpointStage(spark, stage, out, "s", fp1).count()
+    assert(runs == 1)
+    // same input + same fingerprint → resume, no recompute
+    QualityPipeline.checkpointStage(spark, stage, out, "s", fp1).count()
+    assert(runs == 1)
+    // input changes → fingerprint changes → stage must re-execute
+    Thread.sleep(5) // ensure mtime moves even on coarse filesystem clocks
+    Seq((1L, "v2"), (2L, "v2")).toDF("id", "v").write.mode("overwrite").parquet(in)
+    val fp2 = QualityPipeline.inputFingerprint(in)
+    assert(fp2 != fp1)
+    val refreshed = QualityPipeline.checkpointStage(spark, stage, out, "s", fp2)
+    assert(runs == 2, "stale marker served despite changed input")
+    assert(refreshed.count() == 2)
+  }
+
   test("partial checkpoint (no _SUCCESS marker) is recomputed, not trusted") {
     val out = java.nio.file.Files.createTempDirectory("ckpt-partial").toString
     val stageDir = java.nio.file.Paths.get(out, "stage=final")

@@ -30,6 +30,23 @@ class PageLakeSpec extends SparkSpecBase {
     assert(dirs.length >= 2, s"expected multiple date partitions, got ${dirs.toSeq}")
   }
 
+  test("single-date input with many url buckets writes in parallel (>1 file per day)") {
+    // date-only repartition would funnel a whole day through one write task;
+    // (crawl_date, url_bucket) must fan a single date out across writers.
+    val d = java.nio.file.Files.createTempDirectory("pagelake1d").toString
+    // disable AQE's small-partition coalescing: at fixture scale it folds the
+    // (date, bucket) shuffle back to 1 partition; at real scale the same plan
+    // keeps ~Buckets writers per day (partitions stay above the target size)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try PageLake.write(SyntheticPages.fromDocuments(spark, sfDir), d) // one warc_ts day
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val dateDirs = new java.io.File(d).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("crawl_date="))
+    assert(dateDirs.length == 1, s"fixture should be single-date, got ${dateDirs.toSeq}")
+    val parts = dateDirs.head.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts > 1, s"one write task for an entire day: $parts file(s)")
+  }
+
   test("date filter prunes partitions at the scan") {
     val day = PageLake.read(spark, lakeDir)
       .select(col("crawl_date").cast("string")).distinct().orderBy("crawl_date")

@@ -36,19 +36,46 @@ class EventStreamSpec extends SparkSpecBase {
     assert(s.subsetOf(b), "streamed rows must be a subset of batch rows")
   }
 
-  test("stateful sessionization groups per user with correct counts") {
-    val evs = spark.read.parquet(eventsPath)
-      .select($"user_id", $"ts", $"value").as[EventStream.Ev]
-    val sessions = EventStream.sessionize(evs).collect()
-    val expected = spark.read.parquet(eventsPath)
-      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("v"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(sessions.length == expected.size)
-    for (s <- sessions) {
-      val (n, v) = expected(s.userId)
-      assert(s.nEvents == n, s"user ${s.userId}")
-      assert(math.abs(s.totalValue - v) < 1e-6)
-      assert(s.firstTs <= s.lastTs)
+  test("sessionize splits on the inactivity gap and times out idle sessions") {
+    // keep clear of epoch 0: the initial watermark is 0 and rows at/below
+    // the watermark are dropped as late
+    def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+    val gapMs = 60 * 1000L // 60s gap for the test
+    // user 1: three sessions — [0,10,20], [200,210], [500] (gaps > 60s between)
+    // user 2: a late high-ts event pushes the watermark far past user 1's
+    //         open-session timeout so the trailing [500] session gets emitted
+    val batch1 = Seq(
+      EventStream.Ev(1L, ts(0), 1.0), EventStream.Ev(1L, ts(10), 2.0),
+      EventStream.Ev(1L, ts(20), 3.0),
+      EventStream.Ev(1L, ts(200), 4.0), EventStream.Ev(1L, ts(210), 5.0),
+      EventStream.Ev(1L, ts(500), 6.0),
+      EventStream.Ev(2L, ts(10000), 9.0))
+    val batch2 = Seq(EventStream.Ev(2L, ts(10005), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("sess-stream")
+    def stage(evs: Seq[EventStream.Ev], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"sess-$name")
+      evs.toDF("user_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(s"$name.parquet"))
     }
+    stage(batch1, "a")
+    Thread.sleep(1100) // file source orders batches by mod time (second granularity)
+    stage(batch2, "b")
+    val src = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1) // two micro-batches → watermark advances
+      .parquet(dir.toString).as[EventStream.Ev]
+    val out = EventStream.runOnce(spark,
+      EventStream.sessionize(src, gapMs, watermarkDelay = "10 seconds").toDF(),
+      "sessions", OutputMode.Append())
+    val sessions = out.as[EventStream.Session].collect()
+      .map(s => (s.userId, s.nEvents, s.firstTs / 1000 - 100000L,
+        s.lastTs / 1000 - 100000L, s.totalValue)).toSet
+    // gap-split sessions emitted in-batch; trailing [500] emitted via timeout
+    assert(sessions == Set(
+      (1L, 3L, 0L, 20L, 6.0),
+      (1L, 2L, 200L, 210L, 9.0),
+      (1L, 1L, 500L, 500L, 6.0)), s"got $sessions")
   }
 }
