@@ -9,9 +9,10 @@ import scala.util.hashing.MurmurHash3
   * The model is a plain serializable value: build once on the driver,
   * `sparkContext.broadcast` it, and score inside a map/expression — the
   * weights are read-only on executors (the broadcast-linear-classifier
-  * pattern). The built-in default model is hand-initialized from published
-  * character-trigram frequency tables for 6 Latin-script languages; a model
-  * trained elsewhere can be loaded into the same struct.
+  * pattern). The built-in default model is fitted (naive-Bayes log-odds)
+  * from a small built-in seed corpus covering 6 Latin-script languages and
+  * gated at ≥95% held-out accuracy (LangIdAccuracySpec); a model trained on
+  * a larger corpus loads into the same struct.
   */
 final case class LangIdModel(
     dim: Int,
@@ -87,41 +88,136 @@ final case class LangIdModel(
 
 object LangIdModel {
 
-  /** Hand-initialized profiles: highest-frequency character trigrams/bigrams
-    * (with word-boundary spaces) per language, strongest first. Public
-    * frequency knowledge; weights decay with rank. */
-  private val profiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", " of", "of ",
-      " to", "to ", " in", "ion", "tio", "ent", "er ", "ed ", " is", "is ",
-      "at ", "es ", " re", "on ", " be", "th", "he", "in", "er", "an", "re", "on"),
-    "de" -> Seq("der", "ein", "ich", "sch", "die", "und", "ung", "cht", "ver", "gen",
-      " de", " di", " un", "ten", "das", " da", "ber", "auf", "ie ", "en ",
-      "ch ", "nd ", "ng ", "as ", "er ", "ei", "ch", "de", "un", "ie", "st", "ge"),
-    "fr" -> Seq(" de", "de ", "le ", " le", "ent", "la ", " la", "ion", "que", " qu",
-      "ue ", "les", "ais", "eur", "our", "ous", "ait", "ant", " pa", "men",
-      "es ", "nt ", "on ", "re ", " et", "et ", "qu", "ou", "ai", "eu", "le", "de"),
-    "es" -> Seq(" de", "de ", "la ", " la", "el ", " el", "que", " qu", "ue ", " en",
-      "ció", "aci", "ent", "los", " lo", "del", "con", " co", "nte", "ado",
-      "os ", "as ", "es ", "ar ", "en ", " es", "ón ", "ci", "ón", "ña", "ll", "rr"),
-    "it" -> Seq(" di", "di ", "che", " ch", "zio", "ion", "one", "ell", "lla", "per",
-      " pe", "non", " no", "del", " de", "ato", "are", "ere", "nte", "con",
-      "to ", "re ", "la ", "il ", " il", "gli", " gl", "zz", "gl", "tt", "cc", "ia"),
-    "pt" -> Seq(" de", "de ", "ão ", "ção", "açã", "ent", "que", " qu", "ue ", " da",
-      "da ", " do", "do ", " em", "em ", "ara", " pa", "par", "com", " co",
-      "os ", "as ", "res", "ções", "nh", "ão", "çã", "lh", "ss", "em", "do", "da"))
-
-  val defaultLangs: IndexedSeq[String] = profiles.map(_._1).toIndexedSeq
-
-  /** Default hand-initialized model (2^14 buckets). */
-  lazy val default: LangIdModel = {
-    val dim = 1 << 14
-    val langs = defaultLangs
-    val w = new Array[Float](dim * langs.length)
-    for (((_, grams), li) <- profiles.zipWithIndex; (g, rank) <- grams.zipWithIndex) {
-      val weight = (1.0 / math.sqrt(rank + 1.0)).toFloat
-      val b = java.lang.Math.floorMod(MurmurHash3.stringHash(g, 42), dim)
-      w(b * langs.length + li) += weight
+  /** Fit a hashed char-2/3-gram naive-Bayes model from labeled samples:
+    * weight(bucket, lang) = centered log P(gram | lang) with add-α smoothing,
+    * so classify()'s weight-sum is a log-likelihood contest and the softmax
+    * confidence stays calibrated. This is the same estimator fastText's
+    * supervised mode reduces to for a bag-of-hashed-ngrams linear model. */
+  def fit(samples: Seq[(String, String)], dim: Int = 1 << 14): LangIdModel = {
+    val langs = samples.map(_._1).distinct.sorted.toIndexedSeq
+    val nl = langs.length
+    val counts = Array.fill(nl)(new Array[Double](dim))
+    val totals = new Array[Double](nl)
+    for ((lang, text) <- samples) {
+      val li = langs.indexOf(lang)
+      val padded = " " + text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ") + " "
+      var n = 2
+      while (n <= 3) {
+        var j = 0
+        val max = padded.length - n
+        while (j <= max) {
+          val b = java.lang.Math.floorMod(
+            MurmurHash3.stringHash(padded.substring(j, j + n), 42), dim)
+          counts(li)(b) += 1
+          totals(li) += 1
+          j += 1
+        }
+        n += 1
+      }
+    }
+    val alpha = 0.5
+    val w = new Array[Float](dim * nl)
+    var b = 0
+    while (b < dim) {
+      var mean = 0.0
+      var l = 0
+      while (l < nl) {
+        mean += math.log((counts(l)(b) + alpha) / (totals(l) + alpha * dim))
+        l += 1
+      }
+      mean /= nl
+      l = 0
+      while (l < nl) {
+        val lp = math.log((counts(l)(b) + alpha) / (totals(l) + alpha * dim))
+        w(b * nl + l) = (lp - mean).toFloat
+        l += 1
+      }
+      b += 1
     }
     LangIdModel(dim, langs, w)
   }
+
+  /** Built-in seed corpus: a dozen generic sentences per Latin-script
+    * language (ordinary public prose — news/weather/travel/cooking register,
+    * written for this table). DISTINCT from the held-out sentences in
+    * LangIdAccuracySpec, which gate the fitted model at >=95%. */
+  private val seedCorpus: Seq[(String, String)] = Seq(
+    "en" -> "it was raining heavily when we finally reached the old wooden cabin",
+    "en" -> "many people believe that regular exercise improves both health and mood",
+    "en" -> "the museum opens every morning at nine except on public holidays",
+    "en" -> "add two cups of flour and stir the mixture until it becomes smooth",
+    "en" -> "our neighbors moved to another city because of a new job offer",
+    "en" -> "the football match was cancelled due to the heavy snowfall last night",
+    "en" -> "economists expect prices to rise slowly over the coming months",
+    "en" -> "he spent the whole summer repairing the roof of his grandmother's house",
+    "en" -> "students should submit their assignments before the end of the month",
+    "en" -> "a gentle breeze came through the open window carrying the smell of rain",
+    "en" -> "the company plans to open three new factories in the region next year",
+    "en" -> "could you tell me where the nearest railway station is located",
+    "de" -> "es regnete stark als wir endlich die alte holzhütte erreichten",
+    "de" -> "viele menschen glauben dass regelmäßige bewegung gesundheit und stimmung verbessert",
+    "de" -> "das museum öffnet jeden morgen um neun außer an feiertagen",
+    "de" -> "geben sie zwei tassen mehl hinzu und rühren sie die mischung glatt",
+    "de" -> "unsere nachbarn sind wegen eines neuen jobangebots in eine andere stadt gezogen",
+    "de" -> "das fußballspiel wurde wegen des starken schneefalls gestern abend abgesagt",
+    "de" -> "ökonomen erwarten dass die preise in den kommenden monaten langsam steigen",
+    "de" -> "er verbrachte den ganzen sommer damit das dach des hauses seiner großmutter zu reparieren",
+    "de" -> "die studenten sollen ihre arbeiten vor dem ende des monats einreichen",
+    "de" -> "eine sanfte brise kam durch das offene fenster und brachte den geruch von regen",
+    "de" -> "das unternehmen plant nächstes jahr drei neue fabriken in der region zu eröffnen",
+    "de" -> "können sie mir sagen wo sich der nächste bahnhof befindet",
+    "fr" -> "il pleuvait fort quand nous avons enfin atteint la vieille cabane en bois",
+    "fr" -> "beaucoup de gens pensent que l'exercice régulier améliore la santé et l'humeur",
+    "fr" -> "le musée ouvre tous les matins à neuf heures sauf les jours fériés",
+    "fr" -> "ajoutez deux tasses de farine et remuez le mélange jusqu'à ce qu'il soit lisse",
+    "fr" -> "nos voisins ont déménagé dans une autre ville à cause d'une nouvelle offre d'emploi",
+    "fr" -> "le match de football a été annulé en raison des fortes chutes de neige",
+    "fr" -> "les économistes s'attendent à ce que les prix augmentent lentement dans les mois à venir",
+    "fr" -> "il a passé tout l'été à réparer le toit de la maison de sa grand-mère",
+    "fr" -> "les étudiants doivent remettre leurs devoirs avant la fin du mois",
+    "fr" -> "une brise légère entrait par la fenêtre ouverte apportant l'odeur de la pluie",
+    "fr" -> "l'entreprise prévoit d'ouvrir trois nouvelles usines dans la région l'année prochaine",
+    "fr" -> "pouvez-vous me dire où se trouve la gare la plus proche",
+    "es" -> "llovía mucho cuando por fin llegamos a la vieja cabaña de madera",
+    "es" -> "mucha gente cree que el ejercicio regular mejora la salud y el ánimo",
+    "es" -> "el museo abre todas las mañanas a las nueve excepto los días festivos",
+    "es" -> "añade dos tazas de harina y remueve la mezcla hasta que quede suave",
+    "es" -> "nuestros vecinos se mudaron a otra ciudad por una nueva oferta de trabajo",
+    "es" -> "el partido de fútbol fue cancelado debido a la fuerte nevada de anoche",
+    "es" -> "los economistas esperan que los precios suban lentamente en los próximos meses",
+    "es" -> "pasó todo el verano reparando el techo de la casa de su abuela",
+    "es" -> "los estudiantes deben entregar sus trabajos antes de que termine el mes",
+    "es" -> "una brisa suave entraba por la ventana abierta trayendo el olor de la lluvia",
+    "es" -> "la empresa planea abrir tres nuevas fábricas en la región el próximo año",
+    "es" -> "puede decirme dónde está la estación de tren más cercana",
+    "it" -> "pioveva forte quando finalmente abbiamo raggiunto la vecchia baita di legno",
+    "it" -> "molte persone credono che l'esercizio regolare migliori la salute e l'umore",
+    "it" -> "il museo apre ogni mattina alle nove tranne nei giorni festivi",
+    "it" -> "aggiungi due tazze di farina e mescola il composto finché non diventa liscio",
+    "it" -> "i nostri vicini si sono trasferiti in un'altra città per una nuova offerta di lavoro",
+    "it" -> "la partita di calcio è stata annullata a causa della forte nevicata di ieri sera",
+    "it" -> "gli economisti si aspettano che i prezzi salgano lentamente nei prossimi mesi",
+    "it" -> "ha passato tutta l'estate a riparare il tetto della casa di sua nonna",
+    "it" -> "gli studenti devono consegnare i compiti prima della fine del mese",
+    "it" -> "una brezza leggera entrava dalla finestra aperta portando l'odore della pioggia",
+    "it" -> "l'azienda prevede di aprire tre nuove fabbriche nella regione l'anno prossimo",
+    "it" -> "può dirmi dove si trova la stazione ferroviaria più vicina",
+    "pt" -> "chovia muito quando finalmente chegamos à velha cabana de madeira",
+    "pt" -> "muitas pessoas acreditam que o exercício regular melhora a saúde e o humor",
+    "pt" -> "o museu abre todas as manhãs às nove exceto nos feriados",
+    "pt" -> "adicione duas xícaras de farinha e mexa a mistura até ficar homogênea",
+    "pt" -> "nossos vizinhos se mudaram para outra cidade por causa de uma nova oferta de emprego",
+    "pt" -> "o jogo de futebol foi cancelado devido à forte nevasca de ontem à noite",
+    "pt" -> "os economistas esperam que os preços subam lentamente nos próximos meses",
+    "pt" -> "ele passou o verão inteiro consertando o telhado da casa de sua avó",
+    "pt" -> "os estudantes devem entregar seus trabalhos antes do fim do mês",
+    "pt" -> "uma brisa suave entrava pela janela aberta trazendo o cheiro da chuva",
+    "pt" -> "a empresa planeja abrir três novas fábricas na região no próximo ano",
+    "pt" -> "pode me dizer onde fica a estação de trem mais próxima")
+
+  val defaultLangs: IndexedSeq[String] = seedCorpus.map(_._1).distinct.sorted.toIndexedSeq
+
+  /** Default model: fitted naive-Bayes log-odds over the seed corpus
+    * (2^14 buckets). Gated at >=95% held-out accuracy by LangIdAccuracySpec. */
+  lazy val default: LangIdModel = fit(seedCorpus)
 }
