@@ -6,10 +6,12 @@ import graft.core.PiiCategories
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-/** Markdown benchmark-report sink (the engine-side analog of the reference's
-  * generate_report.py HTML output, S7): renders the regex evaluation, the
-  * base/advanced splits, and — when stored LLM results are available — the
-  * hybrid method comparison, into one report file.
+/** Report sinks (S7): markdown + self-contained HTML (HtmlReport — the
+  * analog of the reference's generate_report.py/generate_charts.py, with
+  * inline-SVG charts instead of matplotlib). Renders the regex evaluation,
+  * the base/advanced splits, and — when stored LLM results are available —
+  * the hybrid method comparison. The HTML lands next to the markdown file
+  * with an .html extension.
   *
   * Usage: ReportMain [corpus.json] [out.md] [llm_results.json]
   */
@@ -49,16 +51,22 @@ object ReportMain {
       summary.worstCases.foreach { case (id, f1) => sb ++= f"- $id (F1 $f1%.4f)\n" }
     }
 
-    if (Files.exists(Paths.get(llmPath))) {
-      val llm = EvalHarness.loadStoredResults(spark, llmPath)
-      val hybrid = HybridEval.summarize(HybridEval.methodCases(corpus, llm))
+    val hybrid: Map[String, HybridEval.MethodSummary] =
+      if (Files.exists(Paths.get(llmPath))) {
+        val llm = EvalHarness.loadStoredResults(spark, llmPath)
+        HybridEval.summarize(HybridEval.methodCases(corpus, llm))
+      } else Map.empty
+    if (hybrid.nonEmpty) {
       sb ++= "\n## Hybrid method comparison\n\n| method | TP | FP | FN | P% | R% | F1% | perfect |\n|---|---|---|---|---|---|---|---|\n"
       for (m <- Seq("llm", "regex", "hybrid", "smart"); s <- hybrid.get(m))
         sb ++= s"| $m | ${s.tp} | ${s.fp} | ${s.fn} | ${s.precision} | ${s.recall} | ${s.f1} | ${s.perfect}/${s.total} |\n"
     }
 
     Files.write(Paths.get(outPath), sb.toString.getBytes(StandardCharsets.UTF_8))
-    println(s"report: $outPath")
+    val htmlPath = outPath.replaceAll("\\.md$", "") + ".html"
+    Files.write(Paths.get(htmlPath),
+      HtmlReport.render(corpusPath, summary, splits, hybrid).getBytes(StandardCharsets.UTF_8))
+    println(s"report: $outPath + $htmlPath")
     spark.stop()
   }
 }

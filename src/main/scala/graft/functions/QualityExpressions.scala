@@ -97,18 +97,24 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
       hashes(i) = h
       i += 1
     }
-    // winnow: rightmost min per window of w
+    // winnow: rightmost min per window of w — monotonic deque, O(n) total
+    // (popping with >= makes the newer of equal hashes win ⇒ rightmost min,
+    // same selection as a left-to-right <= scan)
     val out = new java.util.TreeSet[java.lang.Long]()
-    var start = 0
-    while (start + w <= n) {
-      var minIdx = start
-      var j = start + 1
-      while (j < start + w) {
-        if (hashes(j) <= hashes(minIdx)) minIdx = j
-        j += 1
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < n) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      val start = j - w + 1
+      if (start >= 0) {
+        while (deque(head) < start) head += 1
+        out.add(hashes(deque(head)))
       }
-      out.add(hashes(minIdx))
-      start += 1
+      j += 1
     }
     if (out.isEmpty && n > 0) out.add(hashes.min)
     val arr = new Array[Long](out.size)

@@ -145,13 +145,13 @@ object Similarity {
   def neardupPairs(vectors: DataFrame, threshold: Double, dim: Int,
                    nTables: Int = 8, nPlanes: Int = 12,
                    maxBucket: Int = 4096): DataFrame = {
-    val tables = (0 until nTables).map { t =>
-      struct(lit(t).as("t"),
-        lshBucket(col("embedding"), hyperplanes(nPlanes, dim, seed = 1000L + t)).as("bucket"))
-    }
+    // one-pass fused expression for all nTables×nPlanes dot products
+    // (value-identical to composing lshBucket per table — DedupSpec)
     val bucketed = vectors
-      .select(col("vec_id").as("id"), explode(array(tables: _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id").as("id"),
+        posexplode(graft.functions.SignLshFunctions
+          .sign_lsh_buckets(col("embedding"), nTables, nPlanes, dim)))
+      .select(col("id"), col("pos").as("t"), col("col").as("bucket"))
     val w = Window.partitionBy("t", "bucket")
     val capped = bucketed.withColumn("_n", count(lit(1)).over(w))
       .filter(col("_n") <= maxBucket).drop("_n")

@@ -51,4 +51,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("n_chars") && !p.contains("source"),
       "documents scan must prune unused columns")
   }
+
+  test("q14: per-row minhash path — no hash-partition shuffle before the signatures") {
+    val p = executedPlan("q14_minhash_sig")
+    // one round-robin repartition of the 1-file fixture + the final sort's
+    // range exchange are fine; a hashpartitioning exchange would mean the
+    // long-form explode+groupBy crept back into the production path
+    val idx = p.indexOf("== Initial Plan ==")
+    val finalSection = if (idx >= 0) p.substring(0, idx) else p
+    assert(!finalSection.contains("Exchange hashpartitioning"),
+      s"q14 must be a narrow map (no agg shuffle):\n$finalSection")
+    assert(finalSection.contains("minhash_sigs"), "per-row expression missing")
+  }
+
+  test("q29: near-dup search has no cartesian product and no nested-loop join") {
+    val p = executedPlan("q29_embed_neardup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs plan regressed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs plan regressed:\n$p")
+  }
 }

@@ -115,6 +115,20 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs2.contains((0L, 5000L)) && pairs2.contains((1L, 5001L)))
   }
 
+  test("sign_lsh_buckets expression is value-identical to composed per-table lshBucket columns") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").limit(50)
+    val (nTables, nPlanes, dim) = (8, 12, 64)
+    val fused = e.select($"vec_id",
+        graft.functions.SignLshFunctions.sign_lsh_buckets($"embedding", nTables, nPlanes, dim))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = e.select($"vec_id" +: (0 until nTables).map(t =>
+        Similarity.lshBucket($"embedding",
+          Similarity.hyperplanes(nPlanes, dim, 1000L + t)).as(s"b$t")): _*)
+      .collect().map(r => r.getLong(0) -> (0 until nTables).map(t => r.getLong(t + 1))).toMap
+    for ((id, buckets) <- composed) assert(fused(id) == buckets, s"vec $id")
+  }
+
   test("neardupPairs: planted scaled duplicates all found, plan has no cartesian product") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     val planted = e.filter($"vec_id" % 20 === 0)
