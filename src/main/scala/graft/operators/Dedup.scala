@@ -98,6 +98,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: count word-`width`-shingles each corpus doc
+    * shares with any benchmark passage (docs over a threshold are dropped
+    * from training data so eval numbers stay honest).
+    *
+    * Scale: the benchmark shingle set is small by nature (benchmarks are
+    * MBs, corpora are TBs) → broadcast it; the corpus side is a narrow
+    * explode + broadcast semi-join, then one groupBy on the uniform doc id.
+    * Corpus shingle sets are distinct per doc (TF.shingles), so the count is
+    * "distinct contaminated shingles". */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, width: Int = 3): DataFrame = {
+    val benchShingles = bench
+      .select(explode(TF.shingles(col(textCol), width)).as("s")).distinct()
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        explode(TF.shingles(col(textCol), width)).as("s"))
+      .join(broadcast(benchShingles), "s")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** SimHash-64: per token-hash bit voting — near-identical docs land on
     * digests within small Hamming distance. Pure column algebra: for each of
     * 64 bits, sum ±1 votes across token hashes; bit set iff the sum > 0. */

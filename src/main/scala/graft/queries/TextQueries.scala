@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.functions.{PiiFunctions, QualityFunctions, TextFunctions => TF}
-import graft.operators.{Dedup, Similarity}
+import graft.functions.{PiiFunctions, QualityFunctions, UrlFunctions, TextFunctions => TF}
+import graft.operators.{Dedup, Sampling, Similarity}
 import graft.pipeline.{QualityPipeline, SyntheticPages}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,6 +22,11 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
       .repartition(s.sparkContext.defaultParallelism * 2)
+  /** No-repartition variant for queries whose per-row work is trivial
+    * (filter/projection only): the fixture's 1-split scan is fine there, and
+    * at real scale a shuffle ahead of a selective filter just doubles I/O. */
+  private def rawDocs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -34,6 +39,18 @@ object TextQueries {
         array_join(slice(TF.tokens(col("text")), 3, 1000000), " ").as("text"))
     d.unionByName(mutated)
   }
+
+  /** Deterministic messy URL per doc — exercises every canonicalization
+    * rule (scheme/host case, www, default port, tracking params, fragment);
+    * mirrored verbatim in the q36 oracle SQL. */
+  private def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    when(id % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+    lit("Site-"), (id % 40).cast("string"), lit(".Example.COM"),
+    when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+    lit("/Articles/"), id.cast("string"),
+    when(id % 3 === 0, lit("?utm_source=news&utm_medium=email&id=")).otherwise(lit("?id=")),
+    id.cast("string"),
+    when(id % 5 === 0, lit("&ref=homepage#section-2")).otherwise(lit("")))
 
   val fns: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup over documents ∪ exact copies of every 25th doc.
@@ -248,6 +265,38 @@ object TextQueries {
         .orderBy("host")
     }),
 
+    // URL canonicalization over deterministic messy URLs (case noise, www,
+    // default ports, tracking params, fragments) — the dominant crawl
+    // duplicate class is the same page under different URL decorations.
+    "q36_url_canon" -> ((s, dir) => {
+      val url = synthUrl(col("doc_id"))
+      rawDocs(s, dir).select(col("doc_id"),
+          UrlFunctions.canonicalizeUrl(url).as("url_canon"),
+          UrlFunctions.hostOf(url).as("host"),
+          UrlFunctions.domainOf(url).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling: downsample the dominant language,
+    // keep the tail at a higher rate. Hash-of-key selection is stable under
+    // any partition layout (unlike sample/sampleBy) and SQL-portable.
+    "q37_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(rawDocs(s, dir).select("doc_id", "lang"),
+          col("lang"), col("doc_id"), Map("en" -> 0.2), default = 0.5, salt = "s1")
+        .orderBy("doc_id")),
+
+    // Benchmark decontamination: corpus docs sharing ≥5 word-3-shingles with
+    // a benchmark set (here: 15-token passages lifted from every 10th doc,
+    // so contamination is planted and the gate is non-trivial).
+    "q38_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 10 === 0)
+        .select(array_join(slice(TF.tokens(col("text")), 1, 15), " ").as("text"))
+      Dedup.decontaminate(d, bench, "doc_id", "text")
+        .filter(col("n_hits") >= 5)
+        .orderBy("id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -390,6 +439,59 @@ object TextQueries {
         | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same construction + regex pipeline as UrlFunctions (RE2-safe, 'g'
+    // where multiple matches are possible; Spark regexp_replace is global).
+    "q36_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+        |    || 'Site-' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/Articles/' || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&utm_medium=email&id=' ELSE '?id=' END)
+        |    || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '&ref=homepage#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        | s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        | h AS (SELECT doc_id, nf,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nf, '^[a-zA-Z]+://([^/?#]+)', 1)),
+        |      ':(443|80)$', ''), '^www\.', '') AS host
+        |   FROM s1),
+        | r AS (SELECT doc_id, host,
+        |    lower(regexp_extract(nf, '^([a-zA-Z]+)://', 1)) AS scheme,
+        |    regexp_replace(nf, '^[a-zA-Z]+://[^/?#]*', '') AS rest
+        |   FROM h)
+        |SELECT doc_id,
+        |  scheme || '://' || host ||
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(rest, '(utm_[a-z_]+|ref)=[^&#]*', '', 'g'),
+        |      '&+', '&', 'g'), '\?&', '?'), '[?&]$', '') AS url_canon,
+        |  host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q37_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '|s1'),1,15))::UBIGINT % 10000
+        |      < (CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END)
+        |ORDER BY doc_id""".stripMargin,
+    "q38_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tw FROM documents),
+        | bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]))) AS s
+        |  FROM (SELECT regexp_split_to_array(lower(array_to_string(tw[1:15], ' ')), '\s+') AS w
+        |        FROM toks WHERE doc_id % 10 = 0)
+        |  WHERE len(w) >= 3),
+        | corp AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]))) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT doc_id AS id, COUNT(*) AS n_hits
+        |FROM corp JOIN bench USING (s)
+        |GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY 1""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),
