@@ -118,6 +118,43 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Dup-group resolution: connected components over near-dup candidate
+    * pairs — the step that turns pairwise matches into "keep one doc per
+    * group". Min-label propagation to a fixpoint: every node's label
+    * converges to the smallest id in its component (deterministic).
+    *
+    * Scale: each round is one self-contained join + min-aggregation on the
+    * uniform id key; `localCheckpoint` truncates the growing lineage so round
+    * N doesn't replay rounds 1..N-1 (a real cluster would use a reliable
+    * checkpoint dir). Dedup graphs are near-cliques (tiny diameter), so this
+    * converges in 2-4 rounds; pathological chain-shaped graphs would want the
+    * large-star/small-star variant (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — same per-round shape, fewer rounds. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val updated = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash-64: per token-hash bit voting — near-identical docs land on
     * digests within small Hamming distance. Pure column algebra: for each of
     * 64 bits, sum ±1 votes across token hashes; bit set iff the sum > 0. */

@@ -297,6 +297,34 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // Dup-group resolution: LSH pairs → connected components → one label
+    // (= smallest member id) per near-dup cluster. The step after q16 that
+    // decides which docs to actually drop.
+    "q39_dup_components" -> ((s, dir) => {
+      val d = docsWithNearDups(s, dir)
+      val pairs = Dedup.jaccardVerify(d, "doc_id", "text",
+          Dedup.candidatePairs(
+            Dedup.lshBandsFast(Dedup.minhashSignaturesFast(d, "doc_id", "text"))))
+        .filter(col("jaccard") >= 0.5)
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
+    // Gopher-style duplicate-ngram signal: fraction of each doc's distinct
+    // word-5-grams that occur in >1 document corpus-wide. One shuffle on the
+    // uniform gram key (window df count), one on doc_id.
+    "q40_dup_ngram_ratio" -> ((s, dir) => {
+      val grams = docsWithNearDups(s, dir)
+        .select(col("doc_id"), explode(TF.shingles(col("text"), 5)).as("g"))
+      val dfw = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      grams.withColumn("docfreq", count(lit(1)).over(dfw))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("docfreq") > 1, 1).otherwise(0)).as("n_dup"))
+        .withColumn("dup_ratio",
+          round(col("n_dup").cast("double") / col("n_grams"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -492,6 +520,62 @@ object TextQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_hits
         |FROM corp JOIN bench USING (s)
         |GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY 1""".stripMargin,
+    // q16's pipeline + a recursive min-reachable-id CTE: comp(v) = MIN(id)
+    // over everything reachable from v in the verified-pair graph.
+    "q39_dup_components" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), shl AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |           j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u)
+        |  WHERE len(w) >= 3
+        |), sig AS (
+        |  SELECT doc_id AS id, i,
+        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |  GROUP BY 1,2
+        |), bands AS (
+        |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
+        |  FROM sig GROUP BY 1,2
+        |), prs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bd = b.bd AND a.id < b.id
+        |), verified AS (
+        |  SELECT p.id_a, p.id_b FROM prs p
+        |  JOIN shl sa ON sa.doc_id = p.id_a JOIN shl sb ON sb.doc_id = p.id_b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM verified
+        |  UNION SELECT id_b, id_a FROM verified
+        |), r(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.id)
+        |SELECT id, MIN(comp) AS comp FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_dup_ngram_ratio" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-3),
+        |    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2] || ' ' || w[j+3] || ' ' || w[j+4]))) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u)
+        |  WHERE len(w) >= 5
+        |), withdf AS (
+        |  SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS docfreq FROM grams)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  ROUND(CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+        |FROM withdf GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),

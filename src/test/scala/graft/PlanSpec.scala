@@ -64,6 +64,19 @@ class PlanSpec extends SparkSpecBase {
     assert(finalSection.contains("minhash_sigs"), "per-row expression missing")
   }
 
+  test("q37: sampling is a scan-level filter — no join, no agg shuffle") {
+    val p = executedPlan("q37_stratified_sample")
+    assert(!p.contains("Join"), s"sampling must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("DataFilters: [(pmod("), "selection predicate not at the scan")
+  }
+
+  test("q38: benchmark shingle set is broadcast; corpus side never sort-merges") {
+    val p = executedPlan("q38_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
   test("q29: near-dup search has no cartesian product and no nested-loop join") {
     val p = executedPlan("q29_embed_neardup")
     assert(!p.contains("CartesianProduct"), s"all-pairs plan regressed:\n$p")

@@ -172,6 +172,32 @@ class DedupSpec extends SparkSpecBase {
     assert(again.map(_.toString).sorted.toSeq == ivf.map(_.toString).sorted.toSeq)
   }
 
+  test("connected components: chain and singleton-pair collapse to min-id labels") {
+    // 1-2-3-4 is a diameter-3 chain (worst case for naive propagation) plus
+    // an isolated pair; every node must converge to its component's min id
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components resolve LSH near-dup pairs into (original, mutant) groups") {
+    val base = docs.filter($"doc_id" < 50)
+    val near = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000L).as("doc_id"),
+        array_join(slice(graft.functions.TextFunctions.tokens($"text"), 3, 100000), " ").as("text"))
+    val d = base.unionByName(near)
+    val pairs = Dedup.jaccardVerify(d, "doc_id", "text",
+        Dedup.candidatePairs(Dedup.lshBandsFast(Dedup.minhashSignaturesFast(d, "doc_id", "text"))))
+      .filter($"jaccard" >= 0.5)
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted mutant joins its source's component, labeled by the source
+    for (src <- Seq(0L, 10L, 20L, 30L, 40L))
+      assert(comp.get(src + 1000L).contains(comp.getOrElse(src, src)),
+        s"mutant ${src + 1000} not grouped with $src: $comp")
+  }
+
   test("LSH ANN: cosine-identical queries land in the source's bucket and rank it first") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // scaling preserves cosine and all hyperplane signs ⇒ the source vector
