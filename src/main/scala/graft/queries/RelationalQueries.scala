@@ -32,6 +32,17 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Pivot (wide rollup): exact order totals per month × status — the
+    // reshape step reporting sinks want. One shuffle on the month key.
+    "q42_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("mth", month(col("o_orderdate")).cast("long"))
+        .groupBy("mth")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(dec("o_totalprice")).cast("double"))
+        .orderBy("mth")
+    }),
+
     // P1/P2/P3: contains + equality + IN filters with pushdown, projection.
     "q2_filter_project" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -243,6 +254,12 @@ object RelationalQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q42_pivot" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
+        | CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+        | CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        | CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q32_cube" ->
       """SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v

@@ -237,6 +237,23 @@ object TextQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // Streaming exactly-once dedup: the fixture delivered TWICE (at-least-
+    // once source), dropDuplicatesWithinWatermark collapses re-deliveries →
+    // result equals the single-copy batch answer.
+    "q41_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val tmp = java.nio.file.Files.createTempDirectory("evdup")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("part-0.parquet"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("part-1.parquet"))
+      EventStream.runOnce(s,
+          EventStream.dedupedEvents(EventStream.readEvents(s, tmp.toString))
+            .select("event_id", "event_type", "value"),
+          s"q41_dedup_${System.nanoTime}")
+        .orderBy("event_id")
+    }),
+
     // Embedding near-dup pairs: cosine ≥ threshold among corpus ∪ planted
     // scaled copies (cosine-identical by construction). Scale-safe plan:
     // multi-table sign-LSH candidate buckets + exact cosine verify — no
@@ -457,6 +474,8 @@ object TextQueries {
         |            ELSE 'host-' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END AS host,
         |       COUNT(*) AS n_pages
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_stream_dedup" ->
+      """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
     "q28_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
         | COUNT(*) AS n,

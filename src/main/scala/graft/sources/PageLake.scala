@@ -37,6 +37,17 @@ object PageLake {
       .partitionBy("crawl_date")
       .parquet(path)
 
+  /** Register pages as a bucketed + bucket-sorted catalog table: both sides
+    * of a url equi-join written this way are co-partitioned, so the join
+    * plans with NO shuffle exchange (and no sort when one file per bucket) —
+    * Spark's native analogue of Iceberg's `bucket(url)` partition transform.
+    * At 100 TB this turns the biggest recurring cost of page-level joins
+    * (re-shuffling the whole lake every query) into a one-time write cost. */
+  def writeBucketedTable(pages: DataFrame, table: String,
+                         buckets: Int = Buckets): Unit =
+    pages.write.bucketBy(buckets, "url").sortBy("url")
+      .mode("overwrite").format("parquet").saveAsTable(table)
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -44,6 +44,15 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Exactly-once ingestion from an at-least-once source: drop re-delivered
+    * events by id. `dropDuplicatesWithinWatermark` keys state by event_id
+    * but evicts entries once the watermark passes their ts + delay —
+    * bounded state, unlike `dropDuplicates` which retains every id seen
+    * forever (a leak on an unbounded stream). */
+  def dedupedEvents(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Session(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long,
       totalValue: Double)
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

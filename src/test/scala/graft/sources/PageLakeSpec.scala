@@ -47,6 +47,28 @@ class PageLakeSpec extends SparkSpecBase {
     assert(parts > 1, s"one write task for an entire day: $parts file(s)")
   }
 
+  test("bucketed tables equi-join on url with NO shuffle exchange") {
+    val pages = SyntheticPages.fromDocuments(spark, sfDir).select("url", "text")
+    // unique names: the in-memory catalog resets per JVM but the warehouse
+    // dir survives, and saveAsTable refuses an orphaned location
+    val (ta, tb) = (s"lake_a_${System.nanoTime}", s"lake_b_${System.nanoTime}")
+    PageLake.writeBucketedTable(pages, ta, buckets = 8)
+    PageLake.writeBucketedTable(pages.select(col("url"), length(col("text")).as("n")),
+      tb, buckets = 8)
+    // force the non-broadcast path: at scale neither side of a page-level
+    // join fits in memory, so the co-located SMJ is the plan that matters
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(ta).join(spark.table(tb), "url")
+      assert(j.count() == pages.count())
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"bucket pruning metadata missing:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("date filter prunes partitions at the scan") {
     val day = PageLake.read(spark, lakeDir)
       .select(col("crawl_date").cast("string")).distinct().orderBy("crawl_date")
