@@ -342,6 +342,43 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher within-doc repetition: fraction of 2-gram occurrences taken by
+    // the single most repeated 2-gram (non-distinct grams — repetition IS
+    // the signal). max/sum per doc is tie-insensitive → deterministic.
+    "q43_top_ngram_frac" -> ((s, dir) => {
+      val w = TF.tokensLower(col("text"))
+      val grams2 = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          j => concat_ws(" ", element_at(w, j + 1), element_at(w, j + 2))))
+        .otherwise(array().cast("array<string>"))
+      docs(s, dir).select(col("doc_id"), explode(grams2).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum("cnt").as("n_grams"),
+          round(max("cnt").cast("double") / sum("cnt"), 4).as("top_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain blocklist: drop pages whose registered domain is banned —
+    // broadcast LEFT ANTI join (the blocklist is KBs; the page set is TBs).
+    "q44_blocklist" -> ((s, dir) => {
+      val pages = rawDocs(s, dir).select(col("doc_id"),
+        UrlFunctions.domainOf(synthUrl(col("doc_id"))).as("domain"),
+        UrlFunctions.hostOf(synthUrl(col("doc_id"))).as("host"))
+      val blocked = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("example.com")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("domain",
+            org.apache.spark.sql.types.StringType))))
+      // block the dominant synthetic domain for hosts Site-0..Site-9 only:
+      // join key is (domain), the extra host predicate rides the join
+      pages.join(broadcast(blocked),
+          pages("domain") === blocked("domain") &&
+            pages("host").rlike("^site-[0-9]\\."),
+          "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -476,6 +513,38 @@ object TextQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_stream_dedup" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+    "q43_top_ngram_frac" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    j -> w[j] || ' ' || w[j+1])) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2
+        |), c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1,2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_frac
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+        |    || 'Site-' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/Articles/' || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&utm_medium=email&id=' ELSE '?id=' END)
+        |    || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '&ref=homepage#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        | h AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[a-zA-Z]+://([^/?#]+)', 1)),
+        |      ':(443|80)$', ''), '^www\.', '') AS host
+        |   FROM u)
+        |SELECT doc_id, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain, host
+        |FROM h
+        |WHERE NOT (regexp_extract(host, '([^.]+\.[^.]+)$', 1) = 'example.com'
+        |           AND regexp_matches(host, '^site-[0-9]\.'))
+        |ORDER BY doc_id""".stripMargin,
     "q28_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
         | COUNT(*) AS n,
