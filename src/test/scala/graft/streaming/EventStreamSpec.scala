@@ -36,6 +36,33 @@ class EventStreamSpec extends SparkSpecBase {
     assert(s.subsetOf(b), "streamed rows must be a subset of batch rows")
   }
 
+  test("dedupedEvents drops a re-delivery arriving in a LATER micro-batch") {
+    // re-delivery lands in a second micro-batch: the drop must come from
+    // persisted dedup state, not same-batch dedup
+    def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("dedup-stream")
+    def stage(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)],
+              name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"dedup-$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(s"$name.parquet"))
+    }
+    stage(Seq((1L, ts(0), 7L, "click", 1.0, "{}"),
+              (2L, ts(5), 7L, "view", 2.0, "{}")), "a")
+    Thread.sleep(1100)
+    stage(Seq((1L, ts(0), 7L, "click", 1.0, "{}"), // re-delivered within watermark
+              (3L, ts(10), 8L, "click", 3.0, "{}")), "b")
+    val src = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val out = EventStream.runOnce(spark,
+      EventStream.dedupedEvents(src, watermarkDelay = "1 hour")
+        .select("event_id"), s"dedup_x_${System.nanoTime}")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("sessionize splits on the inactivity gap and times out idle sessions") {
     // keep clear of epoch 0: the initial watermark is 0 and rows at/below
     // the watermark are dropped as late
