@@ -1,7 +1,7 @@
 package graft
 
 import graft.filter.LangIdModel
-import graft.functions.{LangIdExpression, PiiDetectExpression, PiiScrubExpression, RepetitionRatio, WinnowFingerprint}
+import graft.functions.{DeflateRatio, LangIdExpression, PiiDetectExpression, PiiScrubExpression, RepetitionRatio, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint", "winnow_fingerprint(text) - rolling-hash fingerprint set"),
       (args: Seq[Expression]) => WinnowFingerprint(args.head, 8, 16)))
+    e.injectFunction((FunctionIdentifier("deflate_ratio"),
+      info("deflate_ratio", "deflate_ratio(text) - compressed/raw size (low = repetitive)"),
+      (args: Seq[Expression]) => DeflateRatio(args.head)))
   }
 }

@@ -136,6 +136,30 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Deflate compression ratio (compressed/raw bytes of UTF-8 text): the
+  * classic cheap redundancy detector — boilerplate, template spam, and
+  * repeated blocks compress far below natural prose (~0.3-0.5 vs ~0.6+).
+  * One Deflater per row at level 1 (speed); O(n) per row, no state. */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) return 1.0d
+    val d = new java.util.zip.Deflater(1, true)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      out.toDouble / raw.length
+    } finally d.end()
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object QualityFunctions {
   def repetition_ratio(c: Column, n: Int): Column =
     ColumnBridge.column(RepetitionRatio(ColumnBridge.expression(c), n))
@@ -143,4 +167,6 @@ object QualityFunctions {
     ColumnBridge.column(LangIdExpression(ColumnBridge.expression(c), model))
   def winnow_fingerprint(c: Column, k: Int = 8, w: Int = 16): Column =
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(c), k, w))
+  def deflate_ratio(c: Column): Column =
+    ColumnBridge.column(DeflateRatio(ColumnBridge.expression(c)))
 }

@@ -379,6 +379,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Compression-ratio quality signal (no SQL oracle — zlib; golden-pinned):
+    // docs ∪ a planted boilerplate doc that must flag as highly compressible.
+    "q45_deflate" -> ((s, dir) => {
+      val spam = s.range(1).select(lit(9999999L).as("doc_id"),
+        concat_ws(" ", (0 until 50).map(_ => lit("buy now limited offer")): _*).as("text"))
+      docs(s, dir).select("doc_id", "text").unionByName(spam)
+        .select(col("doc_id"),
+          round(QualityFunctions.deflate_ratio(col("text")), 4).as("deflate_r"))
+        .withColumn("repetitive", col("deflate_r") < 0.3)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal

@@ -16,7 +16,7 @@ object QueryGoldens {
     * value-exact parity suite instead — see README coverage table). */
   val pinned: Seq[String] = Seq(
     "q19_ann_lsh", "q22_langid", "q23_pipeline_hosts", "q24_pipeline_pages",
-    "q26_winnow_pairs", "q27_media_pipeline", "q31_ann_ivf")
+    "q26_winnow_pairs", "q27_media_pipeline", "q31_ann_ivf", "q45_deflate")
 
   val sfDir = "/root/testdata/sf0.001"
   val goldenDir = "src/test/resources/goldens/queries"

@@ -33,6 +33,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(lang == "en")
       assert(spark.sql("SELECT winnow_fingerprint('some reasonably long text for fingerprinting') AS f")
         .head().getSeq[Long](0).nonEmpty)
+      // redundancy detector: looped boilerplate compresses far below prose
+      val Seq(spam, prose) = Seq(
+        "SELECT deflate_ratio(repeat('click here to win big prizes now ', 40)) AS r",
+        "SELECT deflate_ratio('A quiet morning fog rolled over the harbor while fishermen argued about tides, gulls, rope prices, and the stubborn engine nobody could fix.') AS r")
+        .map(q => spark.sql(q).head().getDouble(0))
+      assert(spam < 0.15, s"boilerplate should compress hard: $spam")
+      assert(prose > 0.5, s"prose should not: $prose")
+      assert(spam < prose)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
