@@ -123,13 +123,17 @@ object Dedup {
     * group". Min-label propagation to a fixpoint: every node's label
     * converges to the smallest id in its component (deterministic).
     *
-    * Scale: each round is one self-contained join + min-aggregation on the
-    * uniform id key; `localCheckpoint` truncates the growing lineage so round
-    * N doesn't replay rounds 1..N-1 (a real cluster would use a reliable
-    * checkpoint dir). Dedup graphs are near-cliques (tiny diameter), so this
-    * converges in 2-4 rounds; pathological chain-shaped graphs would want the
-    * large-star/small-star variant (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond") — same per-round shape, fewer rounds. */
+    * Scale: each round is two joins + a min-aggregation, all on the uniform
+    * id key; `localCheckpoint` truncates the growing lineage so round N
+    * doesn't replay rounds 1..N-1 (a real cluster would use a reliable
+    * checkpoint dir). Plain neighbor propagation needs O(diameter) rounds —
+    * a silent-wrong-answer hazard on chain-shaped graphs once maxIter caps
+    * it — so each round also pointer-jumps (label ← label of my label, the
+    * Shiloach-Vishkin shortcut; same effect as the large-star halving in
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"), giving
+    * O(log diameter) rounds: maxIter=25 covers diameters past 2^25. If the
+    * fixpoint still isn't reached the call THROWS rather than returning
+    * partially-propagated labels. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
@@ -144,7 +148,12 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .select(col("src").as("id"), col("comp"))
-      val updated = labels.unionByName(viaNeighbor)
+      // pointer jump: my label's own current label (comp is always an id
+      // that exists in `labels` — labels only ever shrink toward the min)
+      val viaLabel = labels.select(col("id"), col("comp").as("hop"))
+        .join(labels.select(col("id").as("hop"), col("comp")), "hop")
+        .select(col("id"), col("comp"))
+      val updated = labels.unionByName(viaNeighbor).unionByName(viaLabel)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
       converged = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
@@ -152,6 +161,9 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 

@@ -181,6 +181,17 @@ class DedupSpec extends SparkSpecBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converge on a 300-node chain (pointer-jump, not O(diameter))") {
+    // needs 299 rounds with plain neighbor propagation; pointer jumping
+    // must land it well inside maxIter=25 — and the guard throws rather
+    // than returning half-propagated labels if it ever doesn't
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 300)
+    assert(comp.values.forall(_ == 0L), s"all labels must reach 0: ${comp.filter(_._2 != 0L)}")
+  }
+
   test("connected components resolve LSH near-dup pairs into (original, mutant) groups") {
     val base = docs.filter($"doc_id" < 50)
     val near = base.filter($"doc_id" % 10 === 0)
