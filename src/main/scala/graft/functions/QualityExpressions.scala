@@ -139,7 +139,9 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 /** Deflate compression ratio (compressed/raw bytes of UTF-8 text): the
   * classic cheap redundancy detector — boilerplate, template spam, and
   * repeated blocks compress far below natural prose (~0.3-0.5 vs ~0.6+).
-  * One Deflater per row at level 1 (speed); O(n) per row, no state. */
+  * Level 1 (speed); O(n) per row. The Deflater (native zlib state) is
+  * thread-local and reset per row — per-row allocation would dominate the
+  * cost on short documents at scale. */
 case class DeflateRatio(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
@@ -147,17 +149,22 @@ case class DeflateRatio(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].getBytes
     if (raw.isEmpty) return 1.0d
-    val d = new java.util.zip.Deflater(1, true)
-    try {
-      d.setInput(raw); d.finish()
-      val buf = new Array[Byte](8192)
-      var out = 0L
-      while (!d.finished()) out += d.deflate(buf)
-      out.toDouble / raw.length
-    } finally d.end()
+    val d = DeflateRatio.local.get()
+    d.reset()
+    d.setInput(raw); d.finish()
+    val buf = DeflateRatio.buf.get()
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out.toDouble / raw.length
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object DeflateRatio {
+  private val local = ThreadLocal.withInitial[java.util.zip.Deflater](
+    () => new java.util.zip.Deflater(1, true))
+  private val buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 }
 
 object QualityFunctions {
