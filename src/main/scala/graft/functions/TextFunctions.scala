@@ -32,15 +32,19 @@ object TextFunctions {
   def hash60Salted(c: Column, salt: Column): Column =
     hash60(concat(c, lit("#"), salt.cast("string")))
 
-  /** Distinct word k-shingles (joined with single spaces) of the lowered
-    * token array; empty array when fewer than k tokens. */
-  def shingles(text: Column, k: Int): Column = {
+  /** Word k-grams (space-joined) of the lowered token array; `distinct`
+    * toggles set semantics (shingles) vs multiset (repetition counting).
+    * Empty array when fewer than k tokens. */
+  def ngrams(text: Column, k: Int, distinct: Boolean): Column = {
     val w = tokensLower(text)
-    when(size(w) >= k,
-      array_distinct(transform(sequence(lit(0), size(w) - k),
-        j => concat_ws(" ", (0 until k).map(o => element_at(w, j + o + 1)): _*))))
+    val grams = transform(sequence(lit(0), size(w) - k),
+      j => concat_ws(" ", (0 until k).map(o => element_at(w, j + o + 1)): _*))
+    when(size(w) >= k, if (distinct) array_distinct(grams) else grams)
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word k-shingles — the dedup/decontamination convention. */
+  def shingles(text: Column, k: Int): Column = ngrams(text, k, distinct = true)
 
   /** Document fingerprint: md5 of the lowercased text with all non-word
     * characters removed — robust to whitespace/punctuation reflow. */

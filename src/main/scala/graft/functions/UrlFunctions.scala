@@ -20,10 +20,17 @@ object UrlFunctions {
 
   private def stripFragment(u: Column): Column = regexp_replace(u, "#.*$", "")
 
-  /** Lowercased host with default port and "www." removed. */
+  /** Lowercased host: userinfo dropped, the scheme's OWN default port
+    * removed (`:443` on a plain-http URL is a real distinct resource and is
+    * kept), leading "www." removed. */
   def hostOf(url: Column): Column = {
-    val hp = lower(regexp_extract(stripFragment(url), "^[a-zA-Z]+://([^/?#]+)", 1))
-    regexp_replace(regexp_replace(hp, ":(443|80)$", ""), "^www\\.", "")
+    val noFrag = stripFragment(url)
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))
+    val hp = lower(regexp_extract(noFrag, "^[a-zA-Z]+://(?:[^/?#@]*@)?([^/?#]+)", 1))
+    val noPort = when(scheme === "https", regexp_replace(hp, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hp, ":80$", ""))
+      .otherwise(hp)
+    regexp_replace(noPort, "^www\\.", "")
   }
 
   /** Last two labels of the host — the registered domain for the common
@@ -35,7 +42,9 @@ object UrlFunctions {
     val noFrag = stripFragment(url)
     val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))
     val rest = regexp_replace(noFrag, "^[a-zA-Z]+://[^/?#]*", "")
-    val noTrack = regexp_replace(rest, "(utm_[a-z_]+|ref)=[^&#]*", "")
+    // anchored on the separator (kept via $1) so 'pref=1' or a path segment
+    // '/ref=...' never matches — only real ?/& delimited tracking params do
+    val noTrack = regexp_replace(rest, "([?&])(utm_[a-z_]+|ref)=[^&#]*", "$1")
     val collapsed = regexp_replace(noTrack, "&+", "&")
     val noLeadAmp = regexp_replace(collapsed, "\\?&", "?")
     val clean = regexp_replace(noLeadAmp, "[?&]$", "")

@@ -153,12 +153,16 @@ object Dedup {
       val viaLabel = labels.select(col("id"), col("comp").as("hop"))
         .join(labels.select(col("id").as("hop"), col("comp")), "hop")
         .select(col("id"), col("comp"))
-      val updated = labels.unionByName(viaNeighbor).unionByName(viaLabel)
-        .groupBy("id").agg(min("comp").as("comp"))
+      // carry prev through the same aggregation (min picks the one real
+      // value under the MaxValue sentinels) — the convergence test is then
+      // a filter over the freshly checkpointed result, not an extra join job
+      val updated = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+        .unionByName(viaNeighbor.withColumn("prev", lit(Long.MaxValue)))
+        .unionByName(viaLabel.withColumn("prev", lit(Long.MaxValue)))
+        .groupBy("id").agg(min("comp").as("comp"), min("prev").as("prev"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels = updated
+      converged = updated.filter(col("comp") =!= col("prev")).isEmpty
+      labels = updated.drop("prev")
       iter += 1
     }
     if (!converged)

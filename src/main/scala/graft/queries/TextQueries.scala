@@ -346,12 +346,8 @@ object TextQueries {
     // the single most repeated 2-gram (non-distinct grams — repetition IS
     // the signal). max/sum per doc is tie-insensitive → deterministic.
     "q43_top_ngram_frac" -> ((s, dir) => {
-      val w = TF.tokensLower(col("text"))
-      val grams2 = when(size(w) >= 2,
-        transform(sequence(lit(0), size(w) - 2),
-          j => concat_ws(" ", element_at(w, j + 1), element_at(w, j + 2))))
-        .otherwise(array().cast("array<string>"))
-      docs(s, dir).select(col("doc_id"), explode(grams2).as("g"))
+      docs(s, dir).select(col("doc_id"),
+          explode(TF.ngrams(col("text"), 2, distinct = false)).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id").agg(
           sum("cnt").as("n_grams"),
@@ -404,6 +400,27 @@ object TextQueries {
         .agg(count(lit(1)).as("n"), round(avg("feat_norm"), 4).as("avg_norm"))
         .orderBy("media_type")
     }))
+
+  /** SQL mirror of `synthUrl` — shared by the q36 and q44 oracles so the
+    * three copies (Scala + two oracles) can't drift independently. */
+  private val synthUrlSql: String =
+    """  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+      |    || 'Site-' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+      |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+      |    || '/Articles/' || CAST(doc_id AS VARCHAR)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&utm_medium=email&id=' ELSE '?id=' END)
+      |    || CAST(doc_id AS VARCHAR)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '&ref=homepage#section-2' ELSE '' END) AS url
+      |  FROM documents""".stripMargin
+
+  /** SQL mirror of `UrlFunctions.hostOf` for the fixture URLs (https with
+    * :443 / http with :80 only — the scheme-conditional port strip reduces
+    * to this unconditional one on these inputs), given a fragment-free url
+    * expression. */
+  private def hostSql(nf: String): String =
+    "regexp_replace(regexp_replace(lower(regexp_extract(" + nf +
+      ", '^[a-zA-Z]+://([^/?#]+)', 1)), ':(443|80)$', ''), '^www\\.', '')"
 
   val sql: Map[String, String] = Map(
     "q10_dedup_exact" ->
@@ -537,26 +554,14 @@ object TextQueries {
         |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_frac
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q44_blocklist" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
-        |    || 'Site-' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
-        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
-        |    || '/Articles/' || CAST(doc_id AS VARCHAR)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&utm_medium=email&id=' ELSE '?id=' END)
-        |    || CAST(doc_id AS VARCHAR)
-        |    || (CASE WHEN doc_id % 5 = 0 THEN '&ref=homepage#section-2' ELSE '' END) AS url
-        |  FROM documents),
-        | h AS (SELECT doc_id,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[a-zA-Z]+://([^/?#]+)', 1)),
-        |      ':(443|80)$', ''), '^www\.', '') AS host
-        |   FROM u)
+      ("WITH u AS (\n" + synthUrlSql + "),\n" +
+      " h AS (SELECT doc_id, " + hostSql("regexp_replace(url, '#.*$', '')") + " AS host\n" +
+      """   FROM u)
         |SELECT doc_id, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain, host
         |FROM h
         |WHERE NOT (regexp_extract(host, '([^.]+\.[^.]+)$', 1) = 'example.com'
         |           AND regexp_matches(host, '^site-[0-9]\.'))
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
     "q28_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
         | COUNT(*) AS n,
@@ -567,24 +572,14 @@ object TextQueries {
         | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // Same construction + regex pipeline as UrlFunctions (RE2-safe, 'g'
-    // where multiple matches are possible; Spark regexp_replace is global).
+    // synthUrlSql + the same regex pipeline as UrlFunctions (RE2-safe, 'g'
+    // where multiple matches are possible; Spark regexp_replace is global;
+    // the anchored tracking strip keeps its separator via the \1 backref —
+    // DuckDB replacement syntax for Spark's $1).
     "q36_url_canon" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
-        |    || 'Site-' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
-        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
-        |    || '/Articles/' || CAST(doc_id AS VARCHAR)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&utm_medium=email&id=' ELSE '?id=' END)
-        |    || CAST(doc_id AS VARCHAR)
-        |    || (CASE WHEN doc_id % 5 = 0 THEN '&ref=homepage#section-2' ELSE '' END) AS url
-        |  FROM documents),
-        | s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
-        | h AS (SELECT doc_id, nf,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_extract(nf, '^[a-zA-Z]+://([^/?#]+)', 1)),
-        |      ':(443|80)$', ''), '^www\.', '') AS host
+      ("WITH u AS (\n" + synthUrlSql + "),\n" +
+      """ s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        | h AS (SELECT doc_id, nf, """.stripMargin + hostSql("nf") + """ AS host
         |   FROM s1),
         | r AS (SELECT doc_id, host,
         |    lower(regexp_extract(nf, '^([a-zA-Z]+)://', 1)) AS scheme,
@@ -593,11 +588,11 @@ object TextQueries {
         |SELECT doc_id,
         |  scheme || '://' || host ||
         |    regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(rest, '(utm_[a-z_]+|ref)=[^&#]*', '', 'g'),
+        |      regexp_replace(rest, '([?&])(utm_[a-z_]+|ref)=[^&#]*', '\1', 'g'),
         |      '&+', '&', 'g'), '\?&', '?'), '[?&]$', '') AS url_canon,
         |  host,
         |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |FROM r ORDER BY doc_id""".stripMargin),
     "q37_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '|s1'),1,15))::UBIGINT % 10000

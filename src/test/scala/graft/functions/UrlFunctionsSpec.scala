@@ -36,6 +36,25 @@ class UrlFunctionsSpec extends SparkSpecBase {
     assert(c == "https://b.io/p?id=1&k=2")
   }
 
+  test("params merely containing 'ref'/'utm' and path segments are NOT stripped") {
+    val Seq((c1, _, _)) = canon("https://a.com/p?pref=1&id=2")
+    assert(c1 == "https://a.com/p?pref=1&id=2")
+    val Seq((c2, _, _)) = canon("https://a.com/ref=sr_1/dp/B01?id=3")
+    assert(c2 == "https://a.com/ref=sr_1/dp/B01?id=3")
+  }
+
+  test("only the scheme's own default port is dropped; cross-scheme ports are real") {
+    val Seq((c1, h1, _)) = canon("http://a.com:443/x")
+    assert(c1 == "http://a.com:443/x" && h1 == "a.com:443")
+    val Seq((c2, h2, _)) = canon("https://a.com:80/x")
+    assert(c2 == "https://a.com:80/x" && h2 == "a.com:80")
+  }
+
+  test("userinfo is not part of the host or the registered domain") {
+    val Seq((c, h, d)) = canon("https://alice@a.com/x")
+    assert(h == "a.com" && d == "a.com" && c == "https://a.com/x")
+  }
+
   test("hosts with one label yield empty registered domain, not a crash") {
     val Seq((_, h, d)) = canon("https://localhost/x")
     assert(h == "localhost")

@@ -57,6 +57,7 @@ class PageLakeSpec extends SparkSpecBase {
       tb, buckets = 8)
     // force the non-broadcast path: at scale neither side of a page-level
     // join fits in memory, so the co-located SMJ is the plan that matters
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val j = spark.table(ta).join(spark.table(tb), "url")
@@ -66,7 +67,12 @@ class PageLakeSpec extends SparkSpecBase {
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle:\n$plan")
       assert(plan.contains("SelectedBucketsCount"), s"bucket pruning metadata missing:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+      // managed tables: DROP deletes the warehouse data too (no /tmp leak)
+      spark.sql(s"DROP TABLE IF EXISTS $ta")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+    }
   }
 
   test("date filter prunes partitions at the scan") {
