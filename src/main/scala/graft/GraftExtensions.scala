@@ -1,7 +1,7 @@
 package graft
 
 import graft.filter.LangIdModel
-import graft.functions.{DeflateRatio, LangIdExpression, PiiDetectExpression, PiiScrubExpression, RepetitionRatio, WinnowFingerprint}
+import graft.functions.{DeflateRatio, LangIdExpression, NfcNormalize, PiiDetectExpression, PiiScrubExpression, RepetitionRatio, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("deflate_ratio"),
       info("deflate_ratio", "deflate_ratio(text) - compressed/raw size (low = repetitive)"),
       (args: Seq[Expression]) => DeflateRatio(args.head)))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC form (dedup-stable bytes)"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
   }
 }

@@ -161,6 +161,26 @@ case class DeflateRatio(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization: crawl text mixes precomposed and combining-
+  * mark encodings of the same glyphs (é vs e+U+0301), which defeats exact
+  * dedup, fingerprinting, and tokenizer vocab lookups. Normalizing to NFC
+  * before any hashing step makes byte-equality mean glyph-equality.
+  * java.text.Normalizer is allocation-free on already-NFC input (the
+  * common case) via the isNormalized fast path. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object DeflateRatio {
   private val local = ThreadLocal.withInitial[java.util.zip.Deflater](
     () => new java.util.zip.Deflater(1, true))
@@ -176,4 +196,6 @@ object QualityFunctions {
     ColumnBridge.column(WinnowFingerprint(ColumnBridge.expression(c), k, w))
   def deflate_ratio(c: Column): Column =
     ColumnBridge.column(DeflateRatio(ColumnBridge.expression(c)))
+  def nfc_normalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
 }

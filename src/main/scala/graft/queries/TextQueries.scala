@@ -387,6 +387,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFC normalization: combining-mark text planted onto every doc
+    // must hash identically to the precomposed form after normalize — the
+    // step that makes exact dedup byte-stable across encoders.
+    "q46_nfc_normalize" -> ((s, dir) => {
+      // "cafe" + COMBINING ACUTE (U+0301), "ga" + COMBINING DIAERESIS (U+0308)
+      val planted = concat(col("text"), lit(" cafe\u0301 ga\u0308rten"))
+      rawDocs(s, dir).select(col("doc_id"),
+          length(planted).as("n_raw"),
+          length(QualityFunctions.nfc_normalize(planted)).as("n_nfc"),
+          md5(QualityFunctions.nfc_normalize(planted)).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -542,6 +555,14 @@ object TextQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_stream_dedup" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+    "q46_nfc_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' cafe' || chr(769) || ' ga' || chr(776) || 'rten' AS t
+        |  FROM documents)
+        |SELECT doc_id, length(t) AS n_raw,
+        |  length(nfc_normalize(t)) AS n_nfc,
+        |  md5(nfc_normalize(t)) AS nfc_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q43_top_ngram_frac" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
