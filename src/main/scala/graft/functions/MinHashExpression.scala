@@ -35,8 +35,12 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
     var e = text.length
     while (s < e && text.charAt(s) == ' ') s += 1
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    // no-arg toLowerCase on purpose: Spark's lower() (UTF8String
+    // .toLowerCaseSlow) calls String.toLowerCase() with the DEFAULT locale
+    // for non-ASCII input, so Locale.ROOT here would diverge from the long
+    // form / oracle under e.g. a tr-TR JVM (İ → i̇ vs ı̇ dotting rules)
     val toks = MinHashSignatures.Ws.split(
-      text.substring(s, e).toLowerCase(java.util.Locale.ROOT), -1)
+      text.substring(s, e).toLowerCase(), -1)
     val sigs = Array.fill(k)(Long.MaxValue)
     if (toks.length >= shingleWidth) {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -33,10 +33,13 @@ object UrlFunctions {
     regexp_replace(noPort, "^www\\.", "")
   }
 
-  /** Last two labels of the host — the registered domain for the common
-    * case (a full public-suffix list is a broadcast lookup at scale). */
+  /** Last two labels of the host, any port dropped — the registered domain
+    * for the common case (a full public-suffix list is a broadcast lookup at
+    * scale). Non-default ports stay in hostOf (distinct resources) but must
+    * not split or bypass domain blocklists/rollups. */
   def domainOf(url: Column): Column =
-    regexp_extract(hostOf(url), "([^.]+\\.[^.]+)$", 1)
+    regexp_extract(regexp_replace(hostOf(url), ":[0-9]+$", ""),
+      "([^.]+\\.[^.]+)$", 1)
 
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = stripFragment(url)

@@ -66,21 +66,29 @@ object Dedup {
         x => x.getField("sig").cast("string")), ",")).as("band_digest"))
 
   /** Candidate pairs: self-join on (band, digest), id_a < id_b, distinct.
-    * Scale: the join key is a digest — uniformly distributed; identical-doc
-    * floods (one digest with huge multiplicity) would square into pair
-    * blowup, so (band, digest) buckets larger than `maxBucket` are dropped
-    * before the self-join: a bucket that large is an exact-duplicate flood
-    * by construction, and exact dedup (`exactGroups`) owns that case. The
-    * cap costs one window pass on the same key the join shuffles on. */
+    * Scale: the join key is a digest — uniformly distributed; the hazard is
+    * a flood bucket (boilerplate/template clusters, not necessarily
+    * byte-identical) whose self-join squares into pair blowup. Buckets over
+    * `maxBucket` switch from all-pairs to STAR linking — every member pairs
+    * with the bucket's minimum id only — so the cluster still reaches
+    * Jaccard verify and connected components reassembles the full group,
+    * at O(bucket) instead of O(bucket²) pairs. (Dropping the bucket, the
+    * naive cap, silently loses near-dup clusters that exact dedup doesn't
+    * own.) Costs one window pass on the same key the join shuffles on. */
   def candidatePairs(bands: DataFrame, maxBucket: Int = 4096): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_digest")
-    val capped = bands.withColumn("_n", count(lit(1)).over(w))
-      .filter(col("_n") <= maxBucket).drop("_n")
-    val a = capped.select(col("band"), col("band_digest"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("band_digest"), col("id").as("id_b"))
-    a.join(b, Seq("band", "band_digest"))
+    val marked = bands.withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_mn", min(col("id")).over(w))
+    val small = marked.filter(col("_n") <= maxBucket)
+    val a = small.select(col("band"), col("band_digest"), col("id").as("id_a"))
+    val b = small.select(col("band"), col("band_digest"), col("id").as("id_b"))
+    val allPairs = a.join(b, Seq("band", "band_digest"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val starPairs = marked
+      .filter(col("_n") > maxBucket && col("id") =!= col("_mn"))
+      .select(col("_mn").as("id_a"), col("id").as("id_b"))
+    allPairs.unionByName(starPairs).distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification step after LSH —

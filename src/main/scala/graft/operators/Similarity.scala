@@ -138,12 +138,20 @@ object Similarity {
     * Recall: identical-direction vectors (exact/scaled duplicates) share
     * every table's bucket deterministically → always found. For threshold t,
     * a pair at angle θ = arccos(t) is missed with probability
-    * (1 − (1−θ/π)^nPlanes)^nTables — at t=0.99 with 12 planes × 8 tables
-    * that is ~1e-3 per pair. Per-(table, bucket) membership above
-    * `maxBucket` is dropped before the self-join (flood guard: a bucket that
-    * large is an exact-duplicate flood, which is exact-dedup's job). */
+    * (1 − (1−θ/π)^nPlanes)^nTables — at t=0.99 with 16 planes × 8 tables
+    * that is ~6e-3 per pair.
+    *
+    * SIZING: each table has 2^nPlanes buckets and expected membership
+    * n/2^nPlanes, so pick nPlanes ≈ log2(n / targetBucketSize) — the
+    * default 16 (65,536 buckets/table) keeps average buckets in the
+    * hundreds up to ~10^7-10^8 vectors. Buckets that still exceed
+    * `maxBucket` (pathological directional concentration) are rank-capped
+    * to their `maxBucket` smallest ids rather than dropped, bounding the
+    * self-join at O(maxBucket²) per bucket while keeping coverage of the
+    * densest (most duplicate-rich) region; members beyond the cap in EVERY
+    * table are the documented recall loss of that regime. */
   def neardupPairs(vectors: DataFrame, threshold: Double, dim: Int,
-                   nTables: Int = 8, nPlanes: Int = 12,
+                   nTables: Int = 8, nPlanes: Int = 16,
                    maxBucket: Int = 4096): DataFrame = {
     // one-pass fused expression for all nTables×nPlanes dot products
     // (value-identical to composing lshBucket per table — DedupSpec)
@@ -152,9 +160,9 @@ object Similarity {
         posexplode(graft.functions.SignLshFunctions
           .sign_lsh_buckets(col("embedding"), nTables, nPlanes, dim)))
       .select(col("id"), col("pos").as("t"), col("col").as("bucket"))
-    val w = Window.partitionBy("t", "bucket")
-    val capped = bucketed.withColumn("_n", count(lit(1)).over(w))
-      .filter(col("_n") <= maxBucket).drop("_n")
+    val w = Window.partitionBy("t", "bucket").orderBy("id")
+    val capped = bucketed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
     val pairs = capped.select(col("t"), col("bucket"), col("id").as("id_a"))
       .join(capped.select(col("t"), col("bucket"), col("id").as("id_b")), Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))

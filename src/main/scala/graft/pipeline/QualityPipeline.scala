@@ -154,21 +154,36 @@ object QualityPipeline {
   }
 
   /** Content fingerprint of an input directory: digest over every data
-    * file's relative path, size and mtime — a driver-side metadata walk, no
-    * data read (what Iceberg gets for free from its snapshot id). */
+    * file's relative path, size, mtime AND its tail bytes (up to 4 KiB) —
+    * still a driver-side metadata-scale walk (what Iceberg gets for free
+    * from its snapshot id), but immune to the size+mtime blind spot where a
+    * same-length rewrite lands inside the filesystem's mtime granularity.
+    * The tail is where parquet keeps its footer (row-group stats, created_by),
+    * so any real content change perturbs it. */
   def inputFingerprint(path: String): String = {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(path)
     val walk = Files.walk(root)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val entries =
       try {
         walk.iterator().asScala
           .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
-          .map(p => s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}")
-          .toVector.sorted
+          .toVector.sortBy(p => root.relativize(p).toString)
       } finally walk.close()
-    val md = java.security.MessageDigest.getInstance("MD5")
-    entries.foreach(e => md.update((e + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    entries.foreach { p =>
+      val size = Files.size(p)
+      md.update((s"${root.relativize(p)}|$size|${Files.getLastModifiedTime(p).toMillis}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val n = math.min(4096L, size).toInt
+        val buf = java.nio.ByteBuffer.allocate(n)
+        ch.position(size - n)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        md.update(buf.array(), 0, buf.position())
+      } finally ch.close()
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 }

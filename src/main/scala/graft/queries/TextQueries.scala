@@ -227,7 +227,10 @@ object TextQueries {
     // AvailableNow, Complete mode) — result equals the batch/SQL answer.
     "q28_stream_window" -> ((s, dir) => {
       import graft.streaming.EventStream
+      // fixture-staging plumbing: dir + copies are marked for JVM-exit
+      // cleanup (driver/verify JVMs are short-lived)
       val tmp = java.nio.file.Files.createTempDirectory("evstream")
+      tmp.toFile.deleteOnExit()
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
         tmp.resolve("part-0.parquet"))
       EventStream.runOnce(s,
@@ -243,6 +246,7 @@ object TextQueries {
     "q41_stream_dedup" -> ((s, dir) => {
       import graft.streaming.EventStream
       val tmp = java.nio.file.Files.createTempDirectory("evdup")
+      tmp.toFile.deleteOnExit()
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
         tmp.resolve("part-0.parquet"))
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),

@@ -44,9 +44,21 @@ object PageLake {
     * At 100 TB this turns the biggest recurring cost of page-level joins
     * (re-shuffling the whole lake every query) into a one-time write cost. */
   def writeBucketedTable(pages: DataFrame, table: String,
-                         buckets: Int = Buckets): Unit =
+                         buckets: Int = Buckets): Unit = {
+    val spark = pages.sparkSession
+    // The in-memory catalog resets per JVM but the warehouse dir does not:
+    // clear both the catalog entry and an orphaned managed location, or
+    // saveAsTable refuses with LOCATION_ALREADY_EXISTS on the second run.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(warehouse),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     pages.write.bucketBy(buckets, "url").sortBy("url")
       .mode("overwrite").format("parquet").saveAsTable(table)
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

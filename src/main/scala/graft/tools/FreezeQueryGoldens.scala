@@ -14,6 +14,9 @@ import java.nio.file.{Files, Paths}
 object QueryGoldens {
   /** Queries pinned by goldens (every other rows-only query is covered by a
     * value-exact parity suite instead — see README coverage table). */
+  // NOTE: q45's values depend on the JRE-bundled zlib (Deflater level 1) —
+  // stable within one JDK build (this sandbox pins one) but not guaranteed
+  // across zlib variants; regenerate q45's golden when changing JDKs.
   val pinned: Seq[String] = Seq(
     "q19_ann_lsh", "q22_langid", "q23_pipeline_hosts", "q24_pipeline_pages",
     "q26_winnow_pairs", "q27_media_pipeline", "q31_ann_ivf", "q45_deflate")

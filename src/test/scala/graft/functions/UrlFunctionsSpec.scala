@@ -50,6 +50,12 @@ class UrlFunctionsSpec extends SparkSpecBase {
     assert(c2 == "https://a.com:80/x" && h2 == "a.com:80")
   }
 
+  test("non-default port stays in the host but never in the registered domain") {
+    val Seq((_, h, d)) = canon("https://www.example.com:8443/x")
+    assert(h == "example.com:8443")
+    assert(d == "example.com") // blocklists/rollups must not split by port
+  }
+
   test("userinfo is not part of the host or the registered domain") {
     val Seq((c, h, d)) = canon("https://alice@a.com/x")
     assert(h == "a.com" && d == "a.com" && c == "https://a.com/x")

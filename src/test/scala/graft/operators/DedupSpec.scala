@@ -95,16 +95,25 @@ class DedupSpec extends SparkSpecBase {
     assert(hamming(sh(0L), sh(1L)) <= 8)
   }
 
-  test("candidate-pair flood cap: 1k identical docs produce zero pairs, not 500k") {
+  test("candidate-pair flood cap: 1k identical docs star-link linearly, not 500k pairs") {
     // An identical-doc flood puts every copy in the same (band, digest)
     // bucket; without the cap the self-join squares it (1000 copies →
-    // ~499,500 pairs per band). The cap drops the bucket — exact-duplicate
-    // floods are exactGroups' job.
+    // ~499,500 pairs per band). Oversized buckets must star-link to the
+    // bucket minimum: O(n) pairs, and the whole cluster still reaches
+    // verify + connected components (dropping it would silently lose
+    // near-dup clusters that are not byte-identical).
     val flood = (0L until 1000L).map(i =>
       (i, "the same exact boilerplate text repeated verbatim on every page"))
       .toDF("doc_id", "text")
     val bands = Dedup.lshBandsFast(Dedup.minhashSignaturesFast(flood, "doc_id", "text"))
-    assert(Dedup.candidatePairs(bands, maxBucket = 64).count() == 0L)
+    val star = Dedup.candidatePairs(bands, maxBucket = 64).collect()
+    assert(star.length == 999, s"expected 999 star pairs, got ${star.length}")
+    assert(star.forall(_.getLong(0) == 0L), "every member must link to the bucket min")
+    // the star is enough for dup-group resolution: one component, labeled 0
+    val comp = Dedup.connectedComponents(
+        star.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length == 1000 && comp.forall(_._2 == 0L))
     // a small planted near-dup pair alongside the flood still surfaces
     val two = docs.filter($"doc_id" < 2).unionByName(flood)
     val bands2 = Dedup.lshBandsFast(Dedup.minhashSignaturesFast(
