@@ -43,6 +43,20 @@ object RelationalQueries {
         .orderBy("mth")
     }),
 
+    // Skew-salted shuffle join: events (hot event_type keys) ⋈ a dim on the
+    // salted composite key — result must equal the plain join (the oracle).
+    "q47_skew_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val dim = events.select(col("event_type")).distinct()
+        .withColumn("type_len", length(col("event_type")).cast("long"))
+      graft.operators.SkewJoin.saltedJoin(events, dim, "event_type", salt = 16)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast("double").as("sum_v"),
+          max("type_len").as("type_len"))
+        .orderBy("event_type")
+    }),
+
     // P1/P2/P3: contains + equality + IN filters with pushdown, projection.
     "q2_filter_project" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -254,6 +268,15 @@ object RelationalQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q47_skew_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_len
+        |  FROM events)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  MAX(d.type_len) AS type_len
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_pivot" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
         | CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
