@@ -57,6 +57,23 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Binned range join: events contained in ±2-minute windows around every
+    // 100th event — equi-join on the time bin, no nested-loop join.
+    "q48_range_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val ivals = events.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("ival_id"),
+          (col("ts") - expr("INTERVAL 2 MINUTES")).as("t_start"),
+          (col("ts") + expr("INTERVAL 2 MINUTES")).as("t_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          events.select(col("event_id"), col("ts"), col("value")),
+          ivals, "ts", "t_start", "t_end", binSizeSec = 120)
+        .groupBy("ival_id")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast("double").as("sum_v"))
+        .orderBy("ival_id")
+    }),
+
     // P1/P2/P3: contains + equality + IN filters with pushdown, projection.
     "q2_filter_project" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -268,6 +285,16 @@ object RelationalQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         | COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q48_range_join" ->
+      """WITH i AS (
+        |  SELECT event_id AS ival_id,
+        |         ts - INTERVAL 2 MINUTE AS t_start,
+        |         ts + INTERVAL 2 MINUTE AS t_end
+        |  FROM events WHERE event_id % 100 = 0)
+        |SELECT i.ival_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events e JOIN i ON e.ts >= i.t_start AND e.ts <= i.t_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_skew_join" ->
       """WITH dim AS (
         |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS type_len
