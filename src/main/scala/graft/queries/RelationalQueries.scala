@@ -74,6 +74,19 @@ object RelationalQueries {
         .orderBy("ival_id")
     }),
 
+    // Sketch aggregates: HLL++ approx distinct + approx percentile — the
+    // single-pass, bounded-memory substitutes for exact distinct/percentile
+    // at 100 TB (exactness bound asserted in SketchSpec; golden-pinned).
+    "q49_sketch_stats" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count_distinct(col("user_id")).as("exact_users"),
+          round(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("p50_approx"),
+          round(percentile_approx(col("value"), lit(0.9), lit(1000)), 4).as("p90_approx"))
+        .orderBy("event_type")
+    }),
+
     // P1/P2/P3: contains + equality + IN filters with pushdown, projection.
     "q2_filter_project" -> ((s, dir) => {
       t(s, dir, "orders")
