@@ -68,7 +68,8 @@ object Bench {
       "q14_minhash_sig", "q16_dup_pairs", "q17_simhash", "q18_cosine_topk",
       "q20_pii_detect", "q21_pii_scrub", "q23_pipeline_hosts",
       "q29_embed_neardup", "q35_asof_join",
-      "q38_decontaminate", "q39_dup_components", "q40_dup_ngram_ratio")
+      "q38_decontaminate", "q39_dup_components", "q40_dup_ngram_ratio",
+      "q47_skew_join", "q48_range_join")
 
     var spark = session(cpus)
     // Two passes per headline query: the cold pass carries session/plan/
