@@ -404,6 +404,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Toxicity (C4-style blocklist): whole-token score + word-boundary
+    // scrub. Stand-in terms drawn from the fixture vocabulary so hits are
+    // real; a deployment swaps in the published blocklist.
+    "q50_toxicity" -> ((s, dir) => {
+      import graft.filter.Toxicity
+      val terms = Seq("slow", "fail", "crash")
+      docs(s, dir).select(col("doc_id"),
+          Toxicity.hits(col("text"), terms).as("n_tox"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          Toxicity.score(col("text"), terms).as("tox_ratio"),
+          md5(Toxicity.scrub(col("text"), terms)).as("scrub_md5"))
+        .withColumn("flagged", col("tox_ratio") >= 0.02)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -559,6 +574,19 @@ object TextQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_stream_dedup" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+    "q50_toxicity" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(w, x -> x IN ('slow','fail','crash'))) AS n_tox,
+        |  len(w) AS n_tokens,
+        |  ROUND(CAST(len(list_filter(w, x -> x IN ('slow','fail','crash'))) AS DOUBLE)
+        |    / len(w), 4) AS tox_ratio,
+        |  md5(regexp_replace(text, '\b(slow|fail|crash)\b', '[masked]', 'gi')) AS scrub_md5,
+        |  (ROUND(CAST(len(list_filter(w, x -> x IN ('slow','fail','crash'))) AS DOUBLE)
+        |    / len(w), 4) >= 0.02) AS flagged
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q46_nfc_normalize" ->
       """WITH p AS (
         |  SELECT doc_id, text || ' cafe' || chr(769) || ' ga' || chr(776) || 'rten' AS t
