@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring (span-level) deduplication — the shingle-hash scale
+  * approximation of suffix-array substring dedup (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"): any
+  * `k`-token span that occurs more than once in the corpus is removed from
+  * every document except the one canonical (first) occurrence, where
+  * "first" = smallest (doc id, position).
+  *
+  * Differs from document-level dedup (exact / MinHash): it removes the
+  * boilerplate paragraph shared by ten thousand otherwise-distinct pages
+  * without dropping the pages.
+  *
+  * Plan shape at scale:
+  *   1. positional k-grams — narrow flatMap (k× token blowup, the price the
+  *      suffix-array algorithm also pays in index space);
+  *   2. one groupBy on the gram (uniform key) producing (df, canonical);
+  *      a map-side partial min/count keeps the shuffle to one row per
+  *      distinct gram;
+  *   3. one shuffle join of occurrences against the duplicated grams —
+  *      filtered FIRST by `maxDf` (boilerplate grams occurring in more than
+  *      `maxDf` docs are cut everywhere WITHOUT keeping a canonical copy, so
+  *      no gram ever fans a hot row out to millions of matches — the same
+  *      flood-cap discipline as `Dedup.candidatePairs`);
+  *   4. per-doc interval union via one window over (doc, pos).
+  */
+object ExactSubstring {
+
+  /** Positional k-grams: (id, pos, g), pos 1-based over the lowered
+    * whitespace tokens. Documents shorter than `k` tokens emit nothing. */
+  private def occurrences(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(TF.ngrams(col(textCol), k, distinct = false)))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+
+  /** Spans to cut: every non-canonical occurrence of a duplicated k-gram,
+    * as (id, pos). Grams with document frequency above `maxDf` are treated
+    * as boilerplate: ALL occurrences are cut (no canonical survivor). */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 8, maxDf: Long = 64): DataFrame = {
+    val occ = occurrences(df, idCol, textCol, k)
+    val grams = occ.groupBy("g").agg(
+        count(lit(1)).as("n_occ"),
+        min(struct(col("id"), col("pos"))).as("canon"))
+      .filter(col("n_occ") > 1)
+    occ.join(grams, Seq("g"))
+      .filter(col("n_occ") > lit(maxDf) ||
+        !(col("id") === col("canon.id") && col("pos") === col("canon.pos")))
+      .select("id", "pos")
+  }
+
+  /** Per-document dedup statistics: token counts, number of cut spans, and
+    * the number of tokens covered by the union of the cut [pos, pos+k)
+    * intervals (cut_ratio = covered / n_tokens). */
+  def stats(df: DataFrame, idCol: String, textCol: String,
+            k: Int = 8, maxDf: Long = 64): DataFrame = {
+    val w = Window.partitionBy("id").orderBy("pos")
+    val covered = cutSpans(df, idCol, textCol, k, maxDf)
+      .withColumn("c", least(lit(k), coalesce(lead("pos", 1).over(w) - col("pos"), lit(k))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"), sum("c").as("n_cut"))
+    df.select(col(idCol).cast("long").as("id"), TF.tokenCount(col(textCol)).as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .na.fill(0, Seq("n_spans", "n_cut"))
+      .withColumn("cut_ratio", round(col("n_cut").cast("double") / col("n_tokens"), 4))
+  }
+
+  /** Scrubbed corpus: each document's lowered token stream with every cut
+    * span's tokens removed (id, text_dedup). Span lists ride a broadcast-or-
+    * shuffle join keyed by doc id; the per-token membership test is a
+    * higher-order `filter` over the collected span starts (cost O(tokens ·
+    * spans-per-doc), bounded because spans per doc ≤ tokens/1). */
+  def scrub(df: DataFrame, idCol: String, textCol: String,
+            k: Int = 8, maxDf: Long = 64): DataFrame = {
+    val spans = cutSpans(df, idCol, textCol, k, maxDf)
+      .groupBy("id").agg(sort_array(collect_list("pos")).as("spans"))
+    df.select(col(idCol).cast("long").as("id"), TF.tokensLower(col(textCol)).as("w"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"), array_join(
+        filter(col("w"), (t, i) =>
+          coalesce(!exists(col("spans"), p => i + 1 >= p && i + 1 < p + k), lit(true))),
+        " ").as("text_dedup"))
+  }
+}

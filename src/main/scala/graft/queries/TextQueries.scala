@@ -419,6 +419,39 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental (cross-batch) dedup: Bloom-prefiltered anti-join of the
+    // incoming batch against the historical corpus (history = every 3rd doc,
+    // so 1/3 of the batch is planted as already-seen). The Bloom pass changes
+    // cost only — the result is exactly the anti-join the oracle runs.
+    "q51_bloom_dedup" -> ((s, dir) => {
+      import graft.operators.IncrementalDedup
+      val withDigest = rawDocs(s, dir).select(col("doc_id"), md5(col("text")).as("digest"))
+      val history = withDigest.filter(col("doc_id") % 3 === 0)
+      IncrementalDedup.newOnly(withDigest, history, "digest", expectedItems = 2048L)
+        .select("doc_id", "digest").orderBy("doc_id")
+    }),
+
+    // Sequence packing (concat-and-chunk): deterministic shard + running
+    // token offset + 256-token chunk assignment per document.
+    "q52_pack_sequences" -> ((s, dir) => {
+      import graft.operators.Packing
+      Packing.packSequences(
+          rawDocs(s, dir).select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens")),
+          col("doc_id"), col("n_tokens"), budget = 256, nShards = 8)
+        .select("doc_id", "shard", "n_tokens", "start_off", "seq_id")
+        .orderBy("doc_id")
+    }),
+
+    // Exact-substring dedup (Lee et al. 2022, shingle-hash form): per-doc
+    // fraction of tokens covered by non-canonical duplicated 8-token spans,
+    // over documents ∪ planted near-duplicates (shared suffixes ⇒ real cuts).
+    "q53_substring_dedup" -> ((s, dir) => {
+      import graft.operators.ExactSubstring
+      ExactSubstring.stats(docsWithNearDups(s, dir), "doc_id", "text",
+          k = 8, maxDf = 64)
+        .orderBy("id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -724,6 +757,62 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         |  ROUND(CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
         |FROM withdf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q51_bloom_dedup" ->
+      """SELECT b.doc_id, md5(b.text) AS digest
+        |FROM documents b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 3 = 0 AND md5(h.text) = md5(b.text))
+        |ORDER BY b.doc_id""".stripMargin,
+    "q52_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT % 8 AS BIGINT) AS shard
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+        |  CAST(start_off // 256 AS BIGINT) AS seq_id
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // Exact-substring dedup: duplicated 8-gram occurrences minus the one
+    // canonical (min doc,pos) occurrence (kept only while df ≤ 64), then a
+    // per-doc interval union of the cut [pos, pos+8) spans.
+    "q53_substring_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u
+        |), occ AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+        |  WHERE len(w) >= 8
+        |), ranked AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY g) AS n_occ,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM occ
+        |), cuts AS (
+        |  SELECT doc_id, pos FROM ranked WHERE n_occ > 1 AND (n_occ > 64 OR rn > 1)
+        |), cov AS (
+        |  SELECT doc_id, pos,
+        |    LEAST(8, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS c
+        |  FROM cuts
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(c) AS BIGINT) AS n_cut
+        |  FROM cov GROUP BY 1)
+        |SELECT t.doc_id AS id, len(t.w) AS n_tokens,
+        |  COALESCE(a.n_spans, 0) AS n_spans, COALESCE(a.n_cut, 0) AS n_cut,
+        |  ROUND(CAST(COALESCE(a.n_cut, 0) AS DOUBLE)/len(t.w), 4) AS cut_ratio
+        |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-2 curation additions: Bloom-prefiltered
+  * incremental dedup, sequence packing, exact-substring span dedup. */
+class CurationOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "text").cache()
+
+  // --- IncrementalDedup -------------------------------------------------
+
+  test("bloom incremental dedup equals the exact anti-join") {
+    val batch = docs.select($"doc_id", md5($"text").as("digest"))
+    val history = batch.filter($"doc_id" % 3 === 0)
+    val got = IncrementalDedup.newOnly(batch, history, "digest", expectedItems = 1024)
+      .select("doc_id").as[Long].collect().sorted
+    val want = batch.join(history.select("digest").distinct(), Seq("digest"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+    assert(got.nonEmpty && got.length < batch.count())
+  }
+
+  test("bloom incremental dedup has no false negatives at high fpp") {
+    // Even a deliberately tiny/overloaded filter may only cost extra verify
+    // joins — never readmit a seen digest.
+    val batch = docs.select($"doc_id", md5($"text").as("digest"))
+    val history = batch.filter($"doc_id" % 2 === 0)
+    val seen = history.select("digest").as[String].collect().toSet
+    val out = IncrementalDedup.newOnly(batch, history, "digest",
+      expectedItems = 8, fpp = 0.5).select("digest").as[String].collect()
+    assert(out.forall(d => !seen.contains(d)))
+  }
+
+  // --- Packing ----------------------------------------------------------
+
+  test("sequence packing: offsets are contiguous per shard and chunks respect the budget origin") {
+    val packed = Packing.packSequences(
+      docs.select($"doc_id", graft.functions.TextFunctions.tokenCount($"text").as("n_tokens")),
+      $"doc_id", $"n_tokens", budget = 128, nShards = 4)
+      .select("doc_id", "shard", "n_tokens", "start_off", "seq_id")
+      .collect()
+    val byShard = packed.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.size == 4)
+    for ((_, rows) <- byShard) {
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var off = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("start_off") == off, s"offset gap at doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("seq_id") == off / 128)
+        off += r.getAs[Int]("n_tokens")
+      }
+    }
+  }
+
+  test("sequence packing is invariant to input partition layout") {
+    val base = docs.select($"doc_id", graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(df, $"doc_id", $"n_tokens", budget = 64, nShards = 8)
+        .select("doc_id", "seq_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(base) == run(base.repartition(13)))
+  }
+
+  test("sequence stats account for every token exactly once") {
+    val withTok = docs.select($"doc_id", graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
+    val packed = Packing.packSequences(withTok, $"doc_id", $"n_tokens", 256, 4)
+    val statsTotal = Packing.sequenceStats(packed, $"n_tokens")
+      .agg(sum("n_tokens")).head().getLong(0)
+    val rawTotal = withTok.agg(sum("n_tokens")).head().getLong(0)
+    assert(statsTotal == rawTotal)
+  }
+
+  // --- ExactSubstring ---------------------------------------------------
+
+  private val corpus = Seq(
+    // doc 1 and doc 2 share the 8-token span "a b c d e f g h"
+    (1L, "a b c d e f g h x1 y1 z1 w1"),
+    (2L, "p2 q2 a b c d e f g h r2 s2"),
+    (3L, "unique tokens only here nothing shared at all today")
+  ).toDF("doc_id", "text")
+
+  test("exact-substring: canonical occurrence survives, the other is cut") {
+    val st = ExactSubstring.stats(corpus, "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_cut"))).toMap
+    assert(st(1L) == (0L, 0L))      // doc 1 holds the canonical (min id,pos)
+    assert(st(2L) == (1L, 8L))      // doc 2's copy is one 8-token span
+    assert(st(3L) == (0L, 0L))
+  }
+
+  test("exact-substring scrub removes exactly the duplicated span tokens") {
+    val out = ExactSubstring.scrub(corpus, "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text_dedup")).toMap
+    assert(out(1L) == "a b c d e f g h x1 y1 z1 w1")
+    assert(out(2L) == "p2 q2 r2 s2")
+    assert(out(3L) == "unique tokens only here nothing shared at all today")
+  }
+
+  test("exact-substring: overlapping duplicated spans union, not double-count") {
+    // 10 shared tokens ⇒ three overlapping duplicated 8-grams in doc 2,
+    // covering exactly 10 tokens once unioned.
+    val c2 = Seq(
+      (1L, "a b c d e f g h i j t1 t2"),
+      (2L, "u1 a b c d e f g h i j u2")
+    ).toDF("doc_id", "text")
+    val st = ExactSubstring.stats(c2, "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_cut")).toMap
+    assert(st(2L) == 10L)
+    assert(st(1L) == 0L)
+  }
+
+  test("exact-substring: boilerplate above maxDf is cut everywhere (no canonical)") {
+    val many = (1L to 6L).map(i => (i, s"x$i start boiler plate text shared by all docs end y$i"))
+      .toDF("doc_id", "text")
+    val st = ExactSubstring.stats(many, "doc_id", "text", k = 8, maxDf = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_cut")).toMap
+    // the shared 9-token middle (2 overlapping 8-grams, union = 9 tokens)
+    // appears 6 > maxDf times ⇒ all 6 docs cut it, canonical included
+    assert((1L to 6L).forall(i => st(i) == 9L), st.toString)
+  }
+}
