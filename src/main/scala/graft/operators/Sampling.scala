@@ -41,4 +41,30 @@ object Sampling {
     }
     df.filter(bucketOf(keyCol, salt) < threshold)
   }
+
+  /** Data-mixture construction: repeat each row `rate(stratum)` times, where
+    * the rate may be fractional or < 1 (epoch weighting: wiki ×2.5, raw web
+    * ×0.6, …). Each row gets `floor(rate)` copies plus one more iff its key
+    * hash falls under the fractional part — so the realized per-stratum
+    * count is exact to 1/Buckets and every decision is per-row deterministic
+    * (same mixture for any partition layout, resumable mid-corpus).
+    *
+    * Emits a `copy` index (1-based) so downstream shuffles can't collapse
+    * the duplicates. Pure narrow explode — no shuffle, no driver state. */
+  def weightedRepeat(df: DataFrame, strataCol: Column, keyCol: Column,
+                     rates: Map[String, Double], default: Double,
+                     salt: String = ""): DataFrame = {
+    def copiesFor(rate: Double): Column = {
+      val whole = math.floor(rate).toLong
+      lit(whole) + when(bucketOf(keyCol, salt) <
+        lit(math.round((rate - whole) * Buckets)), lit(1L)).otherwise(lit(0L))
+    }
+    val nCopies = rates.foldLeft(copiesFor(default)) {
+      case (acc, (stratum, r)) => when(strataCol === stratum, copiesFor(r)).otherwise(acc)
+    }
+    // sequence(1, 0) would count DOWN ([1,0]); rows with 0 copies must
+    // instead explode an empty array (dropping the row).
+    df.withColumn("copy", explode(when(nCopies >= 1, sequence(lit(1L), nCopies))
+      .otherwise(array().cast("array<bigint>"))))
+  }
 }

@@ -442,6 +442,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Data-mixture construction: per-source epoch weights (×2.5 upsample,
+    // ×0.4 downsample, ×1.0 default) realized as deterministic per-row
+    // repeat counts — a narrow explode, no shuffle, reproducible under any
+    // partition layout.
+    "q54_mixture_repeat" -> ((s, dir) =>
+      Sampling.weightedRepeat(rawDocs(s, dir).select("doc_id", "source"),
+          col("source"), col("doc_id"),
+          Map("src18" -> 2.5, "src7" -> 0.4), default = 1.0, salt = "mix1")
+        .orderBy("doc_id", "copy")),
+
     // Exact-substring dedup (Lee et al. 2022, shingle-hash form): per-doc
     // fraction of tokens covered by non-canonical duplicated 8-token spans,
     // over documents ∪ planted near-duplicates (shared suffixes ⇒ real cuts).
@@ -450,6 +460,33 @@ object TextQueries {
       ExactSubstring.stats(docsWithNearDups(s, dir), "doc_id", "text",
           k = 8, maxDf = 64)
         .orderBy("id")
+    }),
+
+    // Model-based quality filter (CCNet/DCLM stage): fastText-style logistic
+    // classifier trained DISTRIBUTED (fixed-point treeAggregate epochs — bit-
+    // deterministic under any partitioning) on weak labels (real docs = keep;
+    // deterministic corruptions = drop), then scored over the corpus.
+    // No SQL oracle (trained model) — golden-pinned.
+    "q55_quality_classifier" -> ((s, dir) => {
+      import graft.filter.QualityClassifier
+      import s.implicits._
+      val d = rawDocs(s, dir).select(col("doc_id"), col("text"))
+      val good = d.select(col("text"), lit(1.0).as("y"))
+      val badGibberish = d.filter(col("doc_id") % 2 === 0).select(
+        array_join(transform(TF.tokensLower(col("text")), t => reverse(t)), " ").as("text"),
+        lit(0.0).as("y"))
+      val badSpam = d.filter(col("doc_id") % 2 === 1).select(
+        concat(lit(Seq.fill(12)("buy now limited offer click here").mkString(" ")),
+          lit(" #"), col("doc_id").cast("string")).as("text"),
+        lit(0.0).as("y"))
+      val labeled = good.unionByName(badGibberish).unionByName(badSpam)
+        .select(col("text").as("_1"), col("y").as("_2")).as[(String, Double)]
+      val model = QualityClassifier.fit(labeled, epochs = 60)
+      val bm = s.sparkContext.broadcast(model)
+      val scoreOf = udf((t: String) => bm.value.score(t))
+      d.select(col("doc_id"), round(scoreOf(col("text")), 3).as("quality"),
+          (scoreOf(col("text")) >= 0.5).as("keep"))
+        .orderBy("doc_id")
     }),
 
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
@@ -778,6 +815,20 @@ object TextQueries {
         |SELECT doc_id, shard, n_tokens, CAST(start_off AS BIGINT) AS start_off,
         |  CAST(start_off // 256 AS BIGINT) AS seq_id
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q54_mixture_repeat" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '|mix1'),1,15))::UBIGINT % 10000 AS BIGINT) AS bucket,
+        |    (CASE WHEN source = 'src18' THEN 2.5 WHEN source = 'src7' THEN 0.4 ELSE 1.0 END) AS rate
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(rate) AS BIGINT) +
+        |      (CASE WHEN bucket < CAST(round((rate - FLOOR(rate)) * 10000) AS BIGINT) THEN 1 ELSE 0 END) AS n_copies
+        |  FROM t)
+        |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+        |FROM n, UNNEST(range(1, n_copies + 1)) AS u(copy)
+        |ORDER BY doc_id, copy""".stripMargin,
     // Exact-substring dedup: duplicated 8-gram occurrences minus the one
     // canonical (min doc,pos) occurrence (kept only while df ≤ 64), then a
     // per-doc interval union of the cut [pos, pos+8) spans.

@@ -82,4 +82,42 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"all-pairs plan regressed:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs plan regressed:\n$p")
   }
+
+  test("q51: bloom-negative rows bypass the join — one scan branch is shuffle-free") {
+    val p = executedPlan("q51_bloom_dedup")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    // the definitely-new branch of the Union must be Filter→Scan with no
+    // exchange underneath; only the suspect branch joins history
+    assert(f.contains("Union"), s"two-branch bloom plan missing:\n$f")
+    assert("Exchange hashpartitioning".r.findAllIn(f).length <= 1,
+      s"only the history digest agg may hash-shuffle:\n$f")
+    assert(!f.contains("SortMergeJoin"), s"suspect verify must stay broadcast here:\n$f")
+  }
+
+  test("q52: packing is one shard shuffle + window — no joins, no extra exchanges") {
+    val p = executedPlan("q52_pack_sequences")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(!f.contains("Join"), s"packing must not join:\n$f")
+    assert("Exchange hashpartitioning".r.findAllIn(f).length == 1,
+      s"exactly the shard exchange expected:\n$f")
+    assert(f.contains("Window"), "running-offset window missing")
+  }
+
+  test("q53: substring dedup keeps map-side partial aggregation") {
+    val p = executedPlan("q53_substring_dedup")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"gram aggregation lost its partial stage:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs allowed:\n$p")
+  }
+
+  test("q54: mixture repeat is a pure narrow generate — no shuffle before the sort") {
+    val p = executedPlan("q54_mixture_repeat")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(!f.contains("Exchange hashpartitioning"), s"repeat must not shuffle:\n$f")
+    assert(!f.contains("Join"), s"repeat must not join:\n$f")
+    assert(f.contains("Generate explode"), "explode generate missing")
+  }
 }

@@ -1,0 +1,60 @@
+package graft.filter
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Quality gate for the trained keep/drop classifier: held-out accuracy,
+  * bit-determinism of the distributed fit, and edge handling. */
+class QualityClassifierSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "text").cache()
+
+  /** Weak-supervision corpus: real docs = keep(1); deterministic corruptions
+    * (token-reversed gibberish / repeated-phrase spam) = drop(0). */
+  private def labeledAll = {
+    val good = docs.select($"doc_id", $"text", lit(1.0).as("y"))
+    val gib = docs.filter($"doc_id" % 2 === 0).select($"doc_id",
+      array_join(transform(graft.functions.TextFunctions.tokensLower($"text"),
+        t => reverse(t)), " ").as("text"), lit(0.0).as("y"))
+    val spam = docs.filter($"doc_id" % 2 === 1).select($"doc_id",
+      concat(lit(Seq.fill(12)("buy now limited offer click here").mkString(" ")),
+        lit(" #"), $"doc_id".cast("string")).as("text"), lit(0.0).as("y"))
+    good.unionByName(gib).unionByName(spam)
+  }
+
+  test("held-out accuracy >= 0.95 on both classes") {
+    val all = labeledAll
+    // hash split so train/test are disjoint and layout-independent
+    val isTest = pmod(conv(substring(md5(concat($"doc_id".cast("string"), $"y")), 1, 15), 16, 10)
+      .cast("long"), lit(5)) === 0
+    val train = all.filter(!isTest)
+    val test = all.filter(isTest).select("text", "y").as[(String, Double)].collect()
+    val model = QualityClassifier.fit(
+      train.select($"text".as("_1"), $"y".as("_2")).as[(String, Double)], epochs = 60)
+    val (tp, tn, np, nn) = test.foldLeft((0, 0, 0, 0)) { case ((tp, tn, np, nn), (t, y)) =>
+      val k = model.keep(t)
+      if (y == 1.0) (tp + (if (k) 1 else 0), tn, np + 1, nn)
+      else (tp, tn + (if (!k) 1 else 0), np, nn + 1)
+    }
+    assert(np > 5 && nn > 5, s"degenerate split np=$np nn=$nn")
+    assert(tp.toDouble / np >= 0.95, s"keep recall ${tp.toDouble / np} ($tp/$np)")
+    assert(tn.toDouble / nn >= 0.95, s"drop recall ${tn.toDouble / nn} ($tn/$nn)")
+  }
+
+  test("distributed fit is bit-identical under different partition layouts") {
+    val l = labeledAll.select($"text".as("_1"), $"y".as("_2")).as[(String, Double)]
+    val m1 = QualityClassifier.fit(l.repartition(3), epochs = 5)
+    val m2 = QualityClassifier.fit(l.repartition(17), epochs = 5)
+    assert(m1.bias == m2.bias)
+    assert(java.util.Arrays.equals(m1.weights, m2.weights))
+  }
+
+  test("empty and null text fall back to the bias prior") {
+    val l = labeledAll.select($"text".as("_1"), $"y".as("_2")).as[(String, Double)]
+    val m = QualityClassifier.fit(l, epochs = 3)
+    assert(m.score("") == m.score("   "))
+    assert(m.score(null) == m.score(""))
+  }
+}

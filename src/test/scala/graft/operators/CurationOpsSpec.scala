@@ -73,6 +73,28 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(statsTotal == rawTotal)
   }
 
+  // --- weightedRepeat (data mixture) --------------------------------------
+
+  test("weighted repeat realizes fractional epoch rates and stays deterministic") {
+    val src = docs.select($"doc_id", when($"doc_id" % 2 === 0, "up").otherwise("down").as("source"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedRepeat(df, $"source", $"doc_id",
+        Map("up" -> 2.5, "down" -> 0.4), default = 1.0, salt = "t")
+    val out = run(src).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUp = src.filter($"source" === "up").count()
+    val nDown = src.count() - nUp
+    assert(math.abs(out("up").toDouble / nUp - 2.5) < 0.2, out.toString)
+    assert(math.abs(out("down").toDouble / nDown - 0.4) < 0.2, out.toString)
+    // integer part is guaranteed per-row: every 'up' doc appears ≥ 2 times
+    val minUp = run(src).filter($"source" === "up").groupBy("doc_id").count()
+      .agg(min("count")).head().getLong(0)
+    assert(minUp >= 2)
+    // layout-invariant
+    assert(run(src).select("doc_id", "copy").as[(Long, Long)].collect().sorted.toSeq ==
+      run(src.repartition(7)).select("doc_id", "copy").as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   // --- ExactSubstring ---------------------------------------------------
 
   private val corpus = Seq(
