@@ -32,12 +32,17 @@ import org.apache.spark.sql.functions._
 object ExactSubstring {
 
   /** Positional k-grams: (id, pos, g), pos 1-based over the lowered
-    * whitespace tokens. Documents shorter than `k` tokens emit nothing. */
+    * whitespace tokens; `g` is the portable 60-bit hash of the gram, not the
+    * gram string — the agg/join key shrinks from ~50 B to 8 B, which is most
+    * of this operator's shuffle volume at crawl scale. (Hash collisions can
+    * in principle mark a unique span duplicated; at 2⁻⁶⁰ per pair this is
+    * the same trade Lee et al.'s hash-bucketed variants make.)
+    * Documents shorter than `k` tokens emit nothing. */
   private def occurrences(df: DataFrame, idCol: String, textCol: String,
                           k: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         posexplode(TF.ngrams(col(textCol), k, distinct = false)))
-      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+      .select(col("id"), (col("pos") + 1).as("pos"), TF.hash60(col("col")).as("g"))
 
   /** Spans to cut: every non-canonical occurrence of a duplicated k-gram,
     * as (id, pos). Grams with document frequency above `maxDf` are treated

@@ -842,7 +842,8 @@ object TextQueries {
         |), toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u
         |), occ AS (
-        |  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+        |  SELECT doc_id, i AS pos,
+        |    ('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15))::UBIGINT AS g
         |  FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
         |  WHERE len(w) >= 8
         |), ranked AS (

@@ -134,6 +134,40 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(st(1L) == 0L)
   }
 
+  test("exact-substring differential fuzz vs brute-force reference") {
+    val k = 3
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 5) {
+      // small vocab + short docs ⇒ organic duplicated spans
+      val corpus = (1L to 30L).map { id =>
+        val n = 4 + rnd.nextInt(12)
+        (id, Seq.fill(n)("t" + rnd.nextInt(6)).mkString(" "))
+      }
+      // brute force: positional k-grams, global canonical, interval union
+      val occ = corpus.flatMap { case (id, text) =>
+        val w = text.split("\\s+")
+        (0 to w.length - k).map(i => ((id, i + 1), w.slice(i, i + k).mkString(" ")))
+      }
+      val byGram = occ.groupBy(_._2)
+      val cuts = occ.collect {
+        case ((id, pos), g) if byGram(g).size > 1 && byGram(g).map(_._1).min != ((id, pos)) =>
+          (id, pos)
+      }
+      val want = corpus.map { case (id, text) =>
+        val ps = cuts.filter(_._1 == id).map(_._2).sorted
+        val covered = ps.foldLeft((0L, 0)) { case ((acc, hi), p) =>
+          (acc + math.min(k, math.max(0, p + k - math.max(hi, p))), math.max(hi, p + k))
+        }._1
+        id -> (ps.size.toLong, covered)
+      }.toMap
+      val got = ExactSubstring.stats(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          k = k, maxDf = 1000)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("n_spans"), r.getAs[Long]("n_cut"))).toMap
+      assert(got == want, s"trial $trial: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+    }
+  }
+
   test("exact-substring: boilerplate above maxDf is cut everywhere (no canonical)") {
     val many = (1L to 6L).map(i => (i, s"x$i start boiler plate text shared by all docs end y$i"))
       .toDF("doc_id", "text")
