@@ -84,6 +84,22 @@ object QualityPipeline {
       .withColumn("keep", size(col("drop_reasons")) === 0)
   }
 
+  /** Optional stage 3c: trained quality classifier (fastText-style logistic
+    * model, fit DISTRIBUTED upstream via QualityClassifier.fit) — broadcast-
+    * weights scalar scoring, no shuffle; documents under `minScore` get a
+    * drop reason. The model-based filter stage of CCNet/DCLM-style pipelines. */
+  def classifierStage(df: DataFrame,
+                      model: org.apache.spark.broadcast.Broadcast[graft.filter.QualityModel],
+                      minScore: Double): DataFrame = {
+    val scoreOf = udf((t: String) => model.value.score(t))
+    df.withColumn("quality_score", scoreOf(col("text")))
+      .withColumn("drop_reasons",
+        when(col("quality_score") < minScore,
+          array_union(col("drop_reasons"), array(lit("low_quality_score"))))
+          .otherwise(col("drop_reasons")))
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+  }
+
   /** Stage 4: PII detection + redaction in ONE detector pass per row
     * (process_pii expression; patterns are executor singletons). */
   def piiStage(df: DataFrame): DataFrame =

@@ -112,6 +112,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(dropped.filter(array_contains(col("drop_reasons"), "high_perplexity")).count() == 1)
   }
 
+  test("classifier stage drops spam, keeps real pages") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val spamText = Seq.fill(12)("buy now limited offer click here").mkString(" ")
+    val labeled = d.select($"text", lit(1.0).as("y"))
+      .unionByName(d.select(
+        concat(lit(spamText), lit(" #"), $"doc_id".cast("string")).as("text"),
+        lit(0.0).as("y")))
+      .select($"text".as("_1"), $"y".as("_2")).as[(String, Double)]
+    val model = spark.sparkContext.broadcast(
+      graft.filter.QualityClassifier.fit(labeled, epochs = 40))
+    val base = QualityPipeline.qualityStage(QualityPipeline.langIdStage(
+      QualityPipeline.extract(SyntheticPages.fromDocuments(spark, sfDir))))
+    val scored = QualityPipeline.classifierStage(base, model, minScore = 0.5).cache()
+    assert(scored.filter(array_contains(col("drop_reasons"), "low_quality_score")).count() == 0)
+    val spam = base.limit(1).withColumn("text", lit(spamText + " #buy"))
+    val droppedSpam = QualityPipeline.classifierStage(spam, model, minScore = 0.5)
+    assert(droppedSpam.filter(array_contains(col("drop_reasons"), "low_quality_score")).count() == 1)
+    assert(droppedSpam.filter(col("keep")).count() == 0)
+  }
+
   test("observe() metrics accumulate during the main action (no extra pass)") {
     val obs = org.apache.spark.sql.Observation("pipeline")
     val result = QualityPipeline.observed(
