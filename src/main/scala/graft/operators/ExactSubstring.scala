@@ -76,6 +76,37 @@ object ExactSubstring {
       .withColumn("cut_ratio", round(col("n_cut").cast("double") / col("n_tokens"), 4))
   }
 
+  /** C4-style line-level exact dedup: any line whose TRIMMED content occurs
+    * more than once in the corpus is removed everywhere except its first
+    * (min doc id, line number) occurrence; lines repeated in more than
+    * `maxDf` documents are boilerplate and removed everywhere. Documents are
+    * rebuilt from their surviving lines in original order.
+    *
+    * Same plan skeleton as the span dedup — 60-bit trimmed-line hash as the
+    * one shuffle key (uniform, 8 B), partial-agg'd count+canonical per
+    * distinct line, then one join back and a per-doc rebuild (groupBy id).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 maxDf: Long = 1000000): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")))
+      .select(col("id"), (col("pos") + 1).as("line_no"), col("col").as("line"))
+      .withColumn("key", TF.hash60(trim(col("line"))))
+    val dups = lines.groupBy("key").agg(
+        count(lit(1)).as("n_occ"),
+        min(struct(col("id"), col("line_no"))).as("canon"))
+      .filter(col("n_occ") > 1)
+    lines.join(dups, Seq("key"), "left")
+      .filter(col("n_occ").isNull ||
+        (col("n_occ") <= lit(maxDf) &&
+          col("id") === col("canon.id") && col("line_no") === col("canon.line_no")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x("line")), "\n").as("text_dedup"))
+  }
+
   /** Scrubbed corpus: each document's lowered token stream with every cut
     * span's tokens removed (id, text_dedup). Span lists ride a broadcast-or-
     * shuffle join keyed by doc id; the per-token membership test is a

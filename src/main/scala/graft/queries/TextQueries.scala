@@ -462,6 +462,20 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // C4-style line-level dedup: every doc gets a unique footer line plus a
+    // corpus-wide boilerplate line; only the canonical (first) occurrence of
+    // the boilerplate survives, docs are rebuilt from surviving lines.
+    "q56_line_dedup" -> ((s, dir) => {
+      import graft.operators.ExactSubstring
+      val withLines = rawDocs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nDoc "), col("doc_id").cast("string"), lit(" unique footer."),
+          lit("\nSubscribe to our newsletter for updates")).as("text"))
+      ExactSubstring.dedupLines(withLines, "doc_id", "text")
+        .select(col("id"), col("n_lines_kept"), md5(col("text_dedup")).as("dedup_md5"))
+        .orderBy("id")
+    }),
+
     // Model-based quality filter (CCNet/DCLM stage): fastText-style logistic
     // classifier trained DISTRIBUTED (fixed-point treeAggregate epochs — bit-
     // deterministic under any partitioning) on weak labels (real docs = keep;
@@ -794,6 +808,30 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         |  ROUND(CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
         |FROM withdf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q56_line_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'Doc ' || doc_id || ' unique footer.' ||
+        |    chr(10) || 'Subscribe to our newsletter for updates' AS text
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM u
+        |), lines AS (
+        |  SELECT doc_id, i AS line_no, ls[i] AS line,
+        |    ('0x'||substr(md5(trim(ls[i])),1,15))::UBIGINT AS key
+        |  FROM ln, UNNEST(range(1, len(ls) + 1)) AS t(i)
+        |), occ AS (
+        |  SELECT doc_id, line_no, line,
+        |    COUNT(*) OVER (PARTITION BY key) AS n_occ,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, line_no) AS rn
+        |  FROM lines
+        |), kept AS (
+        |  SELECT doc_id, line_no, line FROM occ
+        |  WHERE n_occ = 1 OR (n_occ <= 1000000 AND rn = 1)
+        |)
+        |SELECT doc_id AS id, COUNT(*) AS n_lines_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS dedup_md5
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_bloom_dedup" ->
       """SELECT b.doc_id, md5(b.text) AS digest
         |FROM documents b

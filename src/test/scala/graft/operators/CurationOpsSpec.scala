@@ -134,6 +134,24 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(st(1L) == 0L)
   }
 
+  test("line dedup keeps first occurrence, drops boilerplate above maxDf everywhere") {
+    val c = Seq(
+      (1L, "alpha one\nshared boilerplate\nbeta one"),
+      (2L, "alpha two\nshared boilerplate\nbeta two"),
+      (3L, "  shared boilerplate  \ngamma three") // trimmed key matches too
+    ).toDF("doc_id", "text")
+    val out = ExactSubstring.dedupLines(c, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_lines_kept"), r.getAs[String]("text_dedup"))).toMap
+    assert(out(1L) == (3L, "alpha one\nshared boilerplate\nbeta one"))
+    assert(out(2L) == (2L, "alpha two\nbeta two"))
+    assert(out(3L) == (1L, "gamma three"))
+    // with maxDf 2 the 3-doc boilerplate is dropped everywhere, doc 1 included
+    val capped = ExactSubstring.dedupLines(c, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text_dedup")).toMap
+    assert(capped(1L) == "alpha one\nbeta one")
+  }
+
   test("exact-substring differential fuzz vs brute-force reference") {
     val k = 3
     val rnd = new scala.util.Random(20260816L)
