@@ -46,17 +46,21 @@ object ExactSubstring {
 
   /** Spans to cut: every non-canonical occurrence of a duplicated k-gram,
     * as (id, pos). Grams with document frequency above `maxDf` are treated
-    * as boilerplate: ALL occurrences are cut (no canonical survivor). */
+    * as boilerplate: ALL occurrences are cut (no canonical survivor).
+    *
+    * Formulated as one window over the gram key rather than
+    * groupBy + join-back: gram keys are near-unique in real corpora, so a
+    * partial aggregation barely reduces before its shuffle and the join
+    * would move the occurrence set a second time — the window form shuffles
+    * the occurrences exactly once. */
   def cutSpans(df: DataFrame, idCol: String, textCol: String,
                k: Int = 8, maxDf: Long = 64): DataFrame = {
-    val occ = occurrences(df, idCol, textCol, k)
-    val grams = occ.groupBy("g").agg(
-        count(lit(1)).as("n_occ"),
-        min(struct(col("id"), col("pos"))).as("canon"))
-      .filter(col("n_occ") > 1)
-    occ.join(grams, Seq("g"))
-      .filter(col("n_occ") > lit(maxDf) ||
-        !(col("id") === col("canon.id") && col("pos") === col("canon.pos")))
+    val wg = Window.partitionBy("g")
+    val wgOrd = wg.orderBy("id", "pos")
+    occurrences(df, idCol, textCol, k)
+      .withColumn("n_occ", count(lit(1)).over(wg))
+      .withColumn("rn", row_number().over(wgOrd))
+      .filter(col("n_occ") > 1 && (col("n_occ") > lit(maxDf) || col("rn") > 1))
       .select("id", "pos")
   }
 
