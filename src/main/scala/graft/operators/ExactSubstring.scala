@@ -87,23 +87,20 @@ object ExactSubstring {
     * rebuilt from their surviving lines in original order.
     *
     * Same plan skeleton as the span dedup — 60-bit trimmed-line hash as the
-    * one shuffle key (uniform, 8 B), partial-agg'd count+canonical per
-    * distinct line, then one join back and a per-doc rebuild (groupBy id).
-    */
+    * one uniform 8-byte shuffle key, a single window over it (lines move
+    * once; see cutSpans for why not groupBy + join-back), then a per-doc
+    * rebuild (groupBy id). A document whose every line is removed (pure
+    * boilerplate) drops out of the corpus entirely. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  maxDf: Long = 1000000): DataFrame = {
-    val lines = df.select(col(idCol).cast("long").as("id"),
+    val wk = Window.partitionBy("key")
+    df.select(col(idCol).cast("long").as("id"),
         posexplode(split(col(textCol), "\n")))
       .select(col("id"), (col("pos") + 1).as("line_no"), col("col").as("line"))
       .withColumn("key", TF.hash60(trim(col("line"))))
-    val dups = lines.groupBy("key").agg(
-        count(lit(1)).as("n_occ"),
-        min(struct(col("id"), col("line_no"))).as("canon"))
-      .filter(col("n_occ") > 1)
-    lines.join(dups, Seq("key"), "left")
-      .filter(col("n_occ").isNull ||
-        (col("n_occ") <= lit(maxDf) &&
-          col("id") === col("canon.id") && col("line_no") === col("canon.line_no")))
+      .withColumn("n_occ", count(lit(1)).over(wk))
+      .withColumn("rn", row_number().over(wk.orderBy("id", "line_no")))
+      .filter(col("n_occ") === 1 || (col("n_occ") <= lit(maxDf) && col("rn") === 1))
       .groupBy("id")
       .agg(count(lit(1)).as("n_lines_kept"),
         array_join(transform(

@@ -47,9 +47,13 @@ object IncrementalDedup {
     val bfB = batch.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((d: String) => d != null && bfB.value.mightContainString(d))
 
+    // No distinct() on the history side: LEFT ANTI semantics are unaffected
+    // by right-side duplicates, and a distinct would shuffle the ENTIRE
+    // history every batch. At 10¹²-key scale the history digest table is
+    // stored bucketed by digest, so the verify join moves only the suspects.
     val definitelyNew = batch.filter(!mightContain(col(digestCol)))
     val suspects = batch.filter(mightContain(col(digestCol)))
-      .join(history.select(digestCol).distinct(), Seq(digestCol), "left_anti")
+      .join(history.select(digestCol), Seq(digestCol), "left_anti")
     definitelyNew.unionByName(suspects)
   }
 }
