@@ -187,7 +187,91 @@ object DeflateRatio {
   private val buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 }
 
+/** Single-pass fused quality signals: one scan of the document replaces the
+  * four separate regex tokenizations the built-in formulation pays
+  * (`split` for the word count, `regexp_replace` for the char count, a
+  * second lowered `split` + per-token `rlike` for the alpha ratio, two
+  * `regexp_replace` for the symbol counts) — measured at ~40% of the whole
+  * pipeline's CPU on the 1M-page bench before fusing.
+  *
+  * Value parity with the built-ins is EXACT and spec-pinned
+  * (QualitySignalsSpec): token boundaries are Java-regex `\s+` runs
+  * ([ \t\n\f\r] — NOT Unicode whitespace) over the space-trimmed text
+  * (Spark `trim` strips U+0020 only), with the leading/trailing empty tokens
+  * Spark's `split(limit=-1)` keeps; the alpha check runs on the
+  * UTF8String-lowercased text exactly like `lower()`.
+  */
+case class QualitySignals(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_symbols", IntegerType, nullable = false),
+    StructField("n_alpha_words", IntegerType, nullable = false)))
+  override def prettyName: String = "quality_signals"
+
+  @inline private def isJWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** split(trim(s), "\s+", -1).length: non-ws runs inside the space-trimmed
+    * region, plus the empty tokens a leading/trailing \s char produces. */
+  private def wordCount(s: String): Int = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == e) return 1 // split("") == [""]
+    var runs = 0
+    var i = b
+    while (i < e) {
+      if (!isJWs(s.charAt(i))) {
+        runs += 1
+        while (i < e && !isJWs(s.charAt(i))) i += 1
+      } else i += 1
+    }
+    runs + (if (isJWs(s.charAt(b))) 1 else 0) + (if (isJWs(s.charAt(e - 1))) 1 else 0)
+  }
+
+  /** Tokens (of the lowered text) containing at least one ASCII letter. */
+  private def alphaWords(lowered: String): Int = {
+    var n = 0
+    var i = 0
+    val len = lowered.length
+    while (i < len) {
+      if (!isJWs(lowered.charAt(i))) {
+        var alpha = false
+        while (i < len && !isJWs(lowered.charAt(i))) {
+          val c = lowered.charAt(i)
+          if (c >= 'a' && c <= 'z') alpha = true
+          i += 1
+        }
+        if (alpha) n += 1
+      } else i += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    var nChars = 0
+    var nSym = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!isJWs(c)) nChars += 1
+      if (c == '#' || c == '…') nSym += 1
+      i += 1
+    }
+    InternalRow(wordCount(s), nChars, nSym, alphaWords(u.toLowerCase.toString))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object QualityFunctions {
+  def quality_signals(c: Column): Column =
+    ColumnBridge.column(QualitySignals(ColumnBridge.expression(c)))
   def repetition_ratio(c: Column, n: Int): Column =
     ColumnBridge.column(RepetitionRatio(ColumnBridge.expression(c), n))
   def langid(c: Column, model: LangIdModel = LangIdModel.default): Column =

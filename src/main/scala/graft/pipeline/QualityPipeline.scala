@@ -48,12 +48,18 @@ object QualityPipeline {
 
   /** Stage 3: Gopher/C4-style heuristic quality signals + drop reasons. */
   def qualityStage(df: DataFrame, cfg: Config = Config()): DataFrame = {
+    // One fused single-pass scan for the ratio signals (value-parity with
+    // the TF built-in formulations pinned in QualitySignalsSpec) — the
+    // built-ins re-tokenize the document four times and were ~40% of the
+    // whole pipeline's CPU on the 1M-page bench.
     val withSignals = df
-      .withColumn("n_words", TF.tokenCount(col("text")))
-      .withColumn("mean_word_len", TF.meanWordLen(col("text")))
-      .withColumn("symbol_ratio", TF.symbolToWordRatio(col("text")))
-      .withColumn("alpha_word_ratio", TF.alphaWordRatio(col("text")))
+      .withColumn("qs", QualityFunctions.quality_signals(col("text")))
+      .withColumn("n_words", col("qs.n_words"))
+      .withColumn("mean_word_len", col("qs.n_chars").cast("double") / col("qs.n_words"))
+      .withColumn("symbol_ratio", col("qs.n_symbols").cast("double") / col("qs.n_words"))
+      .withColumn("alpha_word_ratio", col("qs.n_alpha_words").cast("double") / col("qs.n_words"))
       .withColumn("repetition_ratio", QualityFunctions.repetition_ratio(col("text"), 2))
+      .drop("qs")
     val reasons = array_compact(array(
       when(col("n_words") < cfg.minWords, lit("too_few_words")),
       when(col("n_words") > cfg.maxWords, lit("too_many_words")),

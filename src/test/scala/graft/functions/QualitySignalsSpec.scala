@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Value parity of the fused single-pass QualitySignals expression with the
+  * built-in formulations it replaces (split/regexp_replace/rlike chains) —
+  * on the real corpus AND on the whitespace/Unicode edge cases where the
+  * built-ins' exact semantics bite (Spark trim strips only U+0020; Java \s
+  * is NOT Unicode whitespace; split keeps leading/trailing empty tokens). */
+class QualitySignalsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def builtins(df: org.apache.spark.sql.DataFrame) = df.select(
+    col("id"),
+    TF.tokenCount(col("text")).as("n_words"),
+    TF.meanWordLen(col("text")).as("mean_word_len"),
+    TF.symbolToWordRatio(col("text")).as("symbol_ratio"),
+    TF.alphaWordRatio(col("text")).as("alpha_word_ratio"))
+
+  private def fused(df: org.apache.spark.sql.DataFrame) = df.select(
+    col("id"),
+    QualityFunctions.quality_signals(col("text")).as("qs"))
+    .select(col("id"),
+      col("qs.n_words").as("n_words"),
+      (col("qs.n_chars").cast("double") / col("qs.n_words")).as("mean_word_len"),
+      (col("qs.n_symbols").cast("double") / col("qs.n_words")).as("symbol_ratio"),
+      (col("qs.n_alpha_words").cast("double") / col("qs.n_words")).as("alpha_word_ratio"))
+
+  private def assertParity(df: org.apache.spark.sql.DataFrame): Unit = {
+    val want = builtins(df).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val got = fused(df).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, w) <- want) {
+      val g = got(id)
+      val same = w.zip(g).forall {
+        case (a: Double, b: Double) => (a.isNaN && b.isNaN) || a == b
+        case (a, b) => a == b
+      }
+      assert(same, s"id=$id fused=$g builtins=$w")
+    }
+  }
+
+  test("parity on the documents corpus") {
+    assertParity(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".as("id"), $"text"))
+  }
+
+  test("parity on whitespace / Unicode edge cases") {
+    val edges = Seq(
+      "",
+      " ",
+      "   ",
+      "\t",
+      "\tword",
+      "word\n",
+      "\t two \n three \r",
+      "vertical\ftab\r",
+      "one",
+      "İstanbul DOES lower oddly",
+      "KelvinK sign",
+      "nbsp is not java ws",
+      "### ## … … x",
+      "…",
+      "한국어 텍스트 no ascii",
+      "MiXeD CaSe AlPhA",
+      "ab controls  inside",
+      "ends with tab\t",
+      " \t mixed leading",
+      "#hash…ellipsis#mix")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    assertParity(edges.toDF("id", "text"))
+  }
+}
