@@ -503,6 +503,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer training: learned BPE merges (Sennrich) — distributed word
+    // counts (one map-side-combined shuffle), deterministic capped merge
+    // loop. No SQL oracle (iterative argmax) — golden-pinned.
+    "q57_bpe_vocab" -> ((s, dir) => {
+      import graft.operators.BpeVocab
+      val model = BpeVocab.fit(rawDocs(s, dir), "text", nMerges = 64, maxWords = 4096)
+      import s.implicits._
+      model.merges.map(m => (m.rank, m.left, m.right, m.count))
+        .toDF("rank", "left", "right", "n")
+        .orderBy("rank")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+/** BPE vocabulary learning: hand-derived merges on the classic Sennrich
+  * example, encode behavior, and layout-invariance of the distributed fit. */
+class BpeVocabSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // classic corpus: low ×5, lower ×2, newest ×6, widest ×3
+  private def corpus = (
+    Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+    Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+  ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+
+  test("learns the hand-derived merges on the Sennrich example") {
+    val m = BpeVocab.fit(corpus, "text", nMerges = 3)
+    val got = m.merges.map(x => (x.left, x.right, x.count))
+    // (e,s)=9 ties (s,t</w>)=9 → lexicographic; then (es,t</w>)=9; then (l,o)=7
+    assert(got == Seq(("e", "s", 9L), ("es", "t</w>", 9L), ("l", "o", 7L)), got.toString)
+  }
+
+  test("encode applies merges in rank order, handles unseen words") {
+    val m = BpeVocab.fit(corpus, "text", nMerges = 3)
+    assert(m.encode("lowest") == Seq("lo", "w", "est</w>"))
+    assert(m.encode("low") == Seq("lo", "w</w>"))
+    assert(m.encode("zz") == Seq("z", "z</w>"))
+    assert(m.encode("") == Seq.empty)
+  }
+
+  test("fit is layout-invariant and exhausts gracefully") {
+    val a = BpeVocab.fit(corpus.repartition(2), "text", nMerges = 100)
+    val b = BpeVocab.fit(corpus.repartition(9), "text", nMerges = 100)
+    assert(a.merges == b.merges)
+    // merge space exhausts once every word is a single symbol
+    assert(a.merges.size < 100)
+  }
+
+  test("corpus-scale fit produces frequency-ordered early merges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m = BpeVocab.fit(docs, "text", nMerges = 16, maxWords = 2048)
+    assert(m.merges.size == 16)
+    // merge counts never increase with rank beyond pair-recount effects at
+    // the very first ranks; at minimum rank 0 is the global argmax
+    assert(m.merges.head.count == m.merges.map(_.count).max)
+  }
+}
