@@ -78,12 +78,15 @@ object Bench {
     val coldTimes = headline.map { name =>
       name -> time(force(SparkEntry.queries(name)(spark, sfDir)))
     }
-    // warm = best of 2 — a single warm pass can still catch a codegen/
-    // broadcast warmup tail or a VM-steal burst and mask real regressions
+    // warm = best of 2 for the heavier queries — a single warm pass can
+    // still catch a codegen/broadcast warmup tail or a VM-steal burst and
+    // mask real regressions; sub-1.5s queries are stable enough on one pass
+    // (keeps total bench wall-time bounded for the driver's timeout)
     val queryTimes = headline.map { name =>
-      name -> math.min(
-        time(force(SparkEntry.queries(name)(spark, sfDir))),
-        time(force(SparkEntry.queries(name)(spark, sfDir))))
+      val first = time(force(SparkEntry.queries(name)(spark, sfDir)))
+      val best = if (first <= 1.5) first
+        else math.min(first, time(force(SparkEntry.queries(name)(spark, sfDir))))
+      name -> best
     }
 
     // --- two-parallelism pipeline scaling -------------------------------
