@@ -42,6 +42,27 @@ object QualityClassifier {
 
   @inline private[filter] def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
 
+  /** Deterministic weak-supervision corpus — ONE definition shared by the
+    * q55 query (whose model the golden pins) and the held-out accuracy gate
+    * (QualityClassifierSpec), so the gate always measures exactly the
+    * pinned model's training recipe: real docs = keep(1); token-reversed
+    * gibberish and repeated-phrase spam = drop(0). Output: (id, text, y). */
+  def weakLabels(docs: org.apache.spark.sql.DataFrame,
+                 idCol: org.apache.spark.sql.Column,
+                 textCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spamText = Seq.fill(12)("buy now limited offer click here").mkString(" ")
+    val good = docs.select(idCol.as("id"), textCol.as("text"), lit(1.0).as("y"))
+    val gibberish = docs.filter(idCol % 2 === 0).select(idCol.as("id"),
+      array_join(transform(graft.functions.TextFunctions.tokensLower(textCol),
+        t => reverse(t)), " ").as("text"),
+      lit(0.0).as("y"))
+    val spam = docs.filter(idCol % 2 === 1).select(idCol.as("id"),
+      concat(lit(spamText), lit(" #"), idCol.cast("string")).as("text"),
+      lit(0.0).as("y"))
+    good.unionByName(gibberish).unionByName(spam)
+  }
+
   /** Hashed feature buckets: token unigrams + bigrams of the lowered
     * whitespace tokens (multiset — repeats keep their weight, as in
     * fastText's bag). Capped at the first 2000 tokens to bound per-row cost

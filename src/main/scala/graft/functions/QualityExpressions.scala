@@ -259,7 +259,9 @@ case class QualitySignals(child: Expression)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (!isJWs(c)) nChars += 1
+      // CODE POINTS, not UTF-16 units — Spark length() counts code points,
+      // so a surrogate pair (emoji) is one char: skip the low half.
+      if (!isJWs(c) && !Character.isLowSurrogate(c)) nChars += 1
       if (c == '#' || c == '…') nSym += 1
       i += 1
     }

@@ -62,22 +62,47 @@ object BpeVocab {
       .as[(String, Long)].collect().toSeq
   }
 
-  /** Learn `nMerges` BPE merges from the corpus. */
+  /** Learn `nMerges` BPE merges from the corpus.
+    *
+    * The merge loop is pair-indexed (pair → count, pair → words containing
+    * it): each rank rewrites ONLY the words that contain the winning pair
+    * and adjusts counts by the rewritten words' deltas — not a full recount
+    * over the word table. The argmax scan stays a full pass over live pairs
+    * so the lexicographic tie-break is order-independent (deterministic for
+    * any layout). This is the structure real BPE trainers use; the naive
+    * recount-everything loop is O(nMerges × total symbols) and takes hours
+    * at a 32k-merge vocab. */
   def fit(df: DataFrame, textCol: String, nMerges: Int,
           maxWords: Int = 1 << 16): Model = {
     // word → symbol sequence (chars + </w> on the last), weighted by count
-    var words: Vector[(Array[String], Long)] = wordCounts(df, textCol, maxWords)
+    val words: Array[(Array[String], Long)] = wordCounts(df, textCol, maxWords)
       .map { case (w, c) =>
         (w.init.map(_.toString).toArray :+ (w.last.toString + "</w>"), c)
-      }.toVector
+      }.toArray
+
+    val pairCounts = new java.util.HashMap[(String, String), Long]()
+    // pair → word indices that contained it when last touched; entries may
+    // go stale after rewrites — containment is re-checked before use
+    val pairWords = new java.util.HashMap[(String, String), java.util.BitSet]()
+    def addWordPairs(idx: Int, sign: Long): Unit = {
+      val (syms, c) = words(idx)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val n = pairCounts.merge(p, sign * c, (a, b) => a + b)
+        if (n <= 0) pairCounts.remove(p)
+        else if (sign > 0)
+          pairWords.computeIfAbsent(p, _ => new java.util.BitSet(words.length)).set(idx)
+        i += 1
+      }
+    }
+    var w = 0
+    while (w < words.length) { addWordPairs(w, 1); w += 1 }
 
     val merges = Vector.newBuilder[Merge]
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
-      val pairCounts = new java.util.HashMap[(String, String), Long]()
-      for ((syms, c) <- words; i <- 0 until syms.length - 1)
-        pairCounts.merge((syms(i), syms(i + 1)), c, (a, b) => a + b)
       if (pairCounts.isEmpty) exhausted = true
       else {
         var best: ((String, String), Long) = null
@@ -89,19 +114,33 @@ object BpeVocab {
         val ((l, r), c) = best
         merges += Merge(rank, l, r, c)
         val fused = l + r
-        words = words.map { case (syms, wc) =>
-          if (syms.length < 2) (syms, wc)
-          else {
-            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        val affected = pairWords.remove((l, r))
+        if (affected != null) {
+          var idx = affected.nextSetBit(0)
+          while (idx >= 0) {
+            val (syms, wc) = words(idx)
+            var contains = false
             var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += fused; i += 2
-              } else { out += syms(i); i += 1 }
+            while (!contains && i < syms.length - 1) {
+              contains = syms(i) == l && syms(i + 1) == r
+              i += 1
             }
-            (out.toArray, wc)
+            if (contains) { // stale index entries are skipped
+              addWordPairs(idx, -1)
+              val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+              i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                  out += fused; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              words(idx) = (out.toArray, wc)
+              addWordPairs(idx, 1)
+            }
+            idx = affected.nextSetBit(idx + 1)
           }
         }
+        pairCounts.remove((l, r))
         rank += 1
       }
     }

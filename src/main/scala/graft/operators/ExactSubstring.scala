@@ -45,8 +45,10 @@ object ExactSubstring {
       .select(col("id"), (col("pos") + 1).as("pos"), TF.hash60(col("col")).as("g"))
 
   /** Spans to cut: every non-canonical occurrence of a duplicated k-gram,
-    * as (id, pos). Grams with document frequency above `maxDf` are treated
-    * as boilerplate: ALL occurrences are cut (no canonical survivor).
+    * as (id, pos). Grams with more than `maxDf` total OCCURRENCES (whether
+    * spread across documents or repeated inside one spammy page — both are
+    * flood risks) are treated as boilerplate: ALL occurrences are cut, no
+    * canonical survivor.
     *
     * Formulated as one window over the gram key rather than
     * groupBy + join-back: gram keys are near-unique in real corpora, so a
@@ -82,9 +84,11 @@ object ExactSubstring {
 
   /** C4-style line-level exact dedup: any line whose TRIMMED content occurs
     * more than once in the corpus is removed everywhere except its first
-    * (min doc id, line number) occurrence; lines repeated in more than
-    * `maxDf` documents are boilerplate and removed everywhere. Documents are
-    * rebuilt from their surviving lines in original order.
+    * (min doc id, line number) occurrence; lines with more than `maxDf`
+    * total occurrences are boilerplate and removed everywhere (occurrence
+    * count, not per-document frequency — within-doc repetition is the same
+    * flood risk). Documents are rebuilt from their surviving lines in
+    * original order.
     *
     * Same plan skeleton as the span dedup — 60-bit trimmed-line hash as the
     * one uniform 8-byte shuffle key, a single window over it (lines move

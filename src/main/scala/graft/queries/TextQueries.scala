@@ -485,15 +485,7 @@ object TextQueries {
       import graft.filter.QualityClassifier
       import s.implicits._
       val d = rawDocs(s, dir).select(col("doc_id"), col("text"))
-      val good = d.select(col("text"), lit(1.0).as("y"))
-      val badGibberish = d.filter(col("doc_id") % 2 === 0).select(
-        array_join(transform(TF.tokensLower(col("text")), t => reverse(t)), " ").as("text"),
-        lit(0.0).as("y"))
-      val badSpam = d.filter(col("doc_id") % 2 === 1).select(
-        concat(lit(Seq.fill(12)("buy now limited offer click here").mkString(" ")),
-          lit(" #"), col("doc_id").cast("string")).as("text"),
-        lit(0.0).as("y"))
-      val labeled = good.unionByName(badGibberish).unionByName(badSpam)
+      val labeled = QualityClassifier.weakLabels(d, col("doc_id"), col("text"))
         .select(col("text").as("_1"), col("y").as("_2")).as[(String, Double)]
       val model = QualityClassifier.fit(labeled, epochs = 60)
       val bm = s.sparkContext.broadcast(model)

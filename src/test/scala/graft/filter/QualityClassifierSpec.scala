@@ -11,24 +11,15 @@ class QualityClassifierSpec extends SparkSpecBase {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     .select("doc_id", "text").cache()
 
-  /** Weak-supervision corpus: real docs = keep(1); deterministic corruptions
-    * (token-reversed gibberish / repeated-phrase spam) = drop(0). */
-  private def labeledAll = {
-    val good = docs.select($"doc_id", $"text", lit(1.0).as("y"))
-    val gib = docs.filter($"doc_id" % 2 === 0).select($"doc_id",
-      array_join(transform(graft.functions.TextFunctions.tokensLower($"text"),
-        t => reverse(t)), " ").as("text"), lit(0.0).as("y"))
-    val spam = docs.filter($"doc_id" % 2 === 1).select($"doc_id",
-      concat(lit(Seq.fill(12)("buy now limited offer click here").mkString(" ")),
-        lit(" #"), $"doc_id".cast("string")).as("text"), lit(0.0).as("y"))
-    good.unionByName(gib).unionByName(spam)
-  }
+  // the SAME weak-label recipe the pinned q55 model trains on
+  private def labeledAll =
+    QualityClassifier.weakLabels(docs, $"doc_id", $"text")
 
   test("held-out accuracy >= 0.95 on both classes") {
     val all = labeledAll
     // hash split so train/test are disjoint and layout-independent
-    val isTest = pmod(conv(substring(md5(concat($"doc_id".cast("string"), $"y")), 1, 15), 16, 10)
-      .cast("long"), lit(5)) === 0
+    val isTest = pmod(graft.functions.TextFunctions.hash60(
+      concat($"id".cast("string"), $"y")), lit(5)) === 0
     val train = all.filter(!isTest)
     val test = all.filter(isTest).select("text", "y").as[(String, Double)].collect()
     val model = QualityClassifier.fit(

@@ -68,7 +68,9 @@ class QualitySignalsSpec extends SparkSpecBase {
       "ab controls  inside",
       "ends with tab\t",
       " \t mixed leading",
-      "#hash…ellipsis#mix")
+      "#hash…ellipsis#mix",
+      "emoji 😀 pair and 😀😀 run", // supplementary plane: 1 code point, 2 UTF-16 units
+      "😀")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
     assertParity(edges.toDF("id", "text"))
   }

@@ -23,12 +23,14 @@ class StreamingPipelineSpec extends SparkSpecBase {
     val out = java.nio.file.Files.createTempDirectory("pipe-stream-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("pipe-stream-ckpt").toString
 
-    def runOnce(): Unit =
-      QualityPipeline.run(streamIn)
+    def runOnce(): Unit = {
+      val finished = QualityPipeline.run(streamIn)
         .select("url", "lang_pred", "keep", "n_pii", "text_scrubbed")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start().awaitTermination(120000)
+      assert(finished, "streaming run did not finish within 120s")
+    }
 
     runOnce()
     val streamed = spark.read.parquet(out)
