@@ -74,4 +74,19 @@ class QualitySignalsSpec extends SparkSpecBase {
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
     assertParity(edges.toDF("id", "text"))
   }
+
+  test("differential fuzz vs built-ins over a hostile alphabet") {
+    val rnd = new scala.util.Random(424242L)
+    // whitespace variants, controls, symbols, ascii, hangul, combining
+    // marks, a supplementary-plane code point
+    val alphabet: Array[String] = Array(
+      " ", "\t", "\n", "\r", "\f", "\u000B", "\u00A0", "\u2028", "\u001C",
+      "#", "…", "a", "Z", "x", "7", ".", "İ", "ß", "한", "글", "\u0301",
+      new String(Character.toChars(0x1F600)))
+    val rows = (0 until 300).map { i =>
+      val n = rnd.nextInt(24)
+      (i.toLong, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    assertParity(rows.toDF("id", "text"))
+  }
 }
