@@ -10,7 +10,7 @@ import scala.util.hashing.MurmurHash3
   * `sparkContext.broadcast` it, and score inside a map/expression — the
   * weights are read-only on executors (the broadcast-linear-classifier
   * pattern). The built-in default model is fitted (naive-Bayes log-odds)
-  * from a small built-in seed corpus covering 6 Latin-script languages and
+  * from a small built-in seed corpus covering 9 Latin-script languages and
   * gated at ≥95% held-out accuracy (LangIdAccuracySpec); a model trained on
   * a larger corpus loads into the same struct.
   */
@@ -213,7 +213,43 @@ object LangIdModel {
     "pt" -> "os estudantes devem entregar seus trabalhos antes do fim do mês",
     "pt" -> "uma brisa suave entrava pela janela aberta trazendo o cheiro da chuva",
     "pt" -> "a empresa planeja abrir três novas fábricas na região no próximo ano",
-    "pt" -> "pode me dizer onde fica a estação de trem mais próxima")
+    "pt" -> "pode me dizer onde fica a estação de trem mais próxima",
+    "nl" -> "het regende hard toen we eindelijk de oude houten hut bereikten",
+    "nl" -> "veel mensen geloven dat regelmatige beweging de gezondheid en het humeur verbetert",
+    "nl" -> "het museum opent elke ochtend om negen uur behalve op feestdagen",
+    "nl" -> "voeg twee kopjes bloem toe en roer het mengsel tot het glad is",
+    "nl" -> "onze buren zijn naar een andere stad verhuisd vanwege een nieuwe baan",
+    "nl" -> "de voetbalwedstrijd werd afgelast vanwege de hevige sneeuwval van gisteravond",
+    "nl" -> "economen verwachten dat de prijzen de komende maanden langzaam zullen stijgen",
+    "nl" -> "hij bracht de hele zomer door met het repareren van het dak van zijn grootmoeders huis",
+    "nl" -> "studenten moeten hun opdrachten voor het einde van de maand inleveren",
+    "nl" -> "een zachte bries kwam door het open raam en bracht de geur van regen mee",
+    "nl" -> "het bedrijf is van plan volgend jaar drie nieuwe fabrieken in de regio te openen",
+    "nl" -> "kunt u mij vertellen waar het dichtstbijzijnde treinstation is",
+    "pl" -> "padało mocno kiedy w końcu dotarliśmy do starej drewnianej chaty",
+    "pl" -> "wiele osób uważa że regularne ćwiczenia poprawiają zdrowie i nastrój",
+    "pl" -> "muzeum otwiera się codziennie rano o dziewiątej z wyjątkiem świąt",
+    "pl" -> "dodaj dwie szklanki mąki i mieszaj ciasto aż będzie gładkie",
+    "pl" -> "nasi sąsiedzi przeprowadzili się do innego miasta z powodu nowej pracy",
+    "pl" -> "mecz piłki nożnej został odwołany z powodu wczorajszych obfitych opadów śniegu",
+    "pl" -> "ekonomiści spodziewają się że ceny będą powoli rosnąć w nadchodzących miesiącach",
+    "pl" -> "spędził całe lato naprawiając dach domu swojej babci",
+    "pl" -> "studenci powinni oddać swoje prace przed końcem miesiąca",
+    "pl" -> "łagodny wiatr wpadał przez otwarte okno niosąc zapach deszczu",
+    "pl" -> "firma planuje otworzyć trzy nowe fabryki w regionie w przyszłym roku",
+    "pl" -> "czy może mi pan powiedzieć gdzie znajduje się najbliższa stacja kolejowa",
+    "tr" -> "sonunda eski ahşap kulübeye vardığımızda şiddetli yağmur yağıyordu",
+    "tr" -> "birçok insan düzenli egzersizin sağlığı ve ruh halini iyileştirdiğine inanıyor",
+    "tr" -> "müze resmi tatiller dışında her sabah dokuzda açılıyor",
+    "tr" -> "iki su bardağı un ekleyin ve karışım pürüzsüz olana kadar karıştırın",
+    "tr" -> "komşularımız yeni bir iş teklifi nedeniyle başka bir şehre taşındı",
+    "tr" -> "futbol maçı dün geceki yoğun kar yağışı nedeniyle iptal edildi",
+    "tr" -> "ekonomistler fiyatların önümüzdeki aylarda yavaşça yükselmesini bekliyor",
+    "tr" -> "bütün yazı büyükannesinin evinin çatısını onarmakla geçirdi",
+    "tr" -> "öğrenciler ödevlerini ay sonundan önce teslim etmelidir",
+    "tr" -> "açık pencereden gelen hafif esinti yağmur kokusunu taşıyordu",
+    "tr" -> "şirket gelecek yıl bölgede üç yeni fabrika açmayı planlıyor",
+    "tr" -> "en yakın tren istasyonunun nerede olduğunu söyleyebilir misiniz")
 
   val defaultLangs: IndexedSeq[String] = seedCorpus.map(_._1).distinct.sorted.toIndexedSeq
 

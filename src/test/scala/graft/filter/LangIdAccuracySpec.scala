@@ -76,7 +76,40 @@ class LangIdAccuracySpec extends AnyFunSuite {
     "pt" -> "a história desta cidade antiga remonta a mais de dois mil anos",
     "pt" -> "por favor lembre-se de apagar as luzes antes de sair do escritório",
     "pt" -> "o trem chegou à estação exatamente na hora apesar da tempestade",
-    "pt" -> "ler livros é uma das melhores maneiras de melhorar seus conhecimentos")
+    "pt" -> "ler livros é uma das melhores maneiras de melhorar seus conhecimentos",
+    // Dutch
+    "nl" -> "de snelle bruine vos springt over de luie hond bij de rivier",
+    "nl" -> "de regering kondigde nieuwe maatregelen aan om kleine bedrijven te steunen",
+    "nl" -> "wetenschappers ontdekten een nieuwe vlindersoort in de bergen",
+    "nl" -> "ze liep langzaam door de tuin en bewonderde de bloemen en bomen",
+    "nl" -> "de commissie komt volgende week bijeen om de voorgestelde wijzigingen te bespreken",
+    "nl" -> "kinderen spelen graag buiten als het weer warm en zonnig is",
+    "nl" -> "de geschiedenis van deze oude stad gaat meer dan tweeduizend jaar terug",
+    "nl" -> "vergeet niet het licht uit te doen voordat je het kantoor verlaat",
+    "nl" -> "de trein kwam ondanks de storm precies op tijd op het station aan",
+    "nl" -> "boeken lezen is een van de beste manieren om je kennis te verbeteren",
+    // Polish
+    "pl" -> "szybki brązowy lis przeskakuje nad leniwym psem nad rzeką",
+    "pl" -> "rząd ogłosił nowe środki wsparcia dla małych przedsiębiorstw",
+    "pl" -> "naukowcy odkryli nowy gatunek motyla w górach",
+    "pl" -> "szła powoli przez ogród podziwiając kwiaty i drzewa",
+    "pl" -> "komisja spotka się w przyszłym tygodniu aby omówić proponowane zmiany",
+    "pl" -> "dzieci uwielbiają bawić się na dworze gdy pogoda jest ciepła i słoneczna",
+    "pl" -> "historia tego starożytnego miasta sięga ponad dwóch tysięcy lat",
+    "pl" -> "proszę pamiętać o wyłączeniu światła przed wyjściem z biura",
+    "pl" -> "pociąg przyjechał na stację dokładnie na czas pomimo burzy",
+    "pl" -> "czytanie książek to jeden z najlepszych sposobów na poszerzanie wiedzy",
+    // Turkish
+    "tr" -> "hızlı kahverengi tilki nehrin yanındaki tembel köpeğin üzerinden atlar",
+    "tr" -> "hükümet küçük işletmeleri desteklemek için yeni önlemler açıkladı",
+    "tr" -> "bilim insanları dağlarda yeni bir kelebek türü keşfetti",
+    "tr" -> "bahçede yavaşça yürüyerek çiçekleri ve ağaçları hayranlıkla izledi",
+    "tr" -> "komite önerilen değişiklikleri görüşmek üzere gelecek hafta toplanacak",
+    "tr" -> "çocuklar hava sıcak ve güneşli olduğunda dışarıda oynamayı sever",
+    "tr" -> "bu eski şehrin tarihi iki bin yıldan daha eskiye dayanıyor",
+    "tr" -> "lütfen ofisten çıkmadan önce ışıkları kapatmayı unutmayın",
+    "tr" -> "tren fırtınaya rağmen istasyona tam zamanında vardı",
+    "tr" -> "kitap okumak bilgini geliştirmenin en iyi yollarından biridir")
 
   private val scripts: Seq[(String, String)] = Seq(
     "ko" -> "오늘 날씨가 정말 좋아서 공원에 산책을 갔습니다",
