@@ -495,6 +495,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-doc TF-IDF top-3 keywords: tf via (doc, term) agg, df via term agg,
+    // rational idf (N+1)/(df+1) — IEEE-exact in both engines, so the oracle
+    // can compare scores without log-ulp boundary flicker. Two uniform-key
+    // shuffles + one per-doc window.
+    "q58_tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val tf = d.select(col("doc_id"), explode(TF.tokensLower(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .withColumn("score", col("tf") * (lit(n + 1.0) / (col("df") + 1)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // Tokenizer training: learned BPE merges (Sennrich) — distributed word
     // counts (one map-side-combined shuffle), deterministic capped merge
     // loop. No SQL oracle (iterative argmax) — golden-pinned.
@@ -812,6 +832,27 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         |  ROUND(CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
         |FROM withdf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_tfidf_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ((n.n + 1.0) / (dfreq.df + 1)) AS score
+        |  FROM tf JOIN dfreq USING (term), n
+        |), ranked AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, ROUND(score, 4) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q56_line_dedup" ->
       """WITH u AS (
         |  SELECT doc_id,
