@@ -63,6 +63,55 @@ object PageLake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-file compaction (the parquet-lake analogue of Iceberg/Delta
+    * OPTIMIZE): incremental ingest leaves each date partition littered with
+    * per-batch files; scans then pay per-file open/footer costs and the
+    * NameNode/listing pays per-object costs — at 100 TB the small-file
+    * problem, not data volume, is what kills lake scans.
+    *
+    * Per date partition: if the file count exceeds `ceil(bytes/targetBytes)`
+    * by more than `slack`, rewrite the partition into that many files
+    * (keeping the url_bucket/url sort so row-group pruning survives), then
+    * atomically swap the directory. Partitions already near target are left
+    * untouched — compaction cost is proportional to the fragmented tail,
+    * not the lake. The walk itself is metadata-scale driver work (what
+    * Iceberg reads from its manifest instead). Returns (partitions
+    * rewritten, files before, files after).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              slack: Double = 1.5): (Int, Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var rewritten = 0
+    var before = 0
+    var after = 0
+    val parts = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("crawl_date="))
+    for (p <- parts) {
+      val files = fs.listStatus(p.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val nTarget = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      before += files.length
+      if (files.length > nTarget * slack) {
+        val tmp = new org.apache.hadoop.fs.Path(p.getPath.getParent,
+          "." + p.getPath.getName + ".compact")
+        spark.read.parquet(p.getPath.toString)
+          .repartition(nTarget)
+          .sortWithinPartitions("url_bucket", "url")
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(p.getPath, true)
+        if (!fs.rename(tmp, p.getPath))
+          throw new java.io.IOException(s"compaction swap failed for ${p.getPath}")
+        rewritten += 1
+        after += fs.listStatus(p.getPath)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      } else after += files.length
+    }
+    (rewritten, before, after)
+  }
+
   /** A day's slice: resolves to a partition-pruned scan. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     read(spark, path).filter(col("crawl_date") === lit(day))

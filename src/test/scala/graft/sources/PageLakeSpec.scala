@@ -75,6 +75,44 @@ class PageLakeSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction merges fragmented partitions, preserves rows, skips healthy ones") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-compact").toString
+    // fragment the lake: force many tiny files per date partition
+    graft.pipeline.SyntheticPages.fromDocuments(spark, sfDir)
+      .withColumn("crawl_date", to_date(col("warc_ts")))
+      .withColumn("url_bucket", PageLake.urlBucket(col("url")))
+      .repartition(24)
+      .write.mode("overwrite").partitionBy("crawl_date").parquet(dir)
+    def rows(d: String): Seq[String] = {
+      val df = spark.read.parquet(d)
+      // cast every column (incl. the binary html) to string — Row.toString
+      // would render binary by object identity
+      df.select(df.columns.sorted.map(c => col(c).cast("string")): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val beforeRows = rows(dir)
+    val beforeFiles = countParquetFiles(dir)
+
+    val (rewritten, before, after) = PageLake.compact(spark, dir,
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(before == beforeFiles)
+    assert(rewritten > 0, "fragmented partitions must be rewritten")
+    assert(after < before, s"file count must shrink: $before -> $after")
+    assert(countParquetFiles(dir) == after)
+    assert(rows(dir) == beforeRows, "compaction must not change data")
+
+    // second pass: already compacted ⇒ nothing rewritten
+    val (r2, b2, a2) = PageLake.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(r2 == 0 && b2 == a2)
+  }
+
+  private def countParquetFiles(dir: String): Int = {
+    val root = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+    finally s.close()
+  }
+
   test("date filter prunes partitions at the scan") {
     val day = PageLake.read(spark, lakeDir)
       .select(col("crawl_date").cast("string")).distinct().orderBy("crawl_date")
