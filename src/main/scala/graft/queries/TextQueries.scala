@@ -495,6 +495,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe dataset split: assignment hashes the HOST, not the page,
+    // so all pages of a site land in one split (train/test contamination via
+    // same-site near-dups is the standard eval-hygiene failure). Narrow
+    // projection + one rollup shuffle; layout-invariant like all hash splits.
+    "q59_group_split" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      val pages = rawDocs(s, dir).select(col("doc_id"),
+        UrlFunctions.hostOf(synthUrl(col("doc_id"))).as("host"))
+      val b = pmod(TF.hash60(concat(col("host"), lit("|split1"))), lit(10000))
+      val split = when(b < 8000, "train").when(b < 9000, "valid").otherwise("test")
+      pages.withColumn("split", split)
+        .groupBy("split")
+        .agg(countDistinct("host").as("n_hosts"), count(lit(1)).as("n_pages"))
+        .orderBy("split")
+    }),
+
     // Per-doc TF-IDF top-3 keywords: tf via (doc, term) agg, df via term agg,
     // rational idf (N+1)/(df+1) — IEEE-exact in both engines, so the oracle
     // can compare scores without log-ulp boundary flicker. Two uniform-key
@@ -832,6 +848,18 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         |  ROUND(CAST(SUM(CASE WHEN docfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
         |FROM withdf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_group_split" ->
+      ("WITH u AS (\n" + synthUrlSql + "),\n" +
+      " h AS (SELECT doc_id, " + hostSql("regexp_replace(url, '#.*$', '')") + " AS host\n" +
+      """   FROM u),
+        | s AS (
+        |  SELECT doc_id, host,
+        |    (CASE WHEN ('0x'||substr(md5(host || '|split1'),1,15))::UBIGINT % 10000 < 8000 THEN 'train'
+        |          WHEN ('0x'||substr(md5(host || '|split1'),1,15))::UBIGINT % 10000 < 9000 THEN 'valid'
+        |          ELSE 'test' END) AS split
+        |  FROM h)
+        |SELECT split, COUNT(DISTINCT host) AS n_hosts, COUNT(*) AS n_pages
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
     "q58_tfidf_topk" ->
       """WITH tf AS (
         |  SELECT doc_id, term, COUNT(*) AS tf

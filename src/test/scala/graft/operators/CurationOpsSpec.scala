@@ -95,6 +95,21 @@ class CurationOpsSpec extends SparkSpecBase {
       run(src.repartition(7)).select("doc_id", "copy").as[(Long, Long)].collect().sorted.toSeq)
   }
 
+  // --- group-stable split (leakage hygiene) -------------------------------
+
+  test("group split never straddles a host across splits") {
+    import graft.functions.{TextFunctions => TFn}
+    val pages = docs.select($"doc_id",
+      concat(lit("host-"), ($"doc_id" % 37).cast("string")).as("host"))
+    val b = pmod(TFn.hash60(concat($"host", lit("|split1"))), lit(10000))
+    val assigned = pages.withColumn("split",
+      when(b < 8000, "train").when(b < 9000, "valid").otherwise("test"))
+    val splitsPerHost = assigned.groupBy("host")
+      .agg(countDistinct("split").as("n")).agg(max("n")).head().getLong(0)
+    assert(splitsPerHost == 1L, "a host must belong to exactly one split")
+    assert(assigned.select("split").distinct().count() >= 2)
+  }
+
   // --- ExactSubstring ---------------------------------------------------
 
   private val corpus = Seq(
