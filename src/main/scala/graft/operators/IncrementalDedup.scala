@@ -13,7 +13,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * production pattern is a Bloom-filter prefilter:
   *
   *   1. build a Bloom filter over the history's digests (distributed
-  *      `stat.bloomFilter` — a treeAggregate, one pass, no driver blowup);
+  *      treeAggregate, one pass, no driver blowup);
   *   2. rows whose digest the filter rejects are DEFINITELY new (Bloom
   *      filters have no false negatives) — they bypass the join entirely;
   *   3. only the filter's positives (true dups + `fpp` false positives, i.e.
@@ -25,27 +25,60 @@ import org.apache.spark.util.sketch.BloomFilter
   * oracle (q51) checks.
   *
   * Sizing: ~1.2 GB per 10⁹ history keys at fpp=0.01. Beyond a few 10⁹ keys a
-  * single broadcast filter stops fitting; the scale-out variant hash-shards
-  * the history into B buckets (`pmod(hash60(digest), B)`), builds one filter
-  * per bucket, and routes each batch row to its bucket's filter (a map-side
-  * lookup keyed the same way — still no shuffle of the definitely-new rows).
-  * The single-filter form below is that pattern with B = 1.
+  * single broadcast filter stops fitting one task binary / one memory chunk,
+  * so `shards = B > 1` hash-shards the history (`MurmurHash3(digest) mod B`),
+  * builds one filter per shard in the SAME single pass (a treeAggregate of a
+  * B-slot array), and routes each batch row to its shard's filter map-side —
+  * still no shuffle of the definitely-new rows, and each filter is 1/B the
+  * size (the broadcast ships the array once per executor either way, but
+  * per-filter bit arrays stay under JVM array / task-serialization limits;
+  * at 10¹²-key scale the filter array is built per-shard-group and probed
+  * by executor-side routing exactly as here).
+  *
+  * Broadcast lifecycle: each batch of an incremental loop builds a fresh
+  * multi-GB broadcast; without an explicit release they accumulate on the
+  * driver and executors until GC happens to collect the wrapper. Use
+  * [[newOnlyManaged]] in loops and call `release()` after the batch's
+  * ACTION has completed (the DataFrame is lazy — releasing earlier would
+  * fail tasks that haven't probed the filter yet).
   */
 object IncrementalDedup {
 
+  /** Lazy prefiltered result + explicit broadcast release hook. */
+  final case class Prefiltered(df: DataFrame, release: () => Unit)
+
   /** Rows of `batch` whose `digestCol` value does not occur in
     * `history(digestCol)`. Both inputs must expose `digestCol`.
+    * Convenience form of [[newOnlyManaged]] for one-shot use (the broadcast
+    * filter is left to GC).
     *
     * @param expectedItems sizing hint for the filter (history digest count)
     * @param fpp           false-positive rate: fraction of genuinely-new rows
     *                      that needlessly pay the verify join
+    * @param shards        B-way history sharding (B=1 → one filter)
     */
   def newOnly(batch: DataFrame, history: DataFrame, digestCol: String,
-              expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf: BloomFilter =
-      history.stat.bloomFilter(digestCol, expectedItems, fpp)
-    val bfB = batch.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((d: String) => d != null && bfB.value.mightContainString(d))
+              expectedItems: Long, fpp: Double = 0.01, shards: Int = 1): DataFrame =
+    newOnlyManaged(batch, history, digestCol, expectedItems, fpp, shards).df
+
+  /** [[newOnly]] with the broadcast's lifecycle exposed — call `release()`
+    * after the consuming action finishes (required in per-batch loops). */
+  def newOnlyManaged(batch: DataFrame, history: DataFrame, digestCol: String,
+                     expectedItems: Long, fpp: Double = 0.01,
+                     shards: Int = 1): Prefiltered = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val b = shards
+    val perShard = math.max(1L, expectedItems / b)
+    import batch.sparkSession.implicits._
+    // One distributed pass builds all B filters: merge is associative +
+    // commutative, so treeAggregate keeps driver merge work O(log parts).
+    val filters: Array[BloomFilter] = history.select(col(digestCol)).as[String]
+      .rdd.treeAggregate(Array.fill(b)(BloomFilter.create(perShard, fpp)))(
+        (fs, d) => { if (d != null) fs(shardOf(d, b)).putString(d); fs },
+        (a, x) => { a.indices.foreach(i => a(i).mergeInPlace(x(i))); a })
+    val bfB = batch.sparkSession.sparkContext.broadcast(filters)
+    val mightContain = udf((d: String) =>
+      d != null && bfB.value(shardOf(d, b)).mightContainString(d))
 
     // No distinct() on the history side: LEFT ANTI semantics are unaffected
     // by right-side duplicates, and a distinct would shuffle the ENTIRE
@@ -54,6 +87,14 @@ object IncrementalDedup {
     val definitelyNew = batch.filter(!mightContain(col(digestCol)))
     val suspects = batch.filter(mightContain(col(digestCol)))
       .join(history.select(digestCol), Seq(digestCol), "left_anti")
-    definitelyNew.unionByName(suspects)
+    Prefiltered(definitelyNew.unionByName(suspects),
+      () => { bfB.destroy(); () })
   }
+
+  /** Shard router — a plain JVM hash is fine: build and probe both run this
+    * exact function (no SQL-side mirror needed; result equality with the
+    * anti-join is what the oracle pins). */
+  @inline private[operators] def shardOf(digest: String, b: Int): Int =
+    if (b == 1) 0
+    else java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(digest), b)
 }

@@ -365,11 +365,8 @@ object TextQueries {
       val pages = rawDocs(s, dir).select(col("doc_id"),
         UrlFunctions.domainOf(synthUrl(col("doc_id"))).as("domain"),
         UrlFunctions.hostOf(synthUrl(col("doc_id"))).as("host"))
-      val blocked = s.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row("example.com")),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("domain",
-            org.apache.spark.sql.types.StringType))))
+      import s.implicits._
+      val blocked = Seq("example.com").toDF("domain")
       // block the dominant synthetic domain for hosts Site-0..Site-9 only:
       // join key is (domain), the extra host predicate rides the join
       pages.join(broadcast(blocked),
@@ -421,13 +418,16 @@ object TextQueries {
 
     // Incremental (cross-batch) dedup: Bloom-prefiltered anti-join of the
     // incoming batch against the historical corpus (history = every 3rd doc,
-    // so 1/3 of the batch is planted as already-seen). The Bloom pass changes
-    // cost only — the result is exactly the anti-join the oracle runs.
+    // so 1/3 of the batch is planted as already-seen). Runs the SHARDED
+    // history variant (B=4, the >10⁹-key scale path) — the Bloom pass and
+    // sharding change cost only; the result is exactly the anti-join the
+    // oracle runs.
     "q51_bloom_dedup" -> ((s, dir) => {
       import graft.operators.IncrementalDedup
       val withDigest = rawDocs(s, dir).select(col("doc_id"), md5(col("text")).as("digest"))
       val history = withDigest.filter(col("doc_id") % 3 === 0)
-      IncrementalDedup.newOnly(withDigest, history, "digest", expectedItems = 2048L)
+      IncrementalDedup.newOnly(withDigest, history, "digest",
+          expectedItems = 2048L, shards = 4)
         .select("doc_id", "digest").orderBy("doc_id")
     }),
 
@@ -490,8 +490,13 @@ object TextQueries {
       val model = QualityClassifier.fit(labeled, epochs = 60)
       val bm = s.sparkContext.broadcast(model)
       val scoreOf = udf((t: String) => bm.value.score(t))
-      d.select(col("doc_id"), round(scoreOf(col("text")), 3).as("quality"),
-          (scoreOf(col("text")) >= 0.5).as("keep"))
+      // Score ONCE, derive quality + keep from the column: CollapseProject
+      // keeps the non-cheap UDF un-duplicated across the two projections
+      // (SPARK-36718), so every row pays one feature-hash + dot product —
+      // not two (the r2 form evaluated scoreOf twice per row).
+      d.select(col("doc_id"), scoreOf(col("text")).as("_q"))
+        .select(col("doc_id"), round(col("_q"), 3).as("quality"),
+          (col("_q") >= 0.5).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -517,14 +522,17 @@ object TextQueries {
     // shuffles + one per-doc window.
     "q58_tfidf_topk" -> ((s, dir) => {
       val d = docs(s, dir)
-      val n = d.count()
+      // N rides the DAG as a broadcast 1-row cross join (count-star branch is
+      // a zero-column scan) — NOT a separate d.count() action, which at
+      // 100 TB would be a second full pass over the corpus for one scalar.
+      val nDf = d.agg(count(lit(1)).cast("double").as("_n_docs"))
       val tf = d.select(col("doc_id"), explode(TF.tokensLower(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term").asc)
-      tf.join(dfreq, Seq("term"))
-        .withColumn("score", col("tf") * (lit(n + 1.0) / (col("df") + 1)))
+      tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDf))
+        .withColumn("score", col("tf") * ((col("_n_docs") + 1.0) / (col("df") + 1)))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 4).as("score"))
@@ -541,6 +549,23 @@ object TextQueries {
       model.merges.map(m => (m.rank, m.left, m.right, m.count))
         .toDF("rank", "left", "right", "n")
         .orderBy("rank")
+    }),
+
+    // Tokenizer APPLICATION: encode the corpus with the learned BPE vocab —
+    // the stage after q57's training that actually runs at 100 TB (broadcast
+    // merge table via the task binary, per-thread LRU word cache, narrow
+    // map). n_pieces/n_words is the tokenizer's fertility; enc_md5 pins the
+    // exact piece sequence. Golden-pinned (trained model, no SQL oracle).
+    "q60_bpe_encode" -> ((s, dir) => {
+      import graft.functions.BpeEncodeExpression.bpe_encode
+      import graft.operators.BpeVocab
+      val model = BpeVocab.fit(rawDocs(s, dir), "text", nMerges = 64, maxWords = 4096)
+      docs(s, dir)
+        .select(col("doc_id"), bpe_encode(col("text"), model).as("toks"),
+          TF.tokenCount(col("text")).as("n_words"))
+        .select(col("doc_id"), size(col("toks")).as("n_pieces"), col("n_words"),
+          md5(array_join(col("toks"), " ")).as("enc_md5"))
+        .orderBy("doc_id")
     }),
 
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
@@ -976,6 +1001,46 @@ object TextQueries {
         |  ROUND(CAST(COALESCE(a.n_cut, 0) AS DOUBLE)/len(t.w), 4) AS cut_ratio
         |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // Winnowing (Schleimer MOSS) ported whole: Rabin-Karp char-8-gram rolling
+    // hash mod 2^61-1 (HUGEINT Horner — products stay < 2^70), rightmost-min
+    // windows of 16 via MIN OVER (the fingerprint is the min VALUE, so the
+    // rightmost-among-ties rule needs no tie-break in SQL), short-doc global-
+    // min guard, df≤256 flood cap, shared-fp pair counts. Char parity with
+    // the JVM charAt loop holds because string_split('') yields codepoints
+    // and the fixtures are BMP-only (UTF-16 unit == codepoint).
+    "q26_winnow_pairs" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), cs AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT) AS cp
+        |  FROM u WHERE length(text) >= 8
+        |), h AS (
+        |  SELECT doc_id, i AS pos,
+        |    ((((((((((((((cp[i] * 257 + cp[i+1]) % 2305843009213693951) * 257 + cp[i+2]) % 2305843009213693951)
+        |      * 257 + cp[i+3]) % 2305843009213693951) * 257 + cp[i+4]) % 2305843009213693951) * 257 + cp[i+5]) % 2305843009213693951)
+        |      * 257 + cp[i+6]) % 2305843009213693951) * 257 + cp[i+7]) % 2305843009213693951) AS h
+        |  FROM cs, UNNEST(range(1, len(cp) - 6)) AS t(i)
+        |), w AS (
+        |  SELECT doc_id, pos, h,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM h
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos >= 16
+        |  UNION
+        |  SELECT doc_id, MIN(h) AS fp FROM w GROUP BY doc_id HAVING MAX(pos) < 16
+        |), capped AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps)
+        |  WHERE df <= 256
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1,2 HAVING COUNT(*) >= 10 ORDER BY 1,2""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -86,6 +86,20 @@ object PageLake {
     var rewritten = 0
     var before = 0
     var after = 0
+    // Crash recovery from a previous interrupted swap: a live dir missing
+    // with its .old present means the crash hit between the two renames —
+    // restore the original. Leftover .compact tmp dirs are stale output,
+    // safe to drop.
+    for (s <- fs.listStatus(root) if s.isDirectory) {
+      val n = s.getPath.getName
+      if (n.startsWith(".crawl_date=") && n.endsWith(".old")) {
+        val live = new org.apache.hadoop.fs.Path(root, n.stripPrefix(".").stripSuffix(".old"))
+        if (!fs.exists(live)) fs.rename(s.getPath, live)
+        else fs.delete(s.getPath, true)
+      } else if (n.startsWith(".crawl_date=") && n.endsWith(".compact")) {
+        fs.delete(s.getPath, true)
+      }
+    }
     val parts = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("crawl_date="))
     for (p <- parts) {
@@ -97,13 +111,28 @@ object PageLake {
       if (files.length > nTarget * slack) {
         val tmp = new org.apache.hadoop.fs.Path(p.getPath.getParent,
           "." + p.getPath.getName + ".compact")
+        val old = new org.apache.hadoop.fs.Path(p.getPath.getParent,
+          "." + p.getPath.getName + ".old")
+        // Range-partition on (url_bucket, url), not round-robin: keeps each
+        // output FILE bucket-clustered (contiguous url_bucket range), so
+        // file-level min/max pruning and bucket-join pre-organization
+        // survive compaction — round-robin would scatter every bucket
+        // across every file.
         spark.read.parquet(p.getPath.toString)
-          .repartition(nTarget)
+          .repartitionByRange(nTarget, col("url_bucket"), col("url"))
           .sortWithinPartitions("url_bucket", "url")
           .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(p.getPath, true)
-        if (!fs.rename(tmp, p.getPath))
+        // Crash-safe swap: live → .old, tmp → live, drop .old. A crash
+        // between the renames leaves the data recoverable under .old (never
+        // deleted-but-unreplaced); rerunning compact() restores it below.
+        if (fs.exists(old)) fs.delete(old, true)
+        if (!fs.rename(p.getPath, old))
+          throw new java.io.IOException(s"compaction swap (aside) failed for ${p.getPath}")
+        if (!fs.rename(tmp, p.getPath)) {
+          fs.rename(old, p.getPath) // roll back so the partition reappears
           throw new java.io.IOException(s"compaction swap failed for ${p.getPath}")
+        }
+        fs.delete(old, true)
         rewritten += 1
         after += fs.listStatus(p.getPath)
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

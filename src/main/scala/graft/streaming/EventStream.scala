@@ -63,7 +63,14 @@ object EventStream {
     * observed directly (the next event arrives past the gap; the closed
     * session is emitted in the same micro-batch) or via the watermark
     * passing lastTs+gap (event-time timeout fires and emits it). The
-    * in-flight session lives in state; output mode is Append. */
+    * in-flight session lives in state; output mode is Append.
+    *
+    * Memory bound: events of ONE user within ONE micro-batch are buffered to
+    * sort by event time (the grouped iterator arrives unordered and gap
+    * semantics need order). That is ~24 B/event of task memory — a 10⁵-event
+    * hot user costs a few MB (pinned by the hot-user spec); the knob that
+    * bounds it at scale is the trigger interval (events/user/batch), not
+    * state size, which stays O(1) per user (one open session). */
   def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._

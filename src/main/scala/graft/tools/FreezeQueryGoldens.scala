@@ -19,8 +19,9 @@ object QueryGoldens {
   // across zlib variants; regenerate q45's golden when changing JDKs.
   val pinned: Seq[String] = Seq(
     "q19_ann_lsh", "q22_langid", "q23_pipeline_hosts", "q24_pipeline_pages",
-    "q26_winnow_pairs", "q27_media_pipeline", "q31_ann_ivf", "q45_deflate",
-    "q49_sketch_stats", "q55_quality_classifier", "q57_bpe_vocab")
+    "q27_media_pipeline", "q31_ann_ivf", "q45_deflate",
+    "q49_sketch_stats", "q55_quality_classifier", "q57_bpe_vocab",
+    "q60_bpe_encode")
 
   val sfDir = "/root/testdata/sf0.001"
   val goldenDir = "src/test/resources/goldens/queries"

@@ -112,6 +112,43 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"no all-pairs allowed:\n$p")
   }
 
+  test("q58: one DAG — building the query runs NO eager job (N rides the plan)") {
+    // the r2 form paid a separate d.count() action (a second full corpus
+    // pass at 100 TB); N must now come from a broadcast 1-row branch
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def jobsDuring(f: => Unit): Int = {
+      jobs = 0; f
+      Thread.sleep(500) // listener bus is async; drain before asserting
+      jobs
+    }
+    try {
+      // baseline: a bare parquet read may fire a constant-cost schema-
+      // inference job; the regression being guarded (an eager count() over
+      // the corpus) would add a job ON TOP of that
+      val base = jobsDuring { spark.read.parquet(s"$sfDir/documents.parquet"): Unit }
+      var df: org.apache.spark.sql.DataFrame = null
+      val built = jobsDuring { df = SparkEntry.queries("q58_tfidf_topk")(spark, sfDir) }
+      assert(built <= base,
+        s"query construction must be lazy: ran $built job(s) vs $base for a bare read")
+      assert(df.queryExecution.optimizedPlan.toString.contains("Join"),
+        "N-branch join missing from the single DAG")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q55: the classifier UDF is evaluated once per row, not per derived column") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val df = SparkEntry.queries("q55_quality_classifier")(spark, sfDir)
+    val nUdf = df.queryExecution.optimizedPlan.collect {
+      case node => node.expressions.map(_.collect { case u: ScalaUDF => u }.size).sum
+    }.sum
+    assert(nUdf == 1, s"scoreOf must appear exactly once in the optimized plan, found $nUdf")
+  }
+
   test("q54: mixture repeat is a pure narrow generate — no shuffle before the sort") {
     val p = executedPlan("q54_mixture_repeat")
     val idx = p.indexOf("== Initial Plan ==")

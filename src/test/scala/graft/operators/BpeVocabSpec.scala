@@ -36,6 +36,35 @@ class BpeVocabSpec extends SparkSpecBase {
     assert(a.merges.size < 100)
   }
 
+  test("bpe_encode expression matches Model.encode word-by-word") {
+    import graft.functions.BpeEncodeExpression.bpe_encode
+    import org.apache.spark.sql.functions.col
+    val m = BpeVocab.fit(corpus, "text", nMerges = 3)
+    val df = Seq((1L, "low lowest  widest"), (2L, "  "), (3L, "NEW low"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), bpe_encode(col("text"), m).as("t"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("lo", "w</w>", "lo", "w", "est</w>", "w", "i", "d", "est</w>"))
+    assert(got(2L) == Seq.empty)              // whitespace-only: no words
+    assert(got(3L) == m.encode("new") ++ m.encode("low")) // lowered before encoding
+  }
+
+  test("bpe_encode roundtrips: pieces concatenate back to the lowered words") {
+    import graft.functions.BpeEncodeExpression.bpe_encode
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val m = BpeVocab.fit(docs, "text", nMerges = 32, maxWords = 2048)
+    val rows = docs.select(
+        array_join(filter(graft.functions.TextFunctions.tokensLower(col("text")),
+          t => t =!= ""), " ").as("want"),
+        array_join(bpe_encode(col("text"), m), "").as("enc"))
+      .collect()
+    for (r <- rows) {
+      val rebuilt = r.getAs[String]("enc").replace("</w>", " ").trim
+      assert(rebuilt == r.getAs[String]("want"))
+    }
+  }
+
   test("corpus-scale fit produces frequency-ordered early merges") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val m = BpeVocab.fit(docs, "text", nMerges = 16, maxWords = 2048)

@@ -24,6 +24,33 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.length < batch.count())
   }
 
+  test("sharded bloom history (B=4) equals B=1 equals the exact anti-join") {
+    val batch = docs.select($"doc_id", md5($"text").as("digest"))
+    val history = batch.filter($"doc_id" % 3 === 0)
+    val want = batch.join(history.select("digest").distinct(), Seq("digest"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    for (b <- Seq(1, 4)) {
+      val got = IncrementalDedup.newOnly(batch, history, "digest",
+        expectedItems = 1024, shards = b).select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == want, s"shards=$b")
+    }
+    // the router spreads digests across all shards (not a degenerate hash)
+    val digests = history.select("digest").as[String].collect()
+    val used = digests.map(IncrementalDedup.shardOf(_, 4)).distinct
+    assert(used.sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("newOnlyManaged releases the filter broadcast after the action") {
+    val batch = docs.select($"doc_id", md5($"text").as("digest"))
+    val history = batch.filter($"doc_id" % 3 === 0)
+    val pf = IncrementalDedup.newOnlyManaged(batch, history, "digest",
+      expectedItems = 1024, shards = 2)
+    assert(pf.df.count() > 0)
+    pf.release() // must not throw; broadcast is destroyed
+    // a fresh run after release still works (new filter per call)
+    assert(IncrementalDedup.newOnly(batch, history, "digest", 1024).count() > 0)
+  }
+
   test("bloom incremental dedup has no false negatives at high fpp") {
     // Even a deliberately tiny/overloaded filter may only cost extra verify
     // joins — never readmit a seen digest.

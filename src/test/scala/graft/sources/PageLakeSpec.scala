@@ -106,6 +106,54 @@ class PageLakeSpec extends SparkSpecBase {
     assert(r2 == 0 && b2 == a2)
   }
 
+  test("compaction keeps output files bucket-clustered (range, not round-robin)") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-compact-rng").toString
+    SyntheticPages.fromDocuments(spark, sfDir)
+      .withColumn("crawl_date", to_date(col("warc_ts")))
+      .withColumn("url_bucket", PageLake.urlBucket(col("url")))
+      .repartition(24)
+      .write.mode("overwrite").partitionBy("crawl_date").parquet(dir)
+    // tiny target ⇒ nTarget > 1 output files per partition
+    val (rewritten, _, _) = PageLake.compact(spark, dir, targetFileBytes = 16L * 1024)
+    assert(rewritten > 0)
+    for (part <- new java.io.File(dir).listFiles()
+         if part.isDirectory && part.getName.startsWith("crawl_date=")) {
+      val files = part.listFiles().filter(_.getName.endsWith(".parquet"))
+      if (files.length > 1) {
+        // each file must own a contiguous url_bucket range: ranges of
+        // different files may touch only at a boundary bucket
+        val ranges = files.map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("url_bucket"), max("url_bucket")).head()
+          (r.getInt(0), r.getInt(1))
+        }.sortBy(_._1)
+        for (Array(a, b) <- ranges.sliding(2).map(_.toArray))
+          assert(a._2 <= b._1,
+            s"bucket ranges overlap across files: ${ranges.toSeq} in ${part.getName}")
+      }
+    }
+  }
+
+  test("compaction swap is crash-recoverable (orphaned .old restored)") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-crash").toString
+    SyntheticPages.fromDocuments(spark, sfDir)
+      .withColumn("crawl_date", to_date(col("warc_ts")))
+      .withColumn("url_bucket", PageLake.urlBucket(col("url")))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("crawl_date").parquet(dir)
+    val root = new java.io.File(dir)
+    val part = root.listFiles().filter(p => p.isDirectory &&
+      p.getName.startsWith("crawl_date=")).head
+    val want = spark.read.parquet(part.getAbsolutePath).count()
+    // simulate a crash caught between the two renames: live moved aside
+    val old = new java.io.File(root, "." + part.getName + ".old")
+    assert(part.renameTo(old))
+    PageLake.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    assert(part.exists(), "recovery must restore the partition")
+    assert(!old.exists(), "recovered .old must be cleaned up")
+    assert(spark.read.parquet(part.getAbsolutePath).count() == want)
+  }
+
   private def countParquetFiles(dir: String): Int = {
     val root = java.nio.file.Paths.get(dir)
     val s = java.nio.file.Files.walk(root)

@@ -105,4 +105,35 @@ class EventStreamSpec extends SparkSpecBase {
       (1L, 2L, 200L, 210L, 9.0),
       (1L, 1L, 500L, 500L, 6.0)), s"got $sessions")
   }
+
+  test("sessionize handles a hot user with 100k events in one micro-batch") {
+    // the documented bound: per (user, micro-batch) events are buffered for
+    // the sort — ~24 B/event, so even a pathological 10⁵-event user is a few
+    // MB of task memory. This pins that a hot user COMPLETES and aggregates
+    // correctly (one contiguous session, exact count/sum).
+    def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+    val n = 100000
+    val dir = java.nio.file.Files.createTempDirectory("sess-hot")
+    def stage(evs: Seq[EventStream.Ev], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"sess-hot-$name")
+      evs.toDF("user_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(s"$name.parquet"))
+    }
+    stage((0 until n).map(i => EventStream.Ev(7L, ts(i / 100), 1.0)), "a")
+    Thread.sleep(1100) // file source orders batches by mod time (second granularity)
+    // second micro-batch pushes the watermark past user 7's timeout
+    stage(Seq(EventStream.Ev(8L, ts(1000000L), 0.5)), "b")
+    val src = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString).as[EventStream.Ev]
+    val out = EventStream.runOnce(spark,
+      EventStream.sessionize(src, gapMs = 60 * 1000L, watermarkDelay = "10 seconds").toDF(),
+      s"hot_${System.nanoTime}", OutputMode.Append())
+    val hot = out.as[EventStream.Session].collect().filter(_.userId == 7L)
+    assert(hot.length == 1)
+    assert(hot.head.nEvents == n && hot.head.totalValue == n.toDouble)
+  }
 }
