@@ -78,15 +78,17 @@ object Bench {
     val coldTimes = headline.map { name =>
       name -> time(force(SparkEntry.queries(name)(spark, sfDir)))
     }
-    // warm = best of 2 for the heavier queries — a single warm pass can
-    // still catch a codegen/broadcast warmup tail or a VM-steal burst and
-    // mask real regressions; sub-1.5s queries are stable enough on one pass
-    // (keeps total bench wall-time bounded for the driver's timeout)
+    // warm = best of 2 measurements, each a TWO-consecutive-force interval
+    // (reported per force) — applied UNIFORMLY to every headline query. The
+    // 2-force interval is the same steal-robust technique the scaling pairs
+    // use: this host's VM-steal bursts distort short single runs by up to
+    // ~8× (q53 read 30s on a steady ~4s query in r2), and a threshold-based
+    // policy made warm numbers non-comparable across runs.
     val queryTimes = headline.map { name =>
-      val first = time(force(SparkEntry.queries(name)(spark, sfDir)))
-      val best = if (first <= 1.5) first
-        else math.min(first, time(force(SparkEntry.queries(name)(spark, sfDir))))
-      name -> best
+      def interval(): Double =
+        time { force(SparkEntry.queries(name)(spark, sfDir))
+               force(SparkEntry.queries(name)(spark, sfDir)) } / 2
+      name -> math.min(interval(), interval())
     }
 
     // --- two-parallelism pipeline scaling -------------------------------
@@ -133,8 +135,46 @@ object Bench {
     val dsN = nDocs / tn
     val ds4N = nDocs / t4n
     val ratios = pairs.map { case (a, b) => (a / b) / (bigCpus.toDouble / smallCpus) }.sorted
+    // Two estimators, both reported: the pair-ratio MEDIAN is the
+    // conservative one (a steal burst inside a pair pulls its ratio down);
+    // the BEST-times ratio filters steal additively (steal only ever slows a
+    // run, so min-over-pairs at each level is the cleanest estimate of true
+    // engine capacity). They bracket the real figure.
     val eff = ratios(ratios.length / 2)
+    val effBest = (tn / t4n) / (bigCpus.toDouble / smallCpus)
     val total = queryTimes.map(_._2).sum + t4n
+
+    // --- FULL five-stage pipeline (extract → langid → quality → KN-
+    // perplexity → trained classifier → PII scrub): the trained-filter
+    // stages cost a broadcast-model UDF per row; this measures that marginal
+    // cost so the 100-TB model covers them. Model FITS stay outside the
+    // timed region — they are one-time corpus passes, not per-query cost.
+    spark = session(bigCpus)
+    val fullSec = {
+      val s = spark
+      import s.implicits._
+      val base = s.read.parquet(pagesDir)
+      val lm = graft.filter.BigramLM.fit(base.select("text").as[String])
+      val qm = graft.filter.QualityClassifier.fit(
+        graft.filter.QualityClassifier.weakLabels(
+            base, abs(hash(col("url"))).cast("long"), col("text"))
+          .select(col("text").as("_1"), col("y").as("_2")).as[(String, Double)])
+      def fullDf() = {
+        val pages = s.read.parquet(pagesDir)
+          .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
+          .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
+          .drop("rep")
+        QualityPipeline.piiStage(
+          QualityPipeline.modelScoresStage(
+            QualityPipeline.qualityStage(
+              QualityPipeline.langIdStage(QualityPipeline.extract(pages))),
+            lm, qm, maxPerplexity = 1e9, minScore = 0.0))
+          .select("url", "keep", "n_pii", "text_scrubbed")
+      }
+      force(fullDf()) // warm-up
+      math.min(time(force(fullDf())), time(force(fullDf())))
+    }
+    spark.stop()
 
 
     def f(d: Double) = f"$d%.3f"
@@ -142,8 +182,11 @@ object Bench {
     val qColdJson = coldTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val pipeJson =
       s"""{"docs":$nDocs,"cores_n":$smallCpus,"sec_n":${f(tn)},"docs_sec_n":${f(dsN)},""" +
-      s""""cores_4n":$bigCpus,"sec_4n":${f(t4n)},"docs_sec_4n":${f(ds4N)},"scaling_efficiency":${f(eff)}}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson$detectorJson}""")
+      s""""cores_4n":$bigCpus,"sec_4n":${f(t4n)},"docs_sec_4n":${f(ds4N)},""" +
+      s""""scaling_efficiency":${f(eff)},"scaling_efficiency_best":${f(effBest)}}"""
+    val fullJson =
+      s"""{"docs":$nDocs,"cores":$bigCpus,"sec":${f(fullSec)},"docs_sec":${f(nDocs / fullSec)}}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson,"pipeline_full":$fullJson$detectorJson}""")
 
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles.foreach(rm)

@@ -40,7 +40,7 @@ final case class QualityModel(dim: Int, weights: Array[Float], bias: Float)
 
 object QualityClassifier {
 
-  @inline private[filter] def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+  @inline private[graft] def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
 
   /** Deterministic weak-supervision corpus — ONE definition shared by the
     * q55 query (whose model the golden pins) and the held-out accuracy gate

@@ -106,6 +106,32 @@ object QualityPipeline {
       .withColumn("keep", size(col("drop_reasons")) === 0)
   }
 
+  /** Stages 3b+3c FUSED: both trained-model scores from ONE tokenization
+    * pass (`model_scores` expression; the separate stages each re-tokenize
+    * every document and pay tuple-keyed Scala-map lookups per bigram). Column
+    * contract and values are IDENTICAL to
+    * `classifierStage(perplexityStage(df, lm, maxPpl), qm, minScore)` —
+    * parity is spec-pinned with exact equality. Models ride the expression
+    * (task-binary broadcast, one copy per executor); still a narrow
+    * projection, no shuffle. */
+  def modelScoresStage(df: DataFrame, lm: graft.filter.BigramLM,
+                       qm: graft.filter.QualityModel,
+                       maxPerplexity: Double, minScore: Double): DataFrame =
+    df.withColumn("_ms",
+        graft.functions.ModelScoresExpression.model_scores(col("text"), lm, qm))
+      .withColumn("perplexity", col("_ms.perplexity"))
+      .withColumn("drop_reasons",
+        when(col("perplexity") > maxPerplexity,
+          array_union(col("drop_reasons"), array(lit("high_perplexity"))))
+          .otherwise(col("drop_reasons")))
+      .withColumn("quality_score", col("_ms.quality"))
+      .withColumn("drop_reasons",
+        when(col("quality_score") < minScore,
+          array_union(col("drop_reasons"), array(lit("low_quality_score"))))
+          .otherwise(col("drop_reasons")))
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+      .drop("_ms")
+
   /** Stage 4: PII detection + redaction in ONE detector pass per row
     * (process_pii expression; patterns are executor singletons). */
   def piiStage(df: DataFrame): DataFrame =
