@@ -176,6 +176,54 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by embedding —
+    * cluster the corpus with a coarse k-means quantizer, then inside each
+    * cluster drop every vector that has an EARLIER-id neighbor at cosine ≥
+    * `threshold` (deterministic min-id canonicalization of the paper's
+    * ε-ball pruning; "earlier neighbor" includes itself-dropped vectors, so
+    * chains collapse to their smallest id).
+    *
+    * Embeddings are L2-normalized first (the algorithm operates on the unit
+    * sphere; normalization also makes scaled duplicates land in the same
+    * cell — Euclidean cells on raw vectors would separate x from 2x despite
+    * cosine 1). Scale shape: the centroid fit is the bounded `sampleSize`
+    * driver sample (same discipline as [[ivfTopK]]); assignment is a narrow
+    * broadcast-centroid map; the only shuffle is the within-cell self-join,
+    * bounded by `maxCluster` per cell (rank-capped by id — members beyond
+    * the cap are kept unexamined, the documented recall loss; pick
+    * nCells ≈ n / targetClusterSize). Output: (vec_id, cell, keep). */
+  def semDedup(vectors: DataFrame, threshold: Double,
+               nCells: Int = 16, sampleSize: Int = 2048,
+               maxCluster: Int = 4096): DataFrame = {
+    val spark = vectors.sparkSession
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val unit = vectors.select(col("vec_id").as("id"),
+      when(norm > 0, transform(col("embedding"), x => x.cast("double") / norm))
+        .otherwise(transform(col("embedding"), x => lit(0.0))).as("u"))
+    // ordered take: a bare limit() samples in partition order, which would
+    // make the centroid init (and so every cell id) depend on input layout
+    val sample = unit.orderBy("id").limit(sampleSize).select("u")
+      .collect().map(_.getSeq[Double](0).map(_.toFloat).toArray)
+    val bc = spark.sparkContext.broadcast(ivfCentroids(sample, nCells))
+    val cellUdf = udf((v: Seq[Double]) =>
+      nearestCentroid(v.map(_.toFloat).toArray, bc.value))
+    val assigned = unit.select(col("id"), col("u"), cellUdf(col("u")).as("cell"))
+    val w = Window.partitionBy("cell").orderBy("id")
+    val capped = assigned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxCluster).drop("_rn")
+    val dropped = capped.select(col("cell"), col("id").as("id_a"), col("u").as("u_a"))
+      .join(capped.select(col("cell"), col("id").as("id_b"), col("u").as("u_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("u_a"), col("u_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("_dropped", lit(true))
+    assigned.select(col("id").as("vec_id"), col("cell"))
+      .join(dropped.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("_dropped").isNull.as("keep"))
+  }
+
   /** ANN via sign-LSH: score only same-bucket candidates. Recall < 1 by
     * construction; nProbes>1 would add neighboring buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -568,6 +568,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
+    // embeddings ∪ planted scaled copies (cosine-identical, so each copy
+    // MUST be dropped against its earlier original). Golden-pinned (k-means
+    // quantizer is iterative — not SQL-expressible); the drop rule itself is
+    // verified against a brute-force reference in SemDedupSpec.
+    "q61_semdedup" -> ((s, dir) => {
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.semDedup(e.unionByName(planted), threshold = 0.99)
+        .orderBy("vec_id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
