@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * and the per-word pieces concatenate in document order.
   *
   * Scale shape: the model rides the expression, which rides the task binary —
-  * itself a TorrentBroadcast, so each executor receives ONE copy of the
-  * merge table regardless of task count (the same distribution path as
-  * [[LangIdExpression]]). Per-row work is O(tokens × word length); the
+  * itself a TorrentBroadcast, so the merge-table BYTES reach each executor
+  * once (the same distribution path as [[LangIdExpression]]); each task then
+  * deserializes its own instance — ms-scale even at a 32k-merge vocab, so no
+  * executor-singleton cache is needed here (unlike the 2²⁰-entry LM tables
+  * in [[ModelScoresExpression]]). Per-row work is O(tokens × word length); the
   * Zipfian word distribution makes a per-thread LRU word cache absorb almost
   * all encode loops (the top ~64k word types cover ≈97% of running text), so
   * the hot path is a hash lookup per word. Narrow map — no shuffle.

@@ -208,7 +208,14 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(ivfCentroids(sample, nCells))
     val cellUdf = udf((v: Seq[Double]) =>
       nearestCentroid(v.map(_.toFloat).toArray, bc.value))
+    // Persisted: the normalize+assign subtree feeds BOTH self-join sides and
+    // the final projection — without this Spark recomputes it three times.
+    // MEMORY_AND_DISK spills at scale; at the 10¹²-row tier a deployment
+    // writes the assignment table to the lake instead (cluster assignments
+    // are a standard SemDeDup intermediate) — the caller may unpersist via
+    // the returned plan's lineage once the action completes.
     val assigned = unit.select(col("id"), col("u"), cellUdf(col("u")).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("cell").orderBy("id")
     val capped = assigned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxCluster).drop("_rn")

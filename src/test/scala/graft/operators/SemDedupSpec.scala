@@ -29,11 +29,7 @@ class SemDedupSpec extends SparkSpecBase {
     }
   }
 
-  test("drop rule matches the brute-force within-cluster reference") {
-    val res = Similarity.semDedup(withPlanted, threshold = 0.99).collect()
-      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"), r.getAs[Boolean]("keep")))
-    // brute force: normalize, group by the REPORTED cell, drop iff an
-    // earlier-id same-cell vector is within the cosine threshold
+  test("drop rule matches the brute-force within-cluster reference (incl. cap)") {
     val unit = withPlanted.collect().map { r =>
       val v = r.getSeq[Float](1).map(_.toDouble).toArray
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -43,12 +39,29 @@ class SemDedupSpec extends SparkSpecBase {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
-    val byCell = res.groupBy(_._2)
-    for ((_, members) <- byCell; (id, _, keep) <- members) {
-      val expectDrop = members.exists { case (other, _, _) =>
-        other < id && cos(unit(other), unit(id)) >= 0.99
+    // maxCluster = 4 exercises the cap branch (fixture cells exceed 4);
+    // the large value exercises the uncapped rule. The reference mirrors
+    // semDedup's contract: only the first maxCluster ids per cell
+    // participate in pairing (either side); beyond-cap rows are kept.
+    for (cap <- Seq(1000000, 4)) {
+      val res = Similarity.semDedup(withPlanted, threshold = 0.99, maxCluster = cap)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"), r.getAs[Boolean]("keep")))
+      val byCell = res.groupBy(_._2)
+      var capKept = 0
+      for ((_, members) <- byCell) {
+        val participants = members.map(_._1).sorted.take(cap).toSet
+        for ((id, _, keep) <- members) {
+          val expectDrop = participants.contains(id) && members.exists { case (other, _, _) =>
+            participants.contains(other) && other < id &&
+              cos(unit(other), unit(id)) >= 0.99
+          }
+          if (!participants.contains(id)) capKept += 1
+          assert(keep == !expectDrop,
+            s"cap=$cap vec $id: keep=$keep but brute force says drop=$expectDrop")
+        }
       }
-      assert(keep == !expectDrop, s"vec $id: keep=$keep but brute force says drop=$expectDrop")
+      if (cap == 4) assert(capKept > 0, "small cap must leave beyond-cap rows unexamined")
     }
   }
 
