@@ -121,17 +121,23 @@ object Bench {
     // fusion the 16-core run dropped to ~7s, short enough for one VM-steal
     // burst to corrupt a pair ratio — doubling the measured interval keeps
     // the median estimator steal-robust without extra sessions.
+    // The 4N level runs FOUR forces per interval (vs two at N): per-force
+    // wall time is ~4× shorter there, so a two-force interval was ~14s vs
+    // ~52s at N — short enough that a single steal burst inside it corrupted
+    // the pair ratio (observed medians 0.75–0.86 across same-day runs while
+    // the best-times estimator held 0.90–0.92). Equalizing interval LENGTH
+    // equalizes each level's steal exposure.
     val pairs = (1 to 7).map { _ =>
       spark = session(smallCpus)
-      val a = time { force(pipelineDf(spark)); force(pipelineDf(spark)) }
+      val a = time { force(pipelineDf(spark)); force(pipelineDf(spark)) } / 2
       spark.stop()
       spark = session(bigCpus)
-      val b = time { force(pipelineDf(spark)); force(pipelineDf(spark)) }
+      val b = time { (1 to 4).foreach(_ => force(pipelineDf(spark))) } / 4
       spark.stop()
       (a, b)
     }
-    val tn = pairs.map(_._1).min / 2
-    val t4n = pairs.map(_._2).min / 2
+    val tn = pairs.map(_._1).min
+    val t4n = pairs.map(_._2).min
     val dsN = nDocs / tn
     val ds4N = nDocs / t4n
     val ratios = pairs.map { case (a, b) => (a / b) / (bigCpus.toDouble / smallCpus) }.sorted
