@@ -112,6 +112,29 @@ object ExactSubstring {
           x => x("line")), "\n").as("text_dedup"))
   }
 
+  /** C4 line filter (Raffel et al. 2020 §2.2): keep only lines that end in
+    * a terminal punctuation mark (`.` `!` `?` `"`) and carry at least
+    * `minWords` words; documents are rebuilt from the surviving lines in
+    * order, and the kept-line count stands in for C4's sentence count (its
+    * page gate drops pages below 5 — left to the caller as a predicate on
+    * `n_lines_kept`). Menus, navigation crumbs, cookie banners and button
+    * labels — the dominant non-prose crawl noise — fail both tests.
+    *
+    * Pure narrow work: explode → per-line predicate → per-doc rebuild (one
+    * groupBy on id). Every construct is SQL-portable (space-only trim,
+    * `\s+` word split, `[.!?"]$`) — q62's DuckDB oracle mirrors it. */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 3): DataFrame = {
+    val keepLine = (l: org.apache.spark.sql.Column) =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWords
+    df.select(col(idCol).cast("long").as("id"), split(col(textCol), "\n").as("ls"))
+      .select(col("id"), size(col("ls")).as("n_lines"),
+        filter(col("ls"), keepLine).as("kept"))
+      .select(col("id"), col("n_lines"), size(col("kept")).as("n_lines_kept"),
+        array_join(col("kept"), "\n").as("text_filtered"))
+  }
+
   /** Scrubbed corpus: each document's lowered token stream with every cut
     * span's tokens removed (id, text_dedup). Span lists ride a broadcast-or-
     * shuffle join keyed by doc id; the per-token membership test is a

@@ -568,6 +568,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // C4 terminal-punctuation line filter (Raffel et al. 2020): every doc is
+    // planted with nav-menu / button / cookie-banner noise lines plus one
+    // proper sentence; even docs additionally get a terminal '.' on the body
+    // line, so both filter branches fire on half the corpus each.
+    "q62_c4_line_filter" -> ((s, dir) => {
+      import graft.operators.ExactSubstring
+      val withLines = rawDocs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit("")),
+          lit("\nHome | About | Contact"),
+          lit("\nOk."),
+          lit("\nAccept all cookies"),
+          lit("\nThis planted sentence has plenty of words.")).as("text"))
+      ExactSubstring.c4LineFilter(withLines, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines").cast("int").as("n_lines"),
+          col("n_lines_kept").cast("int").as("n_lines_kept"),
+          md5(col("text_filtered")).as("filtered_md5"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
     // embeddings ∪ planted scaled copies (cosine-identical, so each copy
     // MUST be dropped against its earlier original). Golden-pinned (k-means
@@ -1055,6 +1075,26 @@ object TextQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
         |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1,2 HAVING COUNT(*) >= 10 ORDER BY 1,2""".stripMargin,
+    "q62_c4_line_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    text || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) ||
+        |    chr(10) || 'Home | About | Contact' ||
+        |    chr(10) || 'Ok.' ||
+        |    chr(10) || 'Accept all cookies' ||
+        |    chr(10) || 'This planted sentence has plenty of words.' AS text
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM u
+        |), f AS (
+        |  SELECT doc_id, len(ls) AS n_lines,
+        |    list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 3) AS kept
+        |  FROM ln
+        |)
+        |SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_lines_kept,
+        |  md5(array_to_string(kept, chr(10))) AS filtered_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -194,6 +194,24 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(capped(1L) == "alpha one\nbeta one")
   }
 
+  test("C4 line filter keeps terminal-punctuated >=3-word lines, rebuilds in order") {
+    val c = Seq(
+      (1L, "A proper first sentence here.\nHome | About\nOk.\nShe said \"stop\"\nEnds with a question?"),
+      (2L, "no terminal punct at all\nAccept cookies"),
+      (3L, "  padded but fine sentence.  \nshort.")
+    ).toDF("doc_id", "text")
+    val out = ExactSubstring.c4LineFilter(c, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_lines_kept"), r.getAs[String]("text_filtered"))).toMap
+    // doc 1: sentence (kept), nav (no punct), Ok. (1 word), quote-ending
+    // 3-worder (kept), question (kept) — order preserved
+    assert(out(1L) == (5, 3,
+      "A proper first sentence here.\nShe said \"stop\"\nEnds with a question?"))
+    assert(out(2L) == (2, 0, ""))
+    // trailing spaces: the trim applies to the TEST, the original line is kept
+    assert(out(3L) == (2, 1, "  padded but fine sentence.  "))
+  }
+
   test("exact-substring differential fuzz vs brute-force reference") {
     val k = 3
     val rnd = new scala.util.Random(20260816L)
