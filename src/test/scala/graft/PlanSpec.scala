@@ -149,6 +149,23 @@ class PlanSpec extends SparkSpecBase {
     assert(nUdf == 1, s"scoreOf must appear exactly once in the optimized plan, found $nUdf")
   }
 
+  test("q62: C4 line filter is fully narrow — array ops, no shuffle, no explode") {
+    val p = executedPlan("q62_c4_line_filter")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(!f.contains("Exchange hashpartitioning"), s"line filter must not shuffle:\n$f")
+    assert(!f.contains("Generate"), s"filter() on the array beats explode+regroup:\n$f")
+    assert(!f.contains("Join"), s"no join expected:\n$f")
+  }
+
+  test("q61: semdedup joins only on cell ids — no cartesian, no nested loop") {
+    val p = executedPlan("q61_semdedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs plan regressed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs plan regressed:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"normalize+assign subtree must be persisted (3 consumers):\n$p")
+  }
+
   test("q54: mixture repeat is a pure narrow generate — no shuffle before the sort") {
     val p = executedPlan("q54_mixture_repeat")
     val idx = p.indexOf("== Initial Plan ==")
