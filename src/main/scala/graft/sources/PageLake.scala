@@ -23,7 +23,7 @@ object PageLake {
   def urlBucket(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(hash(url), lit(Buckets))
 
-  def write(pages: DataFrame, path: String): Unit =
+  def write(pages: DataFrame, path: String): Unit = {
     pages
       .withColumn("crawl_date", to_date(col("warc_ts")))
       .withColumn("url_bucket", urlBucket(col("url")))
@@ -36,6 +36,8 @@ object PageLake {
       .write.mode("overwrite")
       .partitionBy("crawl_date")
       .parquet(path)
+    writeManifest(pages.sparkSession, path): Unit
+  }
 
   /** Register pages as a bucketed + bucket-sorted catalog table: both sides
     * of a url equi-join written this way are co-partitioned, so the join
@@ -138,10 +140,118 @@ object PageLake {
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       } else after += files.length
     }
+    if (rewritten > 0 || readManifest(spark, path).isEmpty)
+      writeManifest(spark, path): Unit
     (rewritten, before, after)
   }
 
   /** A day's slice: resolves to a partition-pruned scan. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     read(spark, path).filter(col("crawl_date") === lit(day))
+
+  // --- Iceberg-style manifest (file-level stats pruning) -----------------
+
+  final case class FileStat(path: String, crawlDate: String,
+                            minBucket: Int, maxBucket: Int)
+
+  private val ManifestName = "_graft_manifest.json"
+
+  /** Rebuild the lake's manifest: one footer read per data file, recording
+    * each file's url_bucket min/max (and its date partition) — the
+    * file-level stats Iceberg keeps in manifest files so READERS never pay
+    * per-file metadata I/O. Writers call this once after mutating the lake
+    * (`write`/`compact` do); the cost is O(files) driver-side metadata
+    * reads at write time, amortized over every subsequent pruned read. */
+  def writeManifest(spark: SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val stats = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+    for (part <- fs.listStatus(root)
+         if part.isDirectory && part.getPath.getName.startsWith("crawl_date=")) {
+      val date = part.getPath.getName.stripPrefix("crawl_date=")
+      for (f <- fs.listStatus(part.getPath)
+           if f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          for (block <- reader.getFooter.getBlocks.asScala;
+               c <- block.getColumns.asScala
+               if c.getPath.toDotString == "url_bucket") {
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty) {
+              mn = math.min(mn, st.genericGetMin.asInstanceOf[Number].intValue())
+              mx = math.max(mx, st.genericGetMax.asInstanceOf[Number].intValue())
+            }
+          }
+          if (mn != Int.MaxValue)
+            stats += FileStat(f.getPath.toString, date, mn, mx)
+        } finally reader.close()
+      }
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.createArrayNode()
+    stats.foreach { s =>
+      val n = arr.addObject()
+      n.put("path", s.path); n.put("date", s.crawlDate)
+      n.put("min_bucket", s.minBucket); n.put("max_bucket", s.maxBucket): Unit
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestName), true)
+    try out.write(om.writeValueAsBytes(arr)) finally out.close()
+    stats.length
+  }
+
+  /** The manifest, if the lake has one. */
+  def readManifest(spark: SparkSession, path: String): Option[Seq[FileStat]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, ManifestName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toByteArray
+      } finally in.close()
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      import scala.jdk.CollectionConverters._
+      Some(arr.elements().asScala.map(n => FileStat(n.get("path").asText(),
+        n.get("date").asText(), n.get("min_bucket").asInt(),
+        n.get("max_bucket").asInt())).toSeq)
+    }
+  }
+
+  /** Bucket-pruned scan: read ONLY the files whose stat range can contain a
+    * requested url_bucket (plus an exact filter on the survivors) — the
+    * Iceberg manifest-pruning read path. Result always equals the full-scan
+    * filter; the manifest changes which files are OPENED, not the answer.
+    * Falls back to a freshly built manifest if the lake lacks one. */
+  def readBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): DataFrame = {
+    val stats = readManifest(spark, path).getOrElse {
+      writeManifest(spark, path); readManifest(spark, path).get
+    }
+    val wanted = buckets.toSet
+    val files = stats.filter(s => wanted.exists(b => b >= s.minBucket && b <= s.maxBucket))
+      .map(_.path)
+    if (files.isEmpty) {
+      read(spark, path).filter(lit(false))
+    } else {
+      // basePath keeps the crawl_date partition column available even
+      // though we enumerate leaf files explicitly
+      spark.read.option("basePath", path).parquet(files: _*)
+        .filter(col("url_bucket").isInCollection(wanted))
+    }
+  }
+
+  /** Files a bucket read would open vs the lake total — the pruning
+    * effectiveness measure (exposed for tests/ops dashboards). */
+  def pruneStats(spark: SparkSession, path: String, buckets: Seq[Int]): (Int, Int) = {
+    val stats = readManifest(spark, path).getOrElse(Seq.empty)
+    val wanted = buckets.toSet
+    (stats.count(s => wanted.exists(b => b >= s.minBucket && b <= s.maxBucket)), stats.length)
+  }
 }

@@ -154,6 +154,48 @@ class PageLakeSpec extends SparkSpecBase {
     assert(spark.read.parquet(part.getAbsolutePath).count() == want)
   }
 
+  test("manifest pruning: bucket reads open fewer files, same answer") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-manifest").toString
+    SyntheticPages.fromDocuments(spark, sfDir)
+      .withColumn("crawl_date", to_date(col("warc_ts")))
+      .withColumn("url_bucket", PageLake.urlBucket(col("url")))
+      .repartition(24)
+      .write.mode("overwrite").partitionBy("crawl_date").parquet(dir)
+    // range-clustering via compaction makes the file-level stats selective
+    PageLake.compact(spark, dir, targetFileBytes = 16L * 1024)
+    assert(PageLake.readManifest(spark, dir).nonEmpty, "compact must write the manifest")
+    val buckets = Seq(3)
+    val (selected, total) = PageLake.pruneStats(spark, dir, buckets)
+    assert(total > 1 && selected < total,
+      s"manifest must prune files: $selected/$total opened")
+    val got = PageLake.readBuckets(spark, dir, buckets)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    val want = spark.read.parquet(dir)
+      .filter(col("url_bucket").isInCollection(buckets))
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == want && want.nonEmpty)
+    // partition column survives the explicit-file read path
+    assert(PageLake.readBuckets(spark, dir, buckets).columns.contains("crawl_date"))
+    // missing manifest: readBuckets rebuilds it and still answers exactly
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json"), false)
+    val got2 = PageLake.readBuckets(spark, dir, buckets)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(got2 == want)
+    // no matching bucket range -> empty result, zero files opened
+    assert(PageLake.readBuckets(spark, dir, Seq(9999)).count() == 0)
+  }
+
+  test("PageLake.write maintains the manifest (one entry per data file)") {
+    val want = countParquetFiles(lakeDir)
+    val m = PageLake.readManifest(spark, lakeDir)
+    assert(m.nonEmpty, "write() must leave a manifest")
+    assert(m.get.size == want, s"manifest entries ${m.get.size} != files $want")
+    assert(m.get.forall(s => s.minBucket >= 0 && s.maxBucket < PageLake.Buckets
+      && s.minBucket <= s.maxBucket))
+  }
+
   private def countParquetFiles(dir: String): Int = {
     val root = java.nio.file.Paths.get(dir)
     val s = java.nio.file.Files.walk(root)
