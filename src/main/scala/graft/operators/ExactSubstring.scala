@@ -125,12 +125,20 @@ object ExactSubstring {
     * `\s+` word split, `[.!?"]$`) — q62's DuckDB oracle mirrors it. */
   def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
                    minWords: Int = 3): DataFrame = {
-    val keepLine = (l: org.apache.spark.sql.Column) =>
-      trim(l).rlike("[.!?\"]$") &&
-        size(split(trim(l), "\\s+")) >= minWords
-    df.select(col(idCol).cast("long").as("id"), split(col(textCol), "\n").as("ls"))
-      .select(col("id"), size(col("ls")).as("n_lines"),
-        filter(col("ls"), keepLine).as("kept"))
+    // Line split eats an optional \r (CRLF crawl text); the punctuation
+    // anchor is \z (absolute end) because Java's `$` — unlike RE2's — also
+    // matches before a final \r, which would silently diverge from the
+    // DuckDB oracle on any stray lone-\r line ending. trim() is evaluated
+    // ONCE per line via the struct pairing: Catalyst does not CSE inside
+    // higher-order-function lambdas, so the naive form trims twice.
+    val paired = transform(split(col(textCol), "\r?\n"),
+      l => struct(l.as("line"), trim(l).as("t")))
+    df.select(col(idCol).cast("long").as("id"), paired.as("p"))
+      .select(col("id"), size(col("p")).as("n_lines"),
+        transform(
+          filter(col("p"), p =>
+            p("t").rlike("[.!?\"]\\z") && size(split(p("t"), "\\s+")) >= minWords),
+          p => p("line")).as("kept"))
       .select(col("id"), col("n_lines"), size(col("kept")).as("n_lines_kept"),
         array_join(col("kept"), "\n").as("text_filtered"))
   }

@@ -580,6 +580,7 @@ object TextQueries {
           lit("\nHome | About | Contact"),
           lit("\nOk."),
           lit("\nAccept all cookies"),
+          lit("\r\nA carriage-return separated sentence."),
           lit("\nThis planted sentence has plenty of words.")).as("text"))
       ExactSubstring.c4LineFilter(withLines, "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_lines").cast("int").as("n_lines"),
@@ -1082,10 +1083,11 @@ object TextQueries {
         |    chr(10) || 'Home | About | Contact' ||
         |    chr(10) || 'Ok.' ||
         |    chr(10) || 'Accept all cookies' ||
+        |    chr(13) || chr(10) || 'A carriage-return separated sentence.' ||
         |    chr(10) || 'This planted sentence has plenty of words.' AS text
         |  FROM documents
         |), ln AS (
-        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM u
+        |  SELECT doc_id, regexp_split_to_array(text, '\r?\n') AS ls FROM u
         |), f AS (
         |  SELECT doc_id, len(ls) AS n_lines,
         |    list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$')

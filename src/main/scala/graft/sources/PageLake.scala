@@ -104,7 +104,7 @@ object PageLake {
     }
     val parts = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("crawl_date="))
-    for (p <- parts) {
+    try for (p <- parts) {
       val files = fs.listStatus(p.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       val bytes = files.map(_.getLen).sum
@@ -139,11 +139,36 @@ object PageLake {
         after += fs.listStatus(p.getPath)
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       } else after += files.length
+    } finally {
+      // Refresh the manifest whenever it no longer matches the live file
+      // set — not just when THIS run rewrote something. A crash between a
+      // successful swap and the manifest write (this run or a previous
+      // one), or an exception after some partitions were already
+      // rewritten, would otherwise leave stale paths that readBuckets
+      // passes to the reader. The check is metadata-only (listing vs the
+      // manifest's path set); the footer scan runs only on mismatch.
+      if (manifestStale(spark, path)) writeManifest(spark, path): Unit
     }
-    if (rewritten > 0 || readManifest(spark, path).isEmpty)
-      writeManifest(spark, path): Unit
     (rewritten, before, after)
   }
+
+  /** Manifest missing, unparseable, or naming a file set different from
+    * the lake's current listing. */
+  private def manifestStale(spark: SparkSession, path: String): Boolean =
+    readManifest(spark, path) match {
+      case None => true
+      case Some(stats) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(conf)
+        val live = (for {
+          part <- fs.listStatus(root)
+          if part.isDirectory && part.getPath.getName.startsWith("crawl_date=")
+          f <- fs.listStatus(part.getPath)
+          if f.isFile && f.getPath.getName.endsWith(".parquet")
+        } yield f.getPath.toString).toSet
+        stats.map(_.path).toSet != live
+    }
 
   /** A day's slice: resolves to a partition-pruned scan. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
@@ -163,6 +188,28 @@ object PageLake {
     * (`write`/`compact` do); the cost is O(files) driver-side metadata
     * reads at write time, amortized over every subsequent pruned read. */
   def writeManifest(spark: SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val stats = collectStats(spark, path)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.createArrayNode()
+    stats.foreach { s =>
+      val n = arr.addObject()
+      n.put("path", s.path); n.put("date", s.crawlDate)
+      n.put("min_bucket", s.minBucket); n.put("max_bucket", s.maxBucket): Unit
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestName), true)
+    try out.write(om.writeValueAsBytes(arr)) finally out.close()
+    stats.length
+  }
+
+  /** File-level url_bucket stats straight from parquet footers (what
+    * writeManifest persists). Files without usable url_bucket statistics
+    * (foreign writer, stats disabled, schema drift) are recorded with the
+    * FULL bucket range — always opened, never silently dropped: pruning may
+    * only change which files are read, never the answer. */
+  def collectStats(spark: SparkSession, path: String): Seq[FileStat] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -187,21 +234,12 @@ object PageLake {
               mx = math.max(mx, st.genericGetMax.asInstanceOf[Number].intValue())
             }
           }
-          if (mn != Int.MaxValue)
-            stats += FileStat(f.getPath.toString, date, mn, mx)
+          stats += (if (mn != Int.MaxValue) FileStat(f.getPath.toString, date, mn, mx)
+                    else FileStat(f.getPath.toString, date, 0, Buckets - 1))
         } finally reader.close()
       }
     }
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = om.createArrayNode()
-    stats.foreach { s =>
-      val n = arr.addObject()
-      n.put("path", s.path); n.put("date", s.crawlDate)
-      n.put("min_bucket", s.minBucket); n.put("max_bucket", s.maxBucket): Unit
-    }
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestName), true)
-    try out.write(om.writeValueAsBytes(arr)) finally out.close()
-    stats.length
+    stats.toSeq
   }
 
   /** The manifest, if the lake has one. */
@@ -217,11 +255,15 @@ object PageLake {
         org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
         bos.toByteArray
       } finally in.close()
-      val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-      import scala.jdk.CollectionConverters._
-      Some(arr.elements().asScala.map(n => FileStat(n.get("path").asText(),
-        n.get("date").asText(), n.get("min_bucket").asInt(),
-        n.get("max_bucket").asInt())).toSeq)
+      // a torn/corrupt manifest reads as absent (callers rebuild), never as
+      // an exception on the read path
+      scala.util.Try {
+        val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+        import scala.jdk.CollectionConverters._
+        arr.elements().asScala.map(n => FileStat(n.get("path").asText(),
+          n.get("date").asText(), n.get("min_bucket").asInt(),
+          n.get("max_bucket").asInt())).toSeq
+      }.toOption
     }
   }
 
@@ -231,9 +273,10 @@ object PageLake {
     * filter; the manifest changes which files are OPENED, not the answer.
     * Falls back to a freshly built manifest if the lake lacks one. */
   def readBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): DataFrame = {
-    val stats = readManifest(spark, path).getOrElse {
-      writeManifest(spark, path); readManifest(spark, path).get
-    }
+    // missing manifest → stats computed in memory: a READ never writes to
+    // the lake (read-only mounts, snapshots), it just pays the footer scan
+    // the manifest would have amortized
+    val stats = readManifest(spark, path).getOrElse(collectStats(spark, path))
     val wanted = buckets.toSet
     val files = stats.filter(s => wanted.exists(b => b >= s.minBucket && b <= s.maxBucket))
       .map(_.path)
@@ -250,7 +293,7 @@ object PageLake {
   /** Files a bucket read would open vs the lake total — the pruning
     * effectiveness measure (exposed for tests/ops dashboards). */
   def pruneStats(spark: SparkSession, path: String, buckets: Seq[Int]): (Int, Int) = {
-    val stats = readManifest(spark, path).getOrElse(Seq.empty)
+    val stats = readManifest(spark, path).getOrElse(collectStats(spark, path))
     val wanted = buckets.toSet
     (stats.count(s => wanted.exists(b => b >= s.minBucket && b <= s.maxBucket)), stats.length)
   }

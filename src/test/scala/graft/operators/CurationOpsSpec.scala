@@ -212,6 +212,20 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(out(3L) == (2, 1, "  padded but fine sentence.  "))
   }
 
+  test("C4 line filter: CRLF line endings split cleanly, lone CR does not fake a match") {
+    val c = Seq(
+      (1L, "Windows sentence number one.\r\nAnd a second windows line.\r\nno punct"),
+      // a LONE trailing \r is not consumed by the \r?\n split; the \z anchor
+      // must refuse it (Java's $ would match before the final \r)
+      (2L, "ends with stray carriage return.\r")
+    ).toDF("doc_id", "text")
+    val out = ExactSubstring.c4LineFilter(c, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_lines_kept"), r.getAs[String]("text_filtered"))).toMap
+    assert(out(1L) == (3, 2, "Windows sentence number one.\nAnd a second windows line."))
+    assert(out(2L) == (1, 0, ""))
+  }
+
   test("exact-substring differential fuzz vs brute-force reference") {
     val k = 3
     val rnd = new scala.util.Random(20260816L)

@@ -187,6 +187,31 @@ class PageLakeSpec extends SparkSpecBase {
     assert(PageLake.readBuckets(spark, dir, Seq(9999)).count() == 0)
   }
 
+  test("compact heals a stale or corrupt manifest even when nothing needs rewriting") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-manifest-heal").toString
+    PageLake.write(SyntheticPages.fromDocuments(spark, sfDir), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
+    // stale: manifest names a file that no longer exists (crash between a
+    // swap and the manifest write of a previous run)
+    val out = fs.create(mPath, true)
+    out.write("""[{"path":"/gone/part-0.parquet","date":"2024-01-01","min_bucket":0,"max_bucket":1}]""".getBytes)
+    out.close()
+    val (rewritten, _, _) = PageLake.compact(spark, dir) // healthy lake: no rewrite
+    assert(rewritten == 0)
+    val healed = PageLake.readManifest(spark, dir).get
+    assert(healed.nonEmpty && healed.forall(s =>
+      fs.exists(new org.apache.hadoop.fs.Path(s.path))), "manifest must match live files")
+    // corrupt JSON reads as absent; bucket reads still answer exactly
+    val out2 = fs.create(mPath, true)
+    out2.write("{not json".getBytes)
+    out2.close()
+    assert(PageLake.readManifest(spark, dir).isEmpty)
+    val want = spark.read.parquet(dir).filter(col("url_bucket") === 3).count()
+    assert(PageLake.readBuckets(spark, dir, Seq(3)).count() == want && want > 0)
+  }
+
   test("PageLake.write maintains the manifest (one entry per data file)") {
     val want = countParquetFiles(lakeDir)
     val m = PageLake.readManifest(spark, lakeDir)
