@@ -94,6 +94,21 @@ object TextFunctions {
 
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
 
+  /** Gopher line-shape rules (Rae et al. 2021): fraction of lines starting
+    * with a bullet marker and fraction ending with an ellipsis — crawl-noise
+    * shapes (nav lists, truncated teasers) that word-level signals cannot
+    * see. ONE `\r?\n` split + trim shared by both fractions; `\z` anchors
+    * (not `$`, which Java also matches before a final `\r`) keep the
+    * semantics identical to an RE2-based oracle. */
+  def lineShapeSignals(text: Column): Column = {
+    val ls = transform(split(text, "\r?\n"), l => trim(l))
+    val n = size(ls)
+    struct(
+      n.as("n_lines"),
+      (size(filter(ls, l => l.rlike("^[•*-]"))).cast("double") / n).as("frac_bullet"),
+      (size(filter(ls, l => l.rlike("(\\.\\.\\.|…)\\z"))).cast("double") / n).as("frac_ellipsis"))
+  }
+
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "that")
 
   /** How many of the canonical stopwords occur as tokens (C4 requires ≥ a

@@ -589,6 +589,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher line-shape rules (Rae et al. 2021): >90% bullet-started lines
+    // or >30% ellipsis-ended lines drop the page. Every 3rd doc is planted
+    // with 19 bullet items (fires the bullet gate), every 5th with two
+    // teaser lines (fires the ellipsis gate); docs hitting both plants
+    // dilute below the bullet threshold — a real mixed-shape case.
+    "q63_gopher_lines" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          repeat(lit("\n- planted bullet item"), 19)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nRead more...\nAnd the story continues…")).otherwise(lit("")))
+      rawDocs(s, dir)
+        .select(col("doc_id"), TF.lineShapeSignals(planted).as("sig"))
+        .select(col("doc_id"), col("sig.n_lines").as("n_lines"),
+          round(col("sig.frac_bullet"), 4).as("frac_bullet"),
+          round(col("sig.frac_ellipsis"), 4).as("frac_ellipsis"),
+          (col("sig.frac_bullet") > 0.9).as("drop_bullet"),
+          (col("sig.frac_ellipsis") > 0.3).as("drop_ellipsis"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
     // embeddings ∪ planted scaled copies (cosine-identical, so each copy
     // MUST be dropped against its earlier original). Golden-pinned (k-means
@@ -1097,6 +1118,25 @@ object TextQueries {
         |SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_lines_kept,
         |  md5(array_to_string(kept, chr(10))) AS filtered_md5
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q63_gopher_lines" ->
+      """WITH u AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |       THEN repeat(chr(10) || '- planted bullet item', 19) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |       THEN chr(10) || 'Read more...' || chr(10) || 'And the story continues…' ELSE '' END)
+        |    AS text
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id, list_transform(regexp_split_to_array(text, '\r?\n'), l -> trim(l)) AS ls
+        |  FROM u
+        |)
+        |SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+        |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(l, '^[•*-]'))) AS DOUBLE) / len(ls), 4) AS frac_bullet,
+        |  ROUND(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE) / len(ls), 4) AS frac_ellipsis,
+        |  (CAST(len(list_filter(ls, l -> regexp_matches(l, '^[•*-]'))) AS DOUBLE) / len(ls) > 0.9) AS drop_bullet,
+        |  (CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE) / len(ls) > 0.3) AS drop_ellipsis
+        |FROM ln ORDER BY doc_id""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),

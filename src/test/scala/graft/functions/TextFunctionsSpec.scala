@@ -53,4 +53,20 @@ class TextFunctionsSpec extends SparkSpecBase {
     val got = Seq("abc").toDF("t").select(TextFunctions.hash60($"t")).as[Long].head()
     assert(got == java.lang.Long.parseLong("900150983cd24fb", 16))
   }
+
+  test("lineShapeSignals: bullet and ellipsis line fractions (CRLF-safe)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (1L, "- one\n* two\n\u2022 three\nplain prose line"),
+      (2L, "teaser cut short...\r\nfull sentence here.\nunicode ellipsis\u2026"),
+      (3L, "no markers at all")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.lineShapeSignals(col("text")).as("s"))
+      .select(col("id"), col("s.n_lines"), col("s.frac_bullet"), col("s.frac_ellipsis"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == (4, 0.75, 0.0))
+    assert(out(2L) == (3, 0.0, 2.0 / 3))
+    assert(out(3L) == (1, 0.0, 0.0))
+  }
 }
