@@ -29,6 +29,8 @@ object QualityPipeline {
       minAlphaWordRatio: Double = 0.5,
       maxRepetitionRatio: Double = 0.2,
       minLangConfidence: Double = 0.0,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
       allowedLangs: Seq[String] = Nil) // empty = all
 
   /** Stage 1: extract text/host from the raw page row. The text column is
@@ -59,6 +61,10 @@ object QualityPipeline {
       .withColumn("symbol_ratio", col("qs.n_symbols").cast("double") / col("qs.n_words"))
       .withColumn("alpha_word_ratio", col("qs.n_alpha_words").cast("double") / col("qs.n_words"))
       .withColumn("repetition_ratio", QualityFunctions.repetition_ratio(col("text"), 2))
+      // Gopher line-shape gates (bullet-started / ellipsis-ended line
+      // fractions) — one extra CRLF-safe split per document; single-line
+      // prose (frac 0) never trips them
+      .withColumn("lsig", graft.functions.TextFunctions.lineShapeSignals(col("text")))
       .drop("qs")
     val reasons = array_compact(array(
       when(col("n_words") < cfg.minWords, lit("too_few_words")),
@@ -68,12 +74,15 @@ object QualityPipeline {
       when(col("symbol_ratio") > cfg.maxSymbolRatio, lit("symbol_heavy")),
       when(col("alpha_word_ratio") < cfg.minAlphaWordRatio, lit("non_alpha")),
       when(col("repetition_ratio") > cfg.maxRepetitionRatio, lit("repetitive")),
+      when(col("lsig.frac_bullet") > cfg.maxBulletLineFrac, lit("bullet_heavy")),
+      when(col("lsig.frac_ellipsis") > cfg.maxEllipsisLineFrac, lit("ellipsis_heavy")),
       when(lit(cfg.allowedLangs.nonEmpty) &&
         !col("lang_pred").isin(cfg.allowedLangs: _*), lit("lang_filtered")),
       when(col("lang_conf") < cfg.minLangConfidence, lit("lang_low_conf"))))
     withSignals
       .withColumn("drop_reasons", reasons)
       .withColumn("keep", size(col("drop_reasons")) === 0)
+      .drop("lsig")
   }
 
   /** Optional stage 3b: Kneser-Ney perplexity scoring against a broadcast

@@ -15,6 +15,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(mismatch == 0)
   }
 
+  test("quality stage: Gopher line-shape gates fire on bullet/teaser noise") {
+    import spark.implicits._
+    val bullets = (1 to 20).map(i => s"- item $i").mkString("\n")
+    val teasers = "A fine full sentence with plenty of words right here.\n" +
+      "Story continues...\nRead the rest...\nMore after the break..."
+    val prose = ("The quick brown fox jumps over the lazy dog and " * 5).trim
+    val pages = Seq(
+      ("https://a.example.org/1", bullets),
+      ("https://a.example.org/2", teasers),
+      ("https://a.example.org/3", prose)
+    ).toDF("url", "text")
+      .withColumn("warc_ts", current_timestamp()).withColumn("lang", lit("en"))
+    val out = QualityPipeline.qualityStage(
+        QualityPipeline.langIdStage(QualityPipeline.extract(pages)))
+      .select(col("url"), array_join(col("drop_reasons"), ",").as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("https://a.example.org/1").contains("bullet_heavy"), out.toString)
+    assert(out("https://a.example.org/2").contains("ellipsis_heavy"), out.toString)
+    assert(!out("https://a.example.org/3").contains("bullet_heavy") &&
+      !out("https://a.example.org/3").contains("ellipsis_heavy"), out.toString)
+  }
+
   test("pipeline: non-PII pages keep text verbatim; PII pages are scrubbed") {
     val result = QualityPipeline.run(SyntheticPages.fromDocuments(spark, sfDir)).cache()
     val clean = result.filter(col("n_pii") === 0)
