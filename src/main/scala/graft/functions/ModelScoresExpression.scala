@@ -37,9 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * ~1M HashMap inserts per TASK — rivaling the scoring work the fusion
   * saves on short tasks.
   */
-case class ModelScoresExpression(child: Expression, lm: BigramLM, qm: QualityModel,
-                                 cacheKey: String = java.util.UUID.randomUUID().toString)
+case class ModelScoresExpression(child: Expression, models: ModelScoresExpression.ModelRef)
     extends UnaryExpression with CodegenFallback {
+  private def lm: BigramLM = models.lm
+  private def qm: QualityModel = models.qm
+  private def cacheKey: String = models.key
   override def dataType: DataType = StructType(Seq(
     StructField("perplexity", DoubleType, nullable = false),
     StructField("quality", DoubleType, nullable = false)))
@@ -119,6 +121,25 @@ case class ModelScoresExpression(child: Expression, lm: BigramLM, qm: QualityMod
 }
 
 object ModelScoresExpression {
+  /** Holder keeping the MODELS out of the expression's structural
+    * equality: Catalyst hashes/compares expressions during analysis and
+    * optimization (ExpressionSet, canonicalization), and a synthesized
+    * case-class equals over a 2^20-entry model Map would make PLANNING cost
+    * O(model size) per comparison. Equality/hashCode key on the driver-
+    * generated UUID only — two refs are the same model iff they were
+    * created by the same `model_scores` call, which is exactly the
+    * granularity the executor-side table cache uses. */
+  final class ModelRef(val lm: BigramLM, val qm: QualityModel,
+                       val key: String = java.util.UUID.randomUUID().toString)
+      extends Serializable {
+    override def equals(o: Any): Boolean = o match {
+      case r: ModelRef => r.key == key
+      case _ => false
+    }
+    override def hashCode: Int = key.hashCode
+    override def toString: String = s"ModelRef($key)"
+  }
+
   final case class FastTables(uniT: java.util.HashMap[String, Long],
                               bigT: java.util.HashMap[String, Long],
                               contT: java.util.HashMap[String, Int],
@@ -152,5 +173,6 @@ object ModelScoresExpression {
   }
 
   def model_scores(c: Column, lm: BigramLM, qm: QualityModel): Column =
-    ColumnBridge.column(ModelScoresExpression(ColumnBridge.expression(c), lm, qm))
+    ColumnBridge.column(ModelScoresExpression(ColumnBridge.expression(c),
+      new ModelRef(lm, qm)))
 }

@@ -110,8 +110,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, sampleSize: Int = 2048): DataFrame = {
     val spark = corpus.sparkSession
-    val sample = corpus.select("embedding").limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    // ordered take: a bare limit() samples in partition order, which would
+    // make centroid init — and so every cell assignment — depend on input
+    // layout (same discipline as semDedup's sample)
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
     val centroids = ivfCentroids(sample, nCells)
     val bc = spark.sparkContext.broadcast(centroids)
     val cellUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
@@ -194,7 +198,20 @@ object Similarity {
     * nCells ≈ n / targetClusterSize). Output: (vec_id, cell, keep). */
   def semDedup(vectors: DataFrame, threshold: Double,
                nCells: Int = 16, sampleSize: Int = 2048,
-               maxCluster: Int = 4096): DataFrame = {
+               maxCluster: Int = 4096): DataFrame =
+    semDedupManaged(vectors, threshold, nCells, sampleSize, maxCluster).df
+
+  /** Lazy semDedup result + explicit cache release hook. */
+  final case class SemDeduped(df: DataFrame, release: () => Unit)
+
+  /** [[semDedup]] with the persisted assignment subtree's lifecycle
+    * exposed: call `release()` after the consuming ACTION completes.
+    * Repeated un-released invocations (batch loops, interactive sessions)
+    * otherwise accumulate MEMORY_AND_DISK blocks until LRU eviction —
+    * same lifecycle contract as [[IncrementalDedup.newOnlyManaged]]. */
+  def semDedupManaged(vectors: DataFrame, threshold: Double,
+                      nCells: Int = 16, sampleSize: Int = 2048,
+                      maxCluster: Int = 4096): SemDeduped = {
     val spark = vectors.sparkSession
     val norm = sqrt(aggregate(col("embedding"), lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double")))
@@ -212,8 +229,8 @@ object Similarity {
     // the final projection — without this Spark recomputes it three times.
     // MEMORY_AND_DISK spills at scale; at the 10¹²-row tier a deployment
     // writes the assignment table to the lake instead (cluster assignments
-    // are a standard SemDeDup intermediate) — the caller may unpersist via
-    // the returned plan's lineage once the action completes.
+    // are a standard SemDeDup intermediate). The returned release() hook
+    // unpersists it (and drops the centroid broadcast).
     val assigned = unit.select(col("id"), col("u"), cellUdf(col("u")).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("cell").orderBy("id")
@@ -226,9 +243,10 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_b").as("id")).distinct()
       .withColumn("_dropped", lit(true))
-    assigned.select(col("id").as("vec_id"), col("cell"))
+    val out = assigned.select(col("id").as("vec_id"), col("cell"))
       .join(dropped.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("_dropped").isNull.as("keep"))
+    SemDeduped(out, () => { assigned.unpersist(); bc.destroy(); () })
   }
 
   /** ANN via sign-LSH: score only same-bucket candidates. Recall < 1 by

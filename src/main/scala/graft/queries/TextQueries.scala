@@ -18,10 +18,17 @@ object TextQueries {
   /** The driver fixtures are single-row-group parquet files (one input
     * split); real crawl input arrives as thousands of splits. Repartition to
     * default parallelism so per-row work (detect/minhash/scrub) runs wide —
-    * the 1-file shuffle is negligible next to the per-row compute. */
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism * 2)
+    * the 1-file shuffle is negligible next to the per-row compute.
+    * CONDITIONAL on the scan's split count: input already wider than the
+    * session's parallelism (the 100-TB case — thousands of splits) skips
+    * the repartition, so the shared text-query path never buys a
+    * full-corpus shuffle it doesn't need. Split-count inspection is
+    * planning-time metadata (no job). */
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/documents.parquet")
+    val target = s.sparkContext.defaultParallelism * 2
+    if (base.rdd.getNumPartitions >= target) base else base.repartition(target)
+  }
   /** No-repartition variant for queries whose per-row work is trivial
     * (filter/projection only): the fixture's 1-split scan is fine there, and
     * at real scale a shuffle ahead of a selective filter just doubles I/O. */

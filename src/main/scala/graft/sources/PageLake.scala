@@ -104,6 +104,7 @@ object PageLake {
     }
     val parts = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("crawl_date="))
+    var failed = false
     try for (p <- parts) {
       val files = fs.listStatus(p.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -139,6 +140,8 @@ object PageLake {
         after += fs.listStatus(p.getPath)
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       } else after += files.length
+    } catch {
+      case e: Throwable => failed = true; throw e
     } finally {
       // Refresh the manifest whenever it no longer matches the live file
       // set — not just when THIS run rewrote something. A crash between a
@@ -147,9 +150,31 @@ object PageLake {
       // rewritten, would otherwise leave stale paths that readBuckets
       // passes to the reader. The check is metadata-only (listing vs the
       // manifest's path set); the footer scan runs only on mismatch.
-      if (manifestStale(spark, path)) writeManifest(spark, path): Unit
+      // If the rewrite loop itself threw, a manifest-write failure here is
+      // suppressed (logged) so the PRIMARY failure propagates instead of
+      // being replaced — readers self-heal off a stale manifest anyway
+      // (trustedStats falls back to footer stats on listing mismatch).
+      try { if (manifestStale(spark, path)) writeManifest(spark, path): Unit }
+      catch {
+        case e: Throwable if failed =>
+          System.err.println(s"[PageLake] manifest refresh after failed compaction " +
+            s"also failed (suppressed): ${e.getMessage}")
+      }
     }
     (rewritten, before, after)
+  }
+
+  /** The lake's current data-file listing (metadata-only walk). */
+  private def liveFiles(spark: SparkSession, path: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    (for {
+      part <- fs.listStatus(root)
+      if part.isDirectory && part.getPath.getName.startsWith("crawl_date=")
+      f <- fs.listStatus(part.getPath)
+      if f.isFile && f.getPath.getName.endsWith(".parquet")
+    } yield f.getPath.toString).toSet
   }
 
   /** Manifest missing, unparseable, or naming a file set different from
@@ -157,17 +182,20 @@ object PageLake {
   private def manifestStale(spark: SparkSession, path: String): Boolean =
     readManifest(spark, path) match {
       case None => true
-      case Some(stats) =>
-        val conf = spark.sparkContext.hadoopConfiguration
-        val root = new org.apache.hadoop.fs.Path(path)
-        val fs = root.getFileSystem(conf)
-        val live = (for {
-          part <- fs.listStatus(root)
-          if part.isDirectory && part.getPath.getName.startsWith("crawl_date=")
-          f <- fs.listStatus(part.getPath)
-          if f.isFile && f.getPath.getName.endsWith(".parquet")
-        } yield f.getPath.toString).toSet
-        stats.map(_.path).toSet != live
+      case Some(stats) => stats.map(_.path).toSet != liveFiles(spark, path)
+    }
+
+  /** Stats the READ path trusts: the manifest, but only when its file set
+    * matches the live listing. Files added or removed outside
+    * `write`/`compact` (per-batch ingest, manual deletes) otherwise make a
+    * manifest-driven read silently skip rows or fail on missing paths —
+    * the staleness check is a metadata-only listing compare, and the
+    * footer-scan fallback runs only on mismatch (or a missing manifest:
+    * reads never write to the lake — read-only mounts, snapshots). */
+  private def trustedStats(spark: SparkSession, path: String): Seq[FileStat] =
+    readManifest(spark, path) match {
+      case Some(stats) if stats.map(_.path).toSet == liveFiles(spark, path) => stats
+      case _ => collectStats(spark, path)
     }
 
   /** A day's slice: resolves to a partition-pruned scan. */
@@ -229,9 +257,18 @@ object PageLake {
                c <- block.getColumns.asScala
                if c.getPath.toDotString == "url_bucket") {
             val st = c.getStatistics
-            if (st != null && !st.isEmpty) {
-              mn = math.min(mn, st.genericGetMin.asInstanceOf[Number].intValue())
-              mx = math.max(mx, st.genericGetMax.asInstanceOf[Number].intValue())
+            // Try-guarded: a foreign writer may have left url_bucket with a
+            // NON-NUMERIC type (schema drift) — genericGetMin would then
+            // throw ClassCastException; unusable stats must DEGRADE to the
+            // full bucket range (file always opened), never fail the build.
+            if (st != null && !st.isEmpty) scala.util.Try {
+              (st.genericGetMin.asInstanceOf[Number].intValue(),
+                st.genericGetMax.asInstanceOf[Number].intValue())
+            } match {
+              case scala.util.Success((lo, hi)) =>
+                mn = math.min(mn, lo); mx = math.max(mx, hi)
+              case scala.util.Failure(_) =>
+                mn = 0; mx = Buckets - 1
             }
           }
           stats += (if (mn != Int.MaxValue) FileStat(f.getPath.toString, date, mn, mx)
@@ -273,10 +310,7 @@ object PageLake {
     * filter; the manifest changes which files are OPENED, not the answer.
     * Falls back to a freshly built manifest if the lake lacks one. */
   def readBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): DataFrame = {
-    // missing manifest → stats computed in memory: a READ never writes to
-    // the lake (read-only mounts, snapshots), it just pays the footer scan
-    // the manifest would have amortized
-    val stats = readManifest(spark, path).getOrElse(collectStats(spark, path))
+    val stats = trustedStats(spark, path)
     val wanted = buckets.toSet
     val files = stats.filter(s => wanted.exists(b => b >= s.minBucket && b <= s.maxBucket))
       .map(_.path)
@@ -293,7 +327,7 @@ object PageLake {
   /** Files a bucket read would open vs the lake total — the pruning
     * effectiveness measure (exposed for tests/ops dashboards). */
   def pruneStats(spark: SparkSession, path: String, buckets: Seq[Int]): (Int, Int) = {
-    val stats = readManifest(spark, path).getOrElse(collectStats(spark, path))
+    val stats = trustedStats(spark, path)
     val wanted = buckets.toSet
     (stats.count(s => wanted.exists(b => b >= s.minBucket && b <= s.maxBucket)), stats.length)
   }

@@ -181,6 +181,16 @@ class DedupSpec extends SparkSpecBase {
     assert(again.map(_.toString).sorted.toSeq == ivf.map(_.toString).sorted.toSeq)
   }
 
+  test("IVF ANN result is invariant to corpus partition layout") {
+    // the centroid sample is an ORDERED take — a bare limit() would make
+    // centroid init (and every cell assignment) depend on input layout
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    def run(c: org.apache.spark.sql.DataFrame): Seq[String] =
+      Similarity.ivfTopK(c, q, 5).collect().map(_.toString).sorted.toSeq
+    assert(run(e) == run(e.repartition(13)))
+  }
+
   test("connected components: chain and singleton-pair collapse to min-id labels") {
     // 1-2-3-4 is a diameter-3 chain (worst case for naive propagation) plus
     // an isolated pair; every node must converge to its component's min id

@@ -65,6 +65,18 @@ class SemDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("semDedupManaged release() unpersists the assignment cache") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val m = Similarity.semDedupManaged(withPlanted, threshold = 0.99)
+    m.df.count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "semDedup must persist the assignment subtree")
+    m.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(id => !after.contains(id)),
+      "release() must unpersist the assignment subtree")
+  }
+
   test("result is invariant to input partition layout") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Similarity.semDedup(df, threshold = 0.99)

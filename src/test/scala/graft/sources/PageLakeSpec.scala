@@ -228,6 +228,45 @@ class PageLakeSpec extends SparkSpecBase {
     finally s.close()
   }
 
+  test("readBuckets self-heals off a stale manifest (files mutated outside write/compact)") {
+    val d = java.nio.file.Files.createTempDirectory("pagelake_stale").toString
+    PageLake.write(SyntheticPages.fromDocuments(spark, sfDir), d)
+    val allBuckets = 0 until PageLake.Buckets
+    // foreign per-batch ingest: copy an existing data file to a new name in
+    // its date partition WITHOUT refreshing the manifest
+    val dateDir = new java.io.File(d).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("crawl_date=")).head
+    val src = dateDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val foreign = new java.io.File(dateDir, "part-foreign-ingest.parquet")
+    java.nio.file.Files.copy(src.toPath, foreign.toPath)
+    val total = PageLake.read(spark, d).count() // full scan sees the new file
+    assert(PageLake.readBuckets(spark, d, allBuckets).count() == total,
+      "stale manifest must not hide foreign-ingested rows")
+    assert(PageLake.pruneStats(spark, d, allBuckets)._2.toLong ==
+      PageLake.readManifest(spark, d).get.size + 1)
+    // foreign DELETE: a manifest-listed file vanishes (the foreign copy
+    // stays, so the lake is non-empty); the read must not fail on the
+    // missing path (fallback to live-listing stats)
+    java.nio.file.Files.delete(src.toPath)
+    val remaining = PageLake.read(spark, d).count()
+    assert(PageLake.readBuckets(spark, d, allBuckets).count() == remaining)
+  }
+
+  test("collectStats degrades on url_bucket schema drift instead of failing") {
+    val d = java.nio.file.Files.createTempDirectory("pagelake_drift").toString
+    // foreign writer left url_bucket as a STRING — its min/max statistics
+    // are non-numeric; the stats build must degrade that file to the full
+    // bucket range, not throw ClassCastException
+    spark.range(5).select(col("id").cast("string").as("url_bucket"),
+        concat(lit("https://h/"), col("id")).as("url"))
+      .coalesce(1).write.parquet(s"$d/crawl_date=2024-01-01")
+    val stats = PageLake.collectStats(spark, d)
+    assert(stats.nonEmpty)
+    assert(stats.forall(s => s.minBucket == 0 && s.maxBucket == PageLake.Buckets - 1),
+      s"unusable stats must map to the full bucket range, got $stats")
+    assert(PageLake.writeManifest(spark, d) == stats.size) // build survives drift
+  }
+
   test("date filter prunes partitions at the scan") {
     val day = PageLake.read(spark, lakeDir)
       .select(col("crawl_date").cast("string")).distinct().orderBy("crawl_date")
