@@ -24,19 +24,36 @@ object PageLake {
     pmod(hash(url), lit(Buckets))
 
   def write(pages: DataFrame, path: String): Unit = {
-    pages
-      .withColumn("crawl_date", to_date(col("warc_ts")))
-      .withColumn("url_bucket", urlBucket(col("url")))
-      // Repartition by (date, bucket), not date alone: one day of crawl is
-      // terabytes, and a date-only shuffle would funnel it through a single
-      // write task. (date, bucket) gives up to `Buckets` parallel writers per
-      // day while keeping each output file single-date + bucket-contiguous.
-      .repartition(col("crawl_date"), col("url_bucket"))
-      .sortWithinPartitions("url_bucket", "url")
-      .write.mode("overwrite")
-      .partitionBy("crawl_date")
-      .parquet(path)
+    withInt64Timestamps(pages.sparkSession) {
+      pages
+        .withColumn("crawl_date", to_date(col("warc_ts")))
+        .withColumn("url_bucket", urlBucket(col("url")))
+        // Repartition by (date, bucket), not date alone: one day of crawl is
+        // terabytes, and a date-only shuffle would funnel it through a single
+        // write task. (date, bucket) gives up to `Buckets` parallel writers per
+        // day while keeping each output file single-date + bucket-contiguous.
+        .repartition(col("crawl_date"), col("url_bucket"))
+        .sortWithinPartitions("url_bucket", "url")
+        .write.mode("overwrite")
+        .partitionBy("crawl_date")
+        .parquet(path)
+    }
     writeManifest(pages.sparkSession, path): Unit
+  }
+
+  /** Lake writes use INT64-micros timestamps (what the Iceberg spec
+    * mandates): Spark's INT96 default carries NO parquet min/max statistics
+    * (parquet-mr treats INT96 as unordered), which would leave the
+    * manifest's warc_ts range at the unknown sentinel for every file. */
+  private def withInt64Timestamps[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Register pages as a bucketed + bucket-sorted catalog table: both sides
@@ -121,10 +138,12 @@ object PageLake {
         // file-level min/max pruning and bucket-join pre-organization
         // survive compaction — round-robin would scatter every bucket
         // across every file.
-        spark.read.parquet(p.getPath.toString)
-          .repartitionByRange(nTarget, col("url_bucket"), col("url"))
-          .sortWithinPartitions("url_bucket", "url")
-          .write.mode("overwrite").parquet(tmp.toString)
+        withInt64Timestamps(spark) {
+          spark.read.parquet(p.getPath.toString)
+            .repartitionByRange(nTarget, col("url_bucket"), col("url"))
+            .sortWithinPartitions("url_bucket", "url")
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
         // Crash-safe swap: live → .old, tmp → live, drop .old. A crash
         // between the renames leaves the data recoverable under .old (never
         // deleted-but-unreplaced); rerunning compact() restores it below.
@@ -204,8 +223,19 @@ object PageLake {
 
   // --- Iceberg-style manifest (file-level stats pruning) -----------------
 
+  /** One manifest entry per data file — the stats Iceberg keeps per file in
+    * its manifests: partition value (crawlDate), url_bucket min/max (bucket
+    * pruning), row count (ops-level row accounting without opening files),
+    * and warc_ts min/max in epoch micros (timestamp-range pruning finer
+    * than the date partition). `rows = -1` / ts sentinels mean "unknown"
+    * (legacy manifest or unusable stats) — unknown always reads as the
+    * full range, so pruning may change which files are OPENED, never the
+    * answer. */
   final case class FileStat(path: String, crawlDate: String,
-                            minBucket: Int, maxBucket: Int)
+                            minBucket: Int, maxBucket: Int,
+                            rows: Long = -1L,
+                            minTs: Long = Long.MinValue,
+                            maxTs: Long = Long.MaxValue)
 
   private val ManifestName = "_graft_manifest.json"
 
@@ -225,7 +255,9 @@ object PageLake {
     stats.foreach { s =>
       val n = arr.addObject()
       n.put("path", s.path); n.put("date", s.crawlDate)
-      n.put("min_bucket", s.minBucket); n.put("max_bucket", s.maxBucket): Unit
+      n.put("min_bucket", s.minBucket); n.put("max_bucket", s.maxBucket)
+      n.put("rows", s.rows)
+      n.put("min_ts", s.minTs); n.put("max_ts", s.maxTs): Unit
     }
     val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestName), true)
     try out.write(om.writeValueAsBytes(arr)) finally out.close()
@@ -253,26 +285,48 @@ object PageLake {
           import scala.jdk.CollectionConverters._
           var mn = Int.MaxValue
           var mx = Int.MinValue
-          for (block <- reader.getFooter.getBlocks.asScala;
-               c <- block.getColumns.asScala
-               if c.getPath.toDotString == "url_bucket") {
-            val st = c.getStatistics
-            // Try-guarded: a foreign writer may have left url_bucket with a
-            // NON-NUMERIC type (schema drift) — genericGetMin would then
-            // throw ClassCastException; unusable stats must DEGRADE to the
-            // full bucket range (file always opened), never fail the build.
-            if (st != null && !st.isEmpty) scala.util.Try {
-              (st.genericGetMin.asInstanceOf[Number].intValue(),
-                st.genericGetMax.asInstanceOf[Number].intValue())
-            } match {
-              case scala.util.Success((lo, hi)) =>
-                mn = math.min(mn, lo); mx = math.max(mx, hi)
-              case scala.util.Failure(_) =>
-                mn = 0; mx = Buckets - 1
+          var tsMn = Long.MaxValue
+          var tsMx = Long.MinValue
+          var rows = 0L
+          for (block <- reader.getFooter.getBlocks.asScala) {
+            rows += block.getRowCount
+            for (c <- block.getColumns.asScala) c.getPath.toDotString match {
+              case "url_bucket" =>
+                val st = c.getStatistics
+                // Try-guarded: a foreign writer may have left url_bucket
+                // with a NON-NUMERIC type (schema drift) — genericGetMin
+                // would then throw ClassCastException; unusable stats must
+                // DEGRADE to the full bucket range (file always opened),
+                // never fail the build.
+                if (st != null && !st.isEmpty) scala.util.Try {
+                  (st.genericGetMin.asInstanceOf[Number].intValue(),
+                    st.genericGetMax.asInstanceOf[Number].intValue())
+                } match {
+                  case scala.util.Success((lo, hi)) =>
+                    mn = math.min(mn, lo); mx = math.max(mx, hi)
+                  case scala.util.Failure(_) =>
+                    mn = 0; mx = Buckets - 1
+                }
+              case "warc_ts" =>
+                // Spark writes TimestampType as INT64 epoch micros; same
+                // degrade-on-drift discipline as url_bucket
+                val st = c.getStatistics
+                if (st != null && !st.isEmpty) scala.util.Try {
+                  (st.genericGetMin.asInstanceOf[Number].longValue(),
+                    st.genericGetMax.asInstanceOf[Number].longValue())
+                } match {
+                  case scala.util.Success((lo, hi)) =>
+                    tsMn = math.min(tsMn, lo); tsMx = math.max(tsMx, hi)
+                  case scala.util.Failure(_) =>
+                    tsMn = Long.MinValue; tsMx = Long.MaxValue
+                }
+              case _ =>
             }
           }
-          stats += (if (mn != Int.MaxValue) FileStat(f.getPath.toString, date, mn, mx)
-                    else FileStat(f.getPath.toString, date, 0, Buckets - 1))
+          val (bLo, bHi) = if (mn != Int.MaxValue) (mn, mx) else (0, Buckets - 1)
+          val (tLo, tHi) = if (tsMn != Long.MaxValue) (tsMn, tsMx)
+                           else (Long.MinValue, Long.MaxValue)
+          stats += FileStat(f.getPath.toString, date, bLo, bHi, rows, tLo, tHi)
         } finally reader.close()
       }
     }
@@ -299,7 +353,12 @@ object PageLake {
         import scala.jdk.CollectionConverters._
         arr.elements().asScala.map(n => FileStat(n.get("path").asText(),
           n.get("date").asText(), n.get("min_bucket").asInt(),
-          n.get("max_bucket").asInt())).toSeq
+          n.get("max_bucket").asInt(),
+          // legacy manifests lack these fields → unknown sentinels
+          // (full-range reads, row count unavailable)
+          if (n.has("rows")) n.get("rows").asLong() else -1L,
+          if (n.has("min_ts")) n.get("min_ts").asLong() else Long.MinValue,
+          if (n.has("max_ts")) n.get("max_ts").asLong() else Long.MaxValue)).toSeq
       }.toOption
     }
   }
@@ -325,10 +384,44 @@ object PageLake {
   }
 
   /** Files a bucket read would open vs the lake total — the pruning
-    * effectiveness measure (exposed for tests/ops dashboards). */
-  def pruneStats(spark: SparkSession, path: String, buckets: Seq[Int]): (Int, Int) = {
+    * effectiveness measure (exposed for tests/ops dashboards). Pass `day`
+    * to measure the JOINT date∩bucket prune `readDayBuckets` performs. */
+  def pruneStats(spark: SparkSession, path: String, buckets: Seq[Int],
+                 day: Option[String] = None): (Int, Int) = {
     val stats = trustedStats(spark, path)
     val wanted = buckets.toSet
-    (stats.count(s => wanted.exists(b => b >= s.minBucket && b <= s.maxBucket)), stats.length)
+    val hit = stats.count(s => day.forall(_ == s.crawlDate) &&
+      wanted.exists(b => b >= s.minBucket && b <= s.maxBucket))
+    (hit, stats.length)
   }
+
+  /** Joint date ∩ bucket pruned scan: opens ONLY the files whose partition
+    * date matches AND whose url_bucket stat range can contain a requested
+    * bucket — the composition Iceberg gets from one manifest pass over
+    * (partition value, column bounds). A date-only read then a bucket
+    * filter would open every file of the day; a bucket-only read would
+    * open the matching buckets of EVERY day. Exact filters on the
+    * survivors keep the answer independent of pruning. */
+  def readDayBuckets(spark: SparkSession, path: String, day: String,
+                     buckets: Seq[Int]): DataFrame = {
+    val stats = trustedStats(spark, path)
+    val wanted = buckets.toSet
+    val files = stats.filter(s => s.crawlDate == day &&
+      wanted.exists(b => b >= s.minBucket && b <= s.maxBucket)).map(_.path)
+    if (files.isEmpty) read(spark, path).filter(lit(false))
+    else spark.read.option("basePath", path).parquet(files: _*)
+      .filter(col("crawl_date") === lit(day) &&
+        col("url_bucket").isInCollection(wanted))
+  }
+
+  /** Per-day (files, rows) accounting straight off the manifest — the
+    * ops-dashboard view Iceberg serves from manifest metadata without
+    * touching data files. Rows are -1-summed as "unknown" when any file
+    * predates the row-count manifest field. */
+  def dayAccounting(spark: SparkSession, path: String): Seq[(String, Int, Long)] =
+    trustedStats(spark, path).groupBy(_.crawlDate).toSeq.sortBy(_._1).map {
+      case (day, fs) =>
+        val rows = if (fs.exists(_.rows < 0)) -1L else fs.map(_.rows).sum
+        (day, fs.length, rows)
+    }
 }

@@ -187,6 +187,37 @@ class PageLakeSpec extends SparkSpecBase {
     assert(PageLake.readBuckets(spark, dir, Seq(9999)).count() == 0)
   }
 
+  test("joint date∩bucket pruning opens only the intersection; manifest carries rows + ts range") {
+    // multi-day lake (reuses the suite fixture) — every (day, bucket) pair
+    // is strictly narrower than either one-dimensional prune
+    val days = PageLake.readManifest(spark, lakeDir).get.map(_.crawlDate).distinct.sorted
+    assert(days.size >= 2, s"fixture must span several days, got $days")
+    val day = days.head
+    val buckets = Seq(3)
+    val (joint, total) = PageLake.pruneStats(spark, lakeDir, buckets, Some(day))
+    val (bucketOnly, _) = PageLake.pruneStats(spark, lakeDir, buckets)
+    val dayFiles = PageLake.readManifest(spark, lakeDir).get.count(_.crawlDate == day)
+    assert(joint <= bucketOnly && joint <= dayFiles && joint < total,
+      s"joint prune must be the intersection: $joint vs bucket-only $bucketOnly, day $dayFiles, total $total")
+    // answer equals the full-scan filter regardless of pruning
+    val got = PageLake.readDayBuckets(spark, lakeDir, day, buckets)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    val want = PageLake.read(spark, lakeDir)
+      .filter(col("crawl_date") === lit(day) && col("url_bucket").isInCollection(buckets))
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == want && want.nonEmpty)
+    // manifest row accounting sums to the lake's row count without opening
+    // data files, and per-file warc_ts ranges are real (not sentinels)
+    val stats = PageLake.readManifest(spark, lakeDir).get
+    assert(stats.forall(_.rows > 0))
+    assert(stats.map(_.rows).sum == PageLake.read(spark, lakeDir).count())
+    assert(stats.forall(s => s.minTs > Long.MinValue && s.maxTs < Long.MaxValue
+      && s.minTs <= s.maxTs))
+    val acct = PageLake.dayAccounting(spark, lakeDir)
+    assert(acct.map(_._1) == days)
+    assert(acct.map(_._3).sum == stats.map(_.rows).sum)
+  }
+
   test("compact heals a stale or corrupt manifest even when nothing needs rewriting") {
     val dir = java.nio.file.Files.createTempDirectory("lake-manifest-heal").toString
     PageLake.write(SyntheticPages.fromDocuments(spark, sfDir), dir)
