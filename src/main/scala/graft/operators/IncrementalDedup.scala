@@ -91,6 +91,108 @@ object IncrementalDedup {
       () => { bfB.destroy(); () })
   }
 
+  /** The per-batch incremental loop: dedup each batch against the initial
+    * history PLUS every earlier batch's survivors, releasing each batch's
+    * filter broadcast as soon as its action completes — the broadcast-
+    * lifecycle discipline [[newOnlyManaged]] exists for, exercised as an
+    * actual loop. Returns one materialized survivor DataFrame per batch.
+    *
+    * Production mapping: `localCheckpoint` stands in for the real action
+    * (writing the batch's survivors to the lake and appending their
+    * digests to the bucketed history table); the in-memory history union
+    * stands in for re-reading that table. Each iteration builds ONE fresh
+    * filter over the current history and destroys it before the next —
+    * peak broadcast footprint is one filter array, not `batches.length`. */
+  def dedupBatches(batches: Seq[DataFrame], history0: DataFrame,
+                   digestCol: String, expectedItems: Long,
+                   fpp: Double = 0.01, shards: Int = 1): Seq[DataFrame] = {
+    var history = history0.select(digestCol)
+    val out = Seq.newBuilder[DataFrame]
+    for (batch <- batches) {
+      val pf = newOnlyManaged(batch, history, digestCol, expectedItems, fpp, shards)
+      val survivors = pf.df.localCheckpoint() // eager: runs the probe tasks now
+      pf.release() // safe — every task that needed the filter has finished
+      out += survivors
+      history = history.unionByName(survivors.select(digestCol))
+    }
+    out.result()
+  }
+
+  // --- Incremental NEAR-dup dedup (cross-batch MinHash-LSH) --------------
+
+  /** The persisted history table for incremental near-dup dedup: one row
+    * per (id, band, band_digest). A daily crawl pipeline appends each
+    * batch's survivors here and stores it BUCKETED BY band_digest
+    * ([[graft.sources.PageLake.writeBucketedTable]] discipline) so the
+    * per-batch candidate join below shuffles ONLY the incoming batch's
+    * bands — the 10¹²-row history never moves again. */
+  def bandTable(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 16, rowsPerBand: Int = 4,
+                shingleWidth: Int = 3): DataFrame =
+    Dedup.lshBandsFast(
+      Dedup.minhashSignaturesFast(docs, idCol, textCol, k, shingleWidth)
+        .filter(element_at(col("sigs"), 1) =!= Long.MaxValue),
+      rowsPerBand, k)
+
+  /** Cross-boundary verified near-dup pairs: for each incoming-batch doc,
+    * every history doc it LSH-collides with, with the exact shingle-Jaccard
+    * — the daily-crawl analogue of the full-corpus q16 pipeline, computing
+    * ONLY batch×history pairs (never history×history: last month's corpus
+    * was already deduped against itself).
+    *
+    * Equals the full-corpus candidate pipeline over batch ∪ history
+    * restricted to cross-boundary pairs (spec-pinned; ids must be disjoint
+    * across the two inputs). Scale shape: batch bands are recomputed (a
+    * narrow per-row expression over the day's crawl); history bands come
+    * from the persisted table; the candidate join is an equi-join on
+    * (band, band_digest) — with the history side bucketed on band_digest,
+    * only the batch side shuffles. Flood buckets (boilerplate band
+    * collisions) are rank-capped per side at `maxBucket` smallest ids, the
+    * same guard as [[Dedup.candidatePairs]]; the verify join moves only
+    * candidate docs' shingle sets. */
+  def nearCrossPairs(batch: DataFrame, history: DataFrame,
+                     idCol: String, textCol: String,
+                     historyBands: Option[DataFrame] = None,
+                     maxBucket: Int = 4096, shingleWidth: Int = 3): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_digest").orderBy("id")
+    def cap(bands: DataFrame): DataFrame =
+      bands.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= maxBucket).drop("_rn")
+    val hB = cap(historyBands.getOrElse(bandTable(history, idCol, textCol,
+      shingleWidth = shingleWidth)))
+    val bB = cap(bandTable(batch, idCol, textCol, shingleWidth = shingleWidth))
+    val cand = bB.select(col("band"), col("band_digest"), col("id").as("batch_id"))
+      .join(hB.select(col("band"), col("band_digest"), col("id").as("hist_id")),
+        Seq("band", "band_digest"))
+      .select("batch_id", "hist_id").distinct()
+    val shB = batch.select(col(idCol).cast("long").as("batch_id"),
+      TF.shingles(col(textCol), shingleWidth).as("sh_a"))
+    val shH = history.select(col(idCol).cast("long").as("hist_id"),
+      TF.shingles(col(textCol), shingleWidth).as("sh_b"))
+    cand.join(shB, "batch_id").join(shH, "hist_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("batch_id", "hist_id", "jaccard")
+  }
+
+  /** Rows of `batch` with NO history near-duplicate at Jaccard ≥
+    * `threshold` — the incremental near-dup filter a crawl pipeline runs
+    * per batch (within-batch near-dups are the full-corpus operators' job:
+    * candidatePairs + connectedComponents over the batch alone). */
+  def nearNewOnly(batch: DataFrame, history: DataFrame,
+                  idCol: String, textCol: String, threshold: Double = 0.5,
+                  historyBands: Option[DataFrame] = None,
+                  maxBucket: Int = 4096, shingleWidth: Int = 3): DataFrame = {
+    val dupIds = nearCrossPairs(batch, history, idCol, textCol,
+        historyBands, maxBucket, shingleWidth)
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Shard router — a plain JVM hash is fine: build and probe both run this
     * exact function (no SQL-side mirror needed; result equality with the
     * anti-join is what the oracle pins). */

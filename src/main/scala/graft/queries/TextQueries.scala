@@ -631,6 +631,26 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // Incremental NEAR-dup dedup (the daily-crawl operator): history =
+    // every 3rd doc (last month's corpus), batch = the rest ∪ planted
+    // mutants of history docs (every 15th, first two tokens dropped —
+    // doc_id+1000000). Only batch×history pairs are computed; the verified
+    // cross pairs must equal the full-corpus q16 pipeline restricted to the
+    // boundary (the oracle runs exactly that).
+    "q65_incr_neardup" -> ((s, dir) => {
+      import graft.operators.IncrementalDedup
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.filter(col("doc_id") % 3 === 0)
+      val mutants = d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(TF.tokens(col("text")), 3, 1000000), " ").as("text"))
+      val batch = d.filter(col("doc_id") % 3 =!= 0).unionByName(mutants)
+      IncrementalDedup.nearCrossPairs(batch, history, "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("batch_id", "hist_id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal
@@ -993,6 +1013,43 @@ object TextQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_lines_kept,
         |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS dedup_md5
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Incremental near-dup: the q16 LSH pipeline over batch ∪ history,
+    // restricted to cross-boundary (batch, history) pairs.
+    "q65_incr_neardup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, (doc_id % 3 = 0) AS hist FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ') AS text,
+        |         FALSE AS hist
+        |  FROM documents WHERE doc_id % 15 = 0
+        |), shl AS (
+        |  SELECT doc_id, hist, list_distinct(list_transform(range(1, len(w)-1),
+        |           j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
+        |  FROM (SELECT doc_id, hist, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u)
+        |  WHERE len(w) >= 3
+        |), sig AS (
+        |  SELECT doc_id AS id, i,
+        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |  GROUP BY 1,2
+        |), bands AS (
+        |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
+        |  FROM sig GROUP BY 1,2
+        |), hb AS (
+        |  SELECT b.id, b.band, b.bd, s.hist
+        |  FROM bands b JOIN (SELECT DISTINCT doc_id, hist FROM u) s ON s.doc_id = b.id
+        |), prs AS (
+        |  SELECT DISTINCT b.id AS batch_id, h.id AS hist_id
+        |  FROM hb b JOIN hb h ON b.band = h.band AND b.bd = h.bd
+        |  WHERE NOT b.hist AND h.hist
+        |), j AS (
+        |  SELECT p.batch_id, p.hist_id,
+        |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+        |  FROM prs p JOIN shl sa ON sa.doc_id = p.batch_id JOIN shl sb ON sb.doc_id = p.hist_id)
+        |SELECT batch_id, hist_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY batch_id, hist_id""".stripMargin,
     "q51_bloom_dedup" ->
       """SELECT b.doc_id, md5(b.text) AS digest
         |FROM documents b

@@ -62,6 +62,67 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(out.forall(d => !seen.contains(d)))
   }
 
+  test("batch loop: each batch dedups against history plus all earlier survivors") {
+    def ids(lo: Long, hi: Long) =
+      spark.range(lo, hi).select($"id".as("doc_id"),
+        concat(lit("d"), $"id").as("digest"))
+    val history = ids(0, 100)
+    val b1 = ids(80, 160) // 80..99 already in history → survivors 100..159
+    val b2 = ids(90, 190) // 90..99 in history, 100..159 in b1 survivors → 160..189
+    val out = IncrementalDedup.dedupBatches(Seq(b1, b2), history,
+      "digest", expectedItems = 512, shards = 2)
+    assert(out.length == 2)
+    assert(out(0).select("doc_id").as[Long].collect().sorted.toSeq == (100L until 160L))
+    assert(out(1).select("doc_id").as[Long].collect().sorted.toSeq == (160L until 190L),
+      "batch 2 must dedup against history ∪ batch-1 survivors")
+    // the loop released each iteration's broadcast: none of the filter
+    // broadcasts linger as referenced objects (release() destroys them —
+    // a destroyed broadcast throws on access)
+  }
+
+  test("incremental near-dup equals the full-corpus LSH pipeline restricted to the boundary") {
+    val base = docs.limit(200)
+    val history = base.filter($"doc_id" % 3 === 0)
+    val mutants = base.filter($"doc_id" % 15 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        array_join(slice(graft.functions.TextFunctions.tokens($"text"), 3, 1000000), " ").as("text"))
+    val batch = base.filter($"doc_id" % 3 =!= 0).unionByName(mutants)
+    val got = IncrementalDedup.nearCrossPairs(batch, history, "doc_id", "text")
+      .filter($"jaccard" >= 0.5)
+      .select("batch_id", "hist_id").as[(Long, Long)].collect().sorted.toSeq
+    // reference: full corpus (batch ∪ history) through the q16 pipeline,
+    // keep only pairs straddling the boundary
+    val all = batch.unionByName(history)
+    val histIds = history.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.jaccardVerify(all, "doc_id", "text",
+        Dedup.candidatePairs(
+          Dedup.lshBandsFast(Dedup.minhashSignaturesFast(all, "doc_id", "text"))))
+      .filter($"jaccard" >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val want = full.collect {
+      case (a, b) if histIds.contains(a) != histIds.contains(b) =>
+        if (histIds.contains(a)) (b, a) else (a, b)
+    }.sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // and nearNewOnly is exactly the batch minus the flagged batch ids
+    val flagged = got.map(_._1).toSet
+    val survivors = IncrementalDedup.nearNewOnly(batch, history, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    assert(survivors == batchIds -- flagged)
+  }
+
+  test("nearCrossPairs accepts a precomputed (persisted) history band table") {
+    val base = docs.limit(150)
+    val history = base.filter($"doc_id" % 3 === 0)
+    val batch = base.filter($"doc_id" % 3 =!= 0)
+    val persisted = IncrementalDedup.bandTable(history, "doc_id", "text")
+    def res(hb: Option[org.apache.spark.sql.DataFrame]) =
+      IncrementalDedup.nearCrossPairs(batch, history, "doc_id", "text", historyBands = hb)
+        .collect().map(_.toString).sorted.toSeq
+    assert(res(Some(persisted)) == res(None))
+  }
+
   // --- Packing ----------------------------------------------------------
 
   test("sequence packing: offsets are contiguous per shard and chunks respect the budget origin") {
