@@ -631,6 +631,52 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // The composed curation run end-to-end: exact dedup → line dedup →
+    // near-dup components → exact-substring gate → quality gates → packing
+    // as ONE chain, with planted work for every stage — exact copies
+    // (stage 1), a corpus-wide boilerplate line + a pure-boilerplate page
+    // (stage 2), token-dropped mutants (stage 3), a quote-farm page stitched
+    // from spans of other docs, invisible to MinHash at jaccard<0.5 but
+    // ~fully span-covered (stage 4). Output: per-stage survivor counts —
+    // each stage's survivor set is SQL-expressible given the previous, so
+    // the whole composition has a DuckDB oracle.
+    "q64_curation_counts" -> ((s, dir) => {
+      import graft.pipeline.Curation
+      val d = docs(s, dir).select("doc_id", "text")
+      val boiler = "this boilerplate sentence is shared across many documents and repeats sixteen whole tokens exactly"
+      val withB = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0, lit(" " + boiler)).otherwise(lit("")),
+          lit("\nDoc "), col("doc_id").cast("string"), lit(" unique footer."),
+          lit("\nSubscribe to our newsletter for updates")).as("text"))
+      val exactCopies = withB.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val mutants = withB.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(TF.tokens(col("text")), 3, 1000000), " ").as("text"))
+      val pureBoiler = s.range(1).select(lit(5000000L).as("doc_id"),
+        lit("Subscribe to our newsletter for updates").as("text"))
+      val quoteFarm = withB.filter(col("doc_id").isin(1, 2, 3))
+        .select(col("doc_id"),
+          array_join(slice(TF.tokens(col("text")), 1, 20), " ").as("frag"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("frag")))),
+          x => x("frag")), " ").as("text"))
+        .select(lit(6000000L).as("doc_id"), col("text"))
+      // quality-stage plants: a 2-gram-repetitive page whose repeated
+      // bigram never forms a repeated 8-gram (so it must reach the quality
+      // gate, not die at substring), and a page below the word floor
+      val repetitive = s.range(1).select(lit(7000000L).as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(20)),
+          i => concat(lit("alpha beta unique"), i.cast("string"))), " ").as("text"))
+      val tooShort = s.range(1).select(lit(7000001L).as("doc_id"),
+        lit("Too short.").as("text"))
+      val corpus = withB.unionByName(exactCopies).unionByName(mutants)
+        .unionByName(pureBoiler).unionByName(quoteFarm)
+        .unionByName(repetitive).unionByName(tooShort)
+      Curation.stageCounts(corpus).orderBy("stage_no")
+    }),
+
     // Incremental NEAR-dup dedup (the daily-crawl operator): history =
     // every 3rd doc (last month's corpus), batch = the rest ∪ planted
     // mutants of history docs (every 15th, first two tokens dropped —
@@ -1013,6 +1059,165 @@ object TextQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_lines_kept,
         |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS dedup_md5
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The composed curation chain, stage by stage: each stage's survivor
+    // set is expressed in SQL given the previous stage's CTE — exact
+    // (min-id per digest), line dedup (q56 skeleton), near-dup components
+    // (q39 skeleton incl. the recursive CC), substring gate (q53 skeleton),
+    // the full heuristic quality-gate set (q12/q43/q63 skeletons), packing
+    // (q52 skeleton). Output: per-stage survivor counts.
+    "q64_curation_counts" ->
+      """WITH RECURSIVE withb AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    (CASE WHEN doc_id % 10 = 0 THEN ' this boilerplate sentence is shared across many documents and repeats sixteen whole tokens exactly' ELSE '' END) ||
+        |    chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || ' unique footer.' ||
+        |    chr(10) || 'Subscribe to our newsletter for updates' AS text
+        |  FROM documents
+        |), u0 AS (
+        |  SELECT doc_id, text FROM withb
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM withb WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ')
+        |  FROM withb WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT 5000000, 'Subscribe to our newsletter for updates'
+        |  UNION ALL
+        |  SELECT 6000000, (
+        |    SELECT string_agg(frag, ' ' ORDER BY doc_id)
+        |    FROM (SELECT doc_id,
+        |            array_to_string(regexp_split_to_array(trim(text), '\s+')[1:20], ' ') AS frag
+        |          FROM withb WHERE doc_id IN (1,2,3)))
+        |  UNION ALL
+        |  SELECT 7000000, array_to_string(list_transform(range(1,21), i -> 'alpha beta unique' || i), ' ')
+        |  UNION ALL
+        |  SELECT 7000001, 'Too short.'
+        |), s1 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m FROM u0)
+        |  WHERE doc_id = m
+        |), ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s1),
+        |lines_ AS (
+        |  SELECT doc_id, i AS line_no, ls[i] AS line,
+        |    ('0x'||substr(md5(trim(ls[i])),1,15))::UBIGINT AS key
+        |  FROM ln, UNNEST(range(1, len(ls) + 1)) AS t(i)
+        |), occ2 AS (
+        |  SELECT doc_id, line_no, line,
+        |    COUNT(*) OVER (PARTITION BY key) AS n_occ,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, line_no) AS rn
+        |  FROM lines_
+        |), s2 AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+        |  FROM occ2 WHERE n_occ = 1 OR rn = 1
+        |  GROUP BY doc_id
+        |), shl AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |           j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM s2)
+        |  WHERE len(w) >= 3
+        |), sig AS (
+        |  SELECT doc_id AS id, i,
+        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |  GROUP BY 1,2
+        |), bands AS (
+        |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
+        |  FROM sig GROUP BY 1,2
+        |), prs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bd = b.bd AND a.id < b.id
+        |), verified AS (
+        |  SELECT p.id_a, p.id_b FROM prs p
+        |  JOIN shl sa ON sa.doc_id = p.id_a JOIN shl sb ON sb.doc_id = p.id_b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM verified
+        |  UNION SELECT id_b, id_a FROM verified
+        |), r(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.id
+        |), labels AS (SELECT id, MIN(comp) AS comp FROM r GROUP BY 1),
+        |s3 AS (
+        |  SELECT s2.doc_id, s2.text FROM s2
+        |  LEFT JOIN labels ON labels.id = s2.doc_id
+        |  WHERE labels.id IS NULL OR labels.comp = s2.doc_id
+        |), toks4 AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM s3
+        |), occ4 AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15))::UBIGINT AS g
+        |  FROM toks4, UNNEST(range(1, len(w) - 6)) AS t(i)
+        |  WHERE len(w) >= 8
+        |), ranked4 AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY g) AS n_occ,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM occ4
+        |), cuts4 AS (
+        |  SELECT doc_id, pos FROM ranked4 WHERE n_occ > 1 AND (n_occ > 64 OR rn > 1)
+        |), cov4 AS (
+        |  SELECT doc_id, pos,
+        |    LEAST(8, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS c
+        |  FROM cuts4
+        |), agg4 AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_cut FROM cov4 GROUP BY 1
+        |), s4 AS (
+        |  SELECT s3.doc_id, s3.text
+        |  FROM s3 JOIN toks4 t ON t.doc_id = s3.doc_id
+        |  LEFT JOIN agg4 a ON a.doc_id = s3.doc_id
+        |  WHERE ROUND(CAST(COALESCE(a.n_cut, 0) AS DOUBLE)/len(t.w), 4) <= 0.5
+        |), q5 AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |    length(regexp_replace(text, '[ \t\n\v\f\r]', '', 'g')) AS n_chars,
+        |    length(text) - length(replace(replace(text, '#', ''), '…', '')) AS n_symbols,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+        |    list_transform(regexp_split_to_array(text, '\r?\n'), l -> trim(l)) AS ls
+        |  FROM s4
+        |), rep5 AS (
+        |  SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS rep FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c FROM (
+        |      SELECT doc_id, rt[i] || ' ' || rt[i+1] AS g
+        |      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS rt FROM s4),
+        |           UNNEST(range(1, len(rt))) AS t(i))
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), s5 AS (
+        |  SELECT q5.doc_id, q5.text,
+        |    len(regexp_split_to_array(trim(q5.text), '\s+')) AS n_tokens
+        |  FROM q5 LEFT JOIN rep5 ON rep5.doc_id = q5.doc_id
+        |  WHERE NOT (
+        |    n_words < 10 OR n_words > 200000
+        |    OR (n_chars::DOUBLE / n_words) < 2.0 OR (n_chars::DOUBLE / n_words) > 12.0
+        |    OR (n_symbols::DOUBLE / n_words) > 0.1
+        |    OR (n_alpha::DOUBLE / n_words) < 0.5
+        |    OR COALESCE(rep5.rep, 0) > 0.2
+        |    OR (CAST(len(list_filter(ls, l -> regexp_matches(l, '^[•*-]'))) AS DOUBLE) / len(ls)) > 0.9
+        |    OR (CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE) / len(ls)) > 0.3)
+        |), p6 AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT % 8 AS BIGINT) AS shard,
+        |    n_tokens
+        |  FROM s5
+        |), p6o AS (
+        |  SELECT shard,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS seq_id
+        |  FROM p6
+        |)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_no, 'input' AS stage, COUNT(*) AS n FROM u0
+        |  UNION ALL SELECT 1, 'exact', COUNT(*) FROM s1
+        |  UNION ALL SELECT 2, 'lines', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'neardup', COUNT(*) FROM s3
+        |  UNION ALL SELECT 4, 'substring', COUNT(*) FROM s4
+        |  UNION ALL SELECT 5, 'quality', COUNT(*) FROM s5
+        |  UNION ALL SELECT 6, 'pack', COUNT(*) FROM (SELECT DISTINCT shard, seq_id FROM p6o))
+        |ORDER BY stage_no""".stripMargin,
     // Incremental near-dup: the q16 LSH pipeline over batch ∪ history,
     // restricted to cross-boundary (batch, history) pairs.
     "q65_incr_neardup" ->
