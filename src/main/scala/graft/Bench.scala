@@ -78,18 +78,20 @@ object Bench {
     val coldTimes = headline.map { name =>
       name -> time(force(SparkEntry.queries(name)(spark, sfDir)))
     }
-    // warm = best of 2 measurements, each a TWO-consecutive-force interval
-    // (reported per force) — applied UNIFORMLY to every headline query. The
-    // 2-force interval is the same steal-robust technique the scaling pairs
-    // use: this host's VM-steal bursts distort short single runs by up to
-    // ~8× (q53 read 30s on a steady ~4s query in r2), and a threshold-based
-    // policy made warm numbers non-comparable across runs.
-    val queryTimes = headline.map { name =>
-      def interval(): Double =
-        time { force(SparkEntry.queries(name)(spark, sfDir))
-               force(SparkEntry.queries(name)(spark, sfDir)) } / 2
-      name -> math.min(interval(), interval())
-    }
+    // warm = best of 2 measurements, each a TWO-consecutive-force interval,
+    // applied UNIFORMLY to every headline query — and the two measurements
+    // of a query are separated by a FULL pass over the whole headline list
+    // (A₁B₁C₁…A₂B₂C₂…, not A₁A₂B₁B₂…). Back-to-back intervals let one
+    // minutes-long VM-steal burst corrupt BOTH measurements of whichever
+    // query it overlapped (r3 recorded q38 at 26.8s vs 1.6s steady);
+    // interleaving puts minutes between a query's two intervals, so a
+    // burst inflates at most one of them and min() discards it.
+    def interval(name: String): Double =
+      time { force(SparkEntry.queries(name)(spark, sfDir))
+             force(SparkEntry.queries(name)(spark, sfDir)) } / 2
+    val pass1 = headline.map(n => n -> interval(n)).toMap
+    val pass2 = headline.map(n => n -> interval(n)).toMap
+    val queryTimes = headline.map(n => n -> math.min(pass1(n), pass2(n)))
 
     // --- two-parallelism pipeline scaling -------------------------------
     // Real crawl input arrives as thousands of splits; the driver fixture is
@@ -156,7 +158,7 @@ object Bench {
     // cost so the 100-TB model covers them. Model FITS stay outside the
     // timed region — they are one-time corpus passes, not per-query cost.
     spark = session(bigCpus)
-    val fullSec = {
+    val (fullSec, fullC4Sec) = {
       val s = spark
       import s.implicits._
       val base = s.read.parquet(pagesDir)
@@ -165,20 +167,26 @@ object Bench {
         graft.filter.QualityClassifier.weakLabels(
             base, abs(hash(col("url"))).cast("long"), col("text"))
           .select(col("text").as("_1"), col("y").as("_2")).as[(String, Double)])
-      def fullDf() = {
+      def fullDf(c4: Boolean) = {
         val pages = s.read.parquet(pagesDir)
           .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
           .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
           .drop("rep")
+        val cfg = QualityPipeline.Config(c4LineFilter = c4)
+        val extracted = QualityPipeline.extract(pages)
+        val lf = if (c4) QualityPipeline.lineFilterStage(extracted, cfg) else extracted
         QualityPipeline.piiStage(
           QualityPipeline.modelScoresStage(
-            QualityPipeline.qualityStage(
-              QualityPipeline.langIdStage(QualityPipeline.extract(pages))),
+            QualityPipeline.qualityStage(QualityPipeline.langIdStage(lf), cfg),
             lm, qm, maxPerplexity = 1e9, minScore = 0.0))
           .select("url", "keep", "n_pii", "text_scrubbed")
       }
-      force(fullDf()) // warm-up
-      math.min(time(force(fullDf())), time(force(fullDf())))
+      force(fullDf(c4 = false)) // warm-up
+      val plain = math.min(time(force(fullDf(c4 = false))), time(force(fullDf(c4 = false))))
+      // C4 line-filter variant: the marginal cost of the line stage on the
+      // same chain (one extra CRLF split + per-line predicate per doc)
+      val c4 = math.min(time(force(fullDf(c4 = true))), time(force(fullDf(c4 = true))))
+      (plain, c4)
     }
     spark.stop()
 
@@ -192,7 +200,9 @@ object Bench {
       s""""scaling_efficiency":${f(eff)},"scaling_efficiency_best":${f(effBest)}}"""
     val fullJson =
       s"""{"docs":$nDocs,"cores":$bigCpus,"sec":${f(fullSec)},"docs_sec":${f(nDocs / fullSec)}}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson,"pipeline_full":$fullJson$detectorJson}""")
+    val fullC4Json =
+      s"""{"docs":$nDocs,"cores":$bigCpus,"sec":${f(fullC4Sec)},"docs_sec":${f(nDocs / fullC4Sec)}}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson,"pipeline_full":$fullJson,"pipeline_full_c4":$fullC4Json$detectorJson}""")
 
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles.foreach(rm)

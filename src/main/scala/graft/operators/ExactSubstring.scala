@@ -123,25 +123,35 @@ object ExactSubstring {
     * Pure narrow work: explode → per-line predicate → per-doc rebuild (one
     * groupBy on id). Every construct is SQL-portable (space-only trim,
     * `\s+` word split, `[.!?"]$`) — q62's DuckDB oracle mirrors it. */
-  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
-                   minWords: Int = 3): DataFrame = {
-    // Line split eats an optional \r (CRLF crawl text); the punctuation
-    // anchor is \z (absolute end) because Java's `$` — unlike RE2's — also
-    // matches before a final \r, which would silently diverge from the
-    // DuckDB oracle on any stray lone-\r line ending. trim() is evaluated
-    // ONCE per line via the struct pairing: Catalyst does not CSE inside
-    // higher-order-function lambdas, so the naive form trims twice.
-    val paired = transform(split(col(textCol), "\r?\n"),
+  /** Column-level core of the C4 line filter, shared by the standalone
+    * operator below and the pipeline stage
+    * ([[graft.pipeline.QualityPipeline.lineFilterStage]]):
+    * struct(n_lines, kept array-of-surviving-lines).
+    *
+    * Line split eats an optional \r (CRLF crawl text); the punctuation
+    * anchor is \z (absolute end) because Java's `$` — unlike RE2's — also
+    * matches before a final \r, which would silently diverge from the
+    * DuckDB oracle on any stray lone-\r line ending. trim() is evaluated
+    * ONCE per line via the struct pairing: Catalyst does not CSE inside
+    * higher-order-function lambdas, so the naive form trims twice. */
+  def c4KeptLines(text: Column, minWords: Int = 3): Column = {
+    val paired = transform(split(text, "\r?\n"),
       l => struct(l.as("line"), trim(l).as("t")))
-    df.select(col(idCol).cast("long").as("id"), paired.as("p"))
-      .select(col("id"), size(col("p")).as("n_lines"),
-        transform(
-          filter(col("p"), p =>
-            p("t").rlike("[.!?\"]\\z") && size(split(p("t"), "\\s+")) >= minWords),
-          p => p("line")).as("kept"))
-      .select(col("id"), col("n_lines"), size(col("kept")).as("n_lines_kept"),
-        array_join(col("kept"), "\n").as("text_filtered"))
+    struct(
+      size(paired).as("n_lines"),
+      transform(
+        filter(paired, p =>
+          p("t").rlike("[.!?\"]\\z") && size(split(p("t"), "\\s+")) >= minWords),
+        p => p("line")).as("kept"))
   }
+
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 3): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        c4KeptLines(col(textCol), minWords).as("s"))
+      .select(col("id"), col("s.n_lines").as("n_lines"),
+        size(col("s.kept")).as("n_lines_kept"),
+        array_join(col("s.kept"), "\n").as("text_filtered"))
 
   /** Scrubbed corpus: each document's lowered token stream with every cut
     * span's tokens removed (id, text_dedup). Span lists ride a broadcast-or-

@@ -31,7 +31,13 @@ object QualityPipeline {
       minLangConfidence: Double = 0.0,
       maxBulletLineFrac: Double = 0.9,
       maxEllipsisLineFrac: Double = 0.3,
-      allowedLangs: Seq[String] = Nil) // empty = all
+      allowedLangs: Seq[String] = Nil, // empty = all
+      // C4 line filter (Raffel et al. 2020 §2.2): OFF by default — it
+      // REWRITES text (drops non-sentence lines), so the byte-identity
+      // invariant holds only for pages whose every line is prose
+      c4LineFilter: Boolean = false,
+      c4MinWordsPerLine: Int = 3,
+      c4MinLinesKept: Int = 5)
 
   /** Stage 1: extract text/host from the raw page row. The text column is
     * carried through verbatim (byte-identical invariant). */
@@ -47,6 +53,20 @@ object QualityPipeline {
       .withColumn("lang_pred", col("lid.lang"))
       .withColumn("lang_conf", col("lid.confidence"))
       .drop("lid")
+
+  /** Optional stage 2b (C4 §2.2, `cfg.c4LineFilter`): keep only lines that
+    * end in terminal punctuation and carry ≥ `c4MinWordsPerLine` words —
+    * nav menus, cookie banners, button labels die here; the page is
+    * rebuilt from the surviving lines and `n_lines_kept` carries C4's
+    * sentence count forward for the page-level gate in [[qualityStage]].
+    * Pure narrow per-row work, same core expression as the standalone
+    * operator (q62). */
+  def lineFilterStage(df: DataFrame, cfg: Config = Config()): DataFrame =
+    df.withColumn("_c4", graft.operators.ExactSubstring
+        .c4KeptLines(col("text"), cfg.c4MinWordsPerLine))
+      .withColumn("n_lines_kept", size(col("_c4.kept")))
+      .withColumn("text", array_join(col("_c4.kept"), "\n"))
+      .drop("_c4")
 
   /** Stage 3: Gopher/C4-style heuristic quality signals + drop reasons. */
   def qualityStage(df: DataFrame, cfg: Config = Config()): DataFrame = {
@@ -66,7 +86,7 @@ object QualityPipeline {
       // prose (frac 0) never trips them
       .withColumn("lsig", graft.functions.TextFunctions.lineShapeSignals(col("text")))
       .drop("qs")
-    val reasons = array_compact(array(
+    val reasonCols = Seq(
       when(col("n_words") < cfg.minWords, lit("too_few_words")),
       when(col("n_words") > cfg.maxWords, lit("too_many_words")),
       when(col("mean_word_len") < cfg.minMeanWordLen ||
@@ -78,7 +98,14 @@ object QualityPipeline {
       when(col("lsig.frac_ellipsis") > cfg.maxEllipsisLineFrac, lit("ellipsis_heavy")),
       when(lit(cfg.allowedLangs.nonEmpty) &&
         !col("lang_pred").isin(cfg.allowedLangs: _*), lit("lang_filtered")),
-      when(col("lang_conf") < cfg.minLangConfidence, lit("lang_low_conf"))))
+      when(col("lang_conf") < cfg.minLangConfidence, lit("lang_low_conf"))) ++
+      // C4's page gate (< c4MinLinesKept surviving sentences): only when
+      // the line-filter stage ran — plan-time schema check, the column
+      // exists iff it did
+      (if (df.columns.contains("n_lines_kept"))
+        Seq(when(col("n_lines_kept") < cfg.c4MinLinesKept, lit("too_few_sentences")))
+      else Nil)
+    val reasons = array_compact(array(reasonCols: _*))
     withSignals
       .withColumn("drop_reasons", reasons)
       .withColumn("keep", size(col("drop_reasons")) === 0)
@@ -149,10 +176,13 @@ object QualityPipeline {
       .withColumn("text_scrubbed", col("pp.text_scrubbed"))
       .drop("pp")
 
-  /** Full chain. */
+  /** Full chain (the C4 line-filter stage joins when `cfg.c4LineFilter`). */
   def run(pages: DataFrame, cfg: Config = Config(),
-          model: LangIdModel = LangIdModel.default): DataFrame =
-    piiStage(qualityStage(langIdStage(extract(pages), model), cfg))
+          model: LangIdModel = LangIdModel.default): DataFrame = {
+    val base = extract(pages)
+    val lf = if (cfg.c4LineFilter) lineFilterStage(base, cfg) else base
+    piiStage(qualityStage(langIdStage(lf, model), cfg))
+  }
 
   /** Zero-extra-pass metrics: `observe` accumulates named aggregates while
     * the main action runs (no second job); read them from the returned

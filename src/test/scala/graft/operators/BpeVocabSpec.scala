@@ -73,4 +73,23 @@ class BpeVocabSpec extends SparkSpecBase {
     // the very first ranks; at minimum rank 0 is the global argmax
     assert(m.merges.head.count == m.merges.map(_.count).max)
   }
+
+  test("production-vocab scale smoke: 4k merges fit in bounded time") {
+    // The fixture corpus has only 31 distinct words (pair space exhausts at
+    // ~93 merges), so derive a rich deterministic vocabulary from it: each
+    // doc's md5 split into 4-hex-char chunks. The indexed merge loop is
+    // near-linear — 4096 merges measure ~8s on this host; an accidental
+    // quadratic recount (the regression this guards) would take minutes.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(regexp_replace(md5($"text"), "(....)", "$1 ").as("text"))
+    val t0 = System.nanoTime()
+    val m = BpeVocab.fit(docs, "text", nMerges = 4096, maxWords = 1 << 16)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(m.merges.size == 4096, s"expected 4096 merges, got ${m.merges.size}")
+    assert(sec < 90, f"4k-merge fit took $sec%.1fs — merge loop no longer near-linear")
+    // ranks are dense and counts positive all the way down
+    assert(m.merges.map(_.rank) == (0 until 4096))
+    assert(m.merges.forall(_.count > 0))
+  }
 }

@@ -37,6 +37,44 @@ class PipelineSpec extends SparkSpecBase {
       !out("https://a.example.org/3").contains("ellipsis_heavy"), out.toString)
   }
 
+  test("C4 line-filter stage: noise lines die, sparse pages gated, off-path unchanged") {
+    import spark.implicits._
+    val pages = Seq(
+      // prose page with planted nav noise: noise lines must vanish from the
+      // scrubbed output, the page itself survives (≥5 proper sentences)
+      ("https://a.example.org/ok",
+        "This is the first proper sentence of the page.\nHome | About | Contact\n" +
+          "Here is a second full sentence for the corpus.\nAccept all cookies\n" +
+          "A third sentence keeps the page above the gate.\nOk.\n" +
+          "The fourth sentence is also fine prose.\nAnd a fifth sentence closes it."),
+      // pure nav page: every line fails the sentence test → 0 kept → gated
+      ("https://b.example.org/nav",
+        "Home\nProducts\nPricing | Docs\nSign in\nContact us"))
+      .toDF("url", "text")
+      .withColumn("warc_ts", timestamp_seconds(lit(1704067200L)))
+      .withColumn("html", encode(col("text"), "UTF-8"))
+      .withColumn("lang", lit("en"))
+    val cfg = QualityPipeline.Config(c4LineFilter = true)
+    val out = QualityPipeline.run(pages, cfg)
+      .select("url", "keep", "drop_reasons", "text_scrubbed").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ok = out("https://a.example.org/ok")
+    assert(ok.getAs[Boolean]("keep"))
+    val kept = ok.getAs[String]("text_scrubbed")
+    assert(!kept.contains("Home | About") && !kept.contains("Accept all cookies"))
+    assert(kept.contains("first proper sentence") && kept.contains("closes it."))
+    assert(!kept.contains("\nOk.\n") && !kept.startsWith("Ok."), "short non-sentence line must go")
+    val nav = out("https://b.example.org/nav")
+    assert(!nav.getAs[Boolean]("keep"))
+    assert(nav.getAs[scala.collection.Seq[String]]("drop_reasons")
+      .contains("too_few_sentences"))
+    // flag OFF (default config): text flows through verbatim — the
+    // byte-identity contract every existing golden pins
+    val off = QualityPipeline.run(pages).select("url", "text_scrubbed").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(off("https://a.example.org/ok").contains("Home | About | Contact"))
+  }
+
   test("pipeline: non-PII pages keep text verbatim; PII pages are scrubbed") {
     val result = QualityPipeline.run(SyntheticPages.fromDocuments(spark, sfDir)).cache()
     val clean = result.filter(col("n_pii") === 0)
