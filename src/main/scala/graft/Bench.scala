@@ -69,7 +69,8 @@ object Bench {
       "q20_pii_detect", "q21_pii_scrub", "q23_pipeline_hosts",
       "q29_embed_neardup", "q35_asof_join",
       "q38_decontaminate", "q39_dup_components", "q40_dup_ngram_ratio",
-      "q47_skew_join", "q48_range_join", "q53_substring_dedup")
+      "q47_skew_join", "q48_range_join", "q53_substring_dedup",
+      "q65_incr_neardup")
 
     var spark = session(cpus)
     // Two passes per headline query: the cold pass carries session/plan/

@@ -166,6 +166,15 @@ class PlanSpec extends SparkSpecBase {
       s"normalize+assign subtree must be persisted (3 consumers):\n$p")
   }
 
+  test("q65: incremental near-dup joins are all equi-joins — no cartesian, no nested loop") {
+    val p = executedPlan("q65_incr_neardup")
+    assert(!p.contains("CartesianProduct"), s"candidate step must stay an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"candidate step must stay an equi-join:\n$p")
+    // the batch-side signature path is the per-row expression — no explode
+    // shuffle feeding the band computation
+    assert(p.contains("minhash_sigs"), "per-row signature expression missing")
+  }
+
   test("q54: mixture repeat is a pure narrow generate — no shuffle before the sort") {
     val p = executedPlan("q54_mixture_repeat")
     val idx = p.indexOf("== Initial Plan ==")
