@@ -169,10 +169,18 @@ object Bench {
             base, abs(hash(col("url"))).cast("long"), col("text"))
           .select(col("text").as("_1"), col("y").as("_2")).as[(String, Double)])
       def fullDf(c4: Boolean) = {
-        val pages = s.read.parquet(pagesDir)
+        val pages0 = s.read.parquet(pagesDir)
           .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
           .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
           .drop("rep")
+        // The c4 variant must measure the filter's COST on a corpus it
+        // keeps: the synthetic doc bodies don't end in terminal
+        // punctuation, so unpunctuated input would zero out every page at
+        // the line stage and the "chain" downstream would process empty
+        // strings. A planted terminal '.' keeps the body line (≥3 words +
+        // punctuation) and the full chain runs at full width.
+        val pages = if (c4) pages0.withColumn("text", concat(col("text"), lit(".")))
+                    else pages0
         val cfg = QualityPipeline.Config(c4LineFilter = c4)
         val extracted = QualityPipeline.extract(pages)
         val lf = if (c4) QualityPipeline.lineFilterStage(extracted, cfg) else extracted

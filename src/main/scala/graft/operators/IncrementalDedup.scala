@@ -193,6 +193,36 @@ object IncrementalDedup {
     batch.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Per-batch incremental NEAR-dup loop — the daily-crawl analogue of
+    * [[dedupBatches]]: each batch is filtered against the accumulated
+    * history band table ([[nearNewOnly]]), then its survivors' bands are
+    * appended to the history (what a production run appends to the lake's
+    * bucketed band table). Returns one materialized survivor DataFrame per
+    * batch. Within-batch near-dups are the full-corpus operators' job
+    * (candidatePairs + connectedComponents over the batch alone) — this
+    * loop only guards the batch↔history boundary. */
+  def nearDedupBatches(batches: Seq[DataFrame], history0: DataFrame,
+                       idCol: String, textCol: String,
+                       threshold: Double = 0.5, maxBucket: Int = 4096,
+                       shingleWidth: Int = 3): Seq[DataFrame] = {
+    var history = history0.select(col(idCol), col(textCol))
+    var hBands = bandTable(history, idCol, textCol, shingleWidth = shingleWidth)
+      .localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    for (batch <- batches) {
+      val survivors = nearNewOnly(batch, history, idCol, textCol, threshold,
+        historyBands = Some(hBands), maxBucket, shingleWidth).localCheckpoint()
+      out += survivors
+      history = history.unionByName(survivors.select(col(idCol), col(textCol)))
+      // append ONLY the new survivors' bands — the history bands are never
+      // recomputed (at scale: an append to the persisted band table)
+      hBands = hBands.unionByName(
+        bandTable(survivors, idCol, textCol, shingleWidth = shingleWidth))
+        .localCheckpoint()
+    }
+    out.result()
+  }
+
   /** Shard router — a plain JVM hash is fine: build and probe both run this
     * exact function (no SQL-side mirror needed; result equality with the
     * anti-join is what the oracle pins). */

@@ -44,6 +44,16 @@ object Curation {
       packShards: Int = 8,
       quality: QualityPipeline.Config = QualityPipeline.Config())
 
+  /** Lake-scan front end: a (doc_id, text) corpus off a [[graft.sources.PageLake]]
+    * page table. doc_id = 60-bit url hash — stable across runs and layouts,
+    * so every min-id canonicalization downstream (exact, line, near-dup,
+    * SemDeDup) is deterministic; at 10¹² pages a 60-bit space holds the
+    * collision rate ≈ n²/2⁶¹ well below one duplicate-id pair per corpus. */
+  def fromLake(pages: DataFrame): DataFrame =
+    pages.select(
+      graft.functions.TextFunctions.hash60(col("url")).as("doc_id"),
+      col("text"))
+
   /** Exact dedup: keep the minimum doc_id per content digest. ONE shuffle
     * (window over the digest), no join-back. */
   def exactStage(df: DataFrame): DataFrame = {

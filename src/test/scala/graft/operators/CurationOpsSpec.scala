@@ -112,6 +112,37 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(survivors == batchIds -- flagged)
   }
 
+  test("near-dup batch loop: later batches dedup against history AND earlier survivors") {
+    def mutant(src: org.apache.spark.sql.DataFrame, idOff: Long) =
+      src.select(($"doc_id" + idOff).as("doc_id"),
+        array_join(slice(graft.functions.TextFunctions.tokens($"text"), 3, 1000000), " ").as("text"))
+    val base = docs
+    val history = base.filter($"doc_id" < 80)
+    val b1 = base.filter($"doc_id" >= 80 && $"doc_id" < 120)
+      .unionByName(mutant(base.filter($"doc_id" === 10), 9000000L)) // near-dups history
+    val b2 = base.filter($"doc_id" >= 120 && $"doc_id" < 160)
+      .unionByName(mutant(base.filter($"doc_id" === 100), 9000000L)) // near-dups a b1 survivor
+      .unionByName(mutant(base.filter($"doc_id" === 20), 9100000L))  // near-dups history
+    val out = IncrementalDedup.nearDedupBatches(Seq(b1, b2), history, "doc_id", "text")
+    val s1 = out(0).select("doc_id").as[Long].collect().toSet
+    val s2 = out(1).select("doc_id").as[Long].collect().toSet
+    // planted mutants die at their boundary
+    assert(!s1.contains(9000010L), "mutant of a history doc must not survive batch 1")
+    assert(!s2.contains(9000100L), "mutant of a batch-1 survivor must not survive batch 2")
+    assert(!s2.contains(9100020L), "mutant of a history doc must not survive batch 2")
+    // loop wiring == direct single-shot calls with manually accumulated
+    // history (the fixture also has NATURAL cross-boundary near-dups, so
+    // survivor sets are pinned by equivalence, not by id ranges)
+    val s1Want = IncrementalDedup.nearNewOnly(b1, history, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s1Want)
+    val h2 = history.select("doc_id", "text").unionByName(out(0).select("doc_id", "text"))
+    val s2Want = IncrementalDedup.nearNewOnly(b2, h2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == s2Want)
+    assert(s1.nonEmpty && s2.nonEmpty)
+  }
+
   test("nearCrossPairs accepts a precomputed (persisted) history band table") {
     val base = docs.limit(150)
     val history = base.filter($"doc_id" % 3 === 0)

@@ -91,6 +91,23 @@ class CurationSpec extends SparkSpecBase {
     assert(resumedFinal == refFinal, "resumed run must equal a clean run")
   }
 
+  test("lake-scan front end: curation over a PageLake equals the same pages read directly") {
+    val lakeDir = Files.createTempDirectory("curationLake").toString
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+      .filter(abs(hash($"url")) % 4 === 0) // small deterministic subset
+    graft.sources.PageLake.write(pages, lakeDir)
+    def survivors(src: org.apache.spark.sql.DataFrame): Set[Long] = {
+      var cur = Curation.fromLake(src)
+      for ((_, fn) <- Curation.stages()) cur = fn(cur).localCheckpoint()
+      cur.select("doc_id").as[Long].collect().toSet
+    }
+    val direct = survivors(pages.select("url", "text"))
+    val viaLake = survivors(graft.sources.PageLake.read(spark, lakeDir)
+      .select("url", "text"))
+    assert(viaLake == direct && direct.nonEmpty,
+      "lake round-trip must not change curation results (url-hash ids are stable)")
+  }
+
   test("changed input invalidates the whole chain (content-addressed, never stale)") {
     val out = Files.createTempDirectory("curationC").toString
     val inDir = Files.createTempDirectory("curationInC").toString
