@@ -16,6 +16,11 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // INT64-micros timestamps everywhere (the Iceberg-mandated type):
+      // INT96 carries no parquet min/max statistics, and configuring the
+      // SESSION keeps PageLake.write conf-mutation-free (no save/restore
+      // race between concurrent writers)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")

@@ -141,15 +141,22 @@ object IncrementalDedup {
     * was already deduped against itself).
     *
     * Equals the full-corpus candidate pipeline over batch ∪ history
-    * restricted to cross-boundary pairs (spec-pinned; ids must be disjoint
-    * across the two inputs). Scale shape: batch bands are recomputed (a
-    * narrow per-row expression over the day's crawl); history bands come
-    * from the persisted table; the candidate join is an equi-join on
-    * (band, band_digest) — with the history side bucketed on band_digest,
-    * only the batch side shuffles. Flood buckets (boilerplate band
-    * collisions) are rank-capped per side at `maxBucket` smallest ids, the
-    * same guard as [[Dedup.candidatePairs]]; the verify join moves only
-    * candidate docs' shingle sets. */
+    * restricted to cross-boundary pairs below the flood cap (spec-pinned;
+    * ids must be disjoint across the two inputs). Scale shape: batch bands
+    * are recomputed (a narrow per-row expression over the day's crawl);
+    * history bands come from the persisted table; the candidate join is an
+    * equi-join on (band, band_digest) — with the history side bucketed on
+    * band_digest, both the cap window and the join satisfy their
+    * clustering from the table layout, so only the batch side shuffles.
+    *
+    * Flood buckets (boilerplate band collisions): ONLY the history side is
+    * rank-capped, at its `maxBucket` smallest ids — every batch doc always
+    * probes (a batch doc needs just ONE verified history partner to be
+    * recognized as a near-dup, so truncating the probe side would silently
+    * admit duplicates; capping the partner set merely risks verifying
+    * against a non-matching member of a boilerplate-flooded bucket, the
+    * documented recall regime). Per-bucket pair count is bounded by
+    * |batch bucket| × min(|history bucket|, maxBucket). */
   def nearCrossPairs(batch: DataFrame, history: DataFrame,
                      idCol: String, textCol: String,
                      historyBands: Option[DataFrame] = None,
@@ -157,12 +164,11 @@ object IncrementalDedup {
     import graft.functions.{TextFunctions => TF}
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "band_digest").orderBy("id")
-    def cap(bands: DataFrame): DataFrame =
-      bands.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= maxBucket).drop("_rn")
-    val hB = cap(historyBands.getOrElse(bandTable(history, idCol, textCol,
-      shingleWidth = shingleWidth)))
-    val bB = cap(bandTable(batch, idCol, textCol, shingleWidth = shingleWidth))
+    val hB = historyBands.getOrElse(bandTable(history, idCol, textCol,
+        shingleWidth = shingleWidth))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
+    val bB = bandTable(batch, idCol, textCol, shingleWidth = shingleWidth)
     val cand = bB.select(col("band"), col("band_digest"), col("id").as("batch_id"))
       .join(hB.select(col("band"), col("band_digest"), col("id").as("hist_id")),
         Seq("band", "band_digest"))
@@ -206,18 +212,22 @@ object IncrementalDedup {
                        threshold: Double = 0.5, maxBucket: Int = 4096,
                        shingleWidth: Int = 3): Seq[DataFrame] = {
     var history = history0.select(col(idCol), col(textCol))
-    var hBands = bandTable(history, idCol, textCol, shingleWidth = shingleWidth)
-      .localCheckpoint()
+    // Band table accumulates as PIECES: each piece is checkpointed exactly
+    // once when it is born, and the per-batch view is a lazy union of the
+    // existing pieces — no re-materialization of the whole history per
+    // batch, no generation-per-batch copies held in the block manager
+    // (at scale: each piece is an APPEND to the persisted band table).
+    var pieces = Vector(
+      bandTable(history, idCol, textCol, shingleWidth = shingleWidth)
+        .localCheckpoint())
     val out = Seq.newBuilder[DataFrame]
     for (batch <- batches) {
       val survivors = nearNewOnly(batch, history, idCol, textCol, threshold,
-        historyBands = Some(hBands), maxBucket, shingleWidth).localCheckpoint()
+        historyBands = Some(pieces.reduce(_ unionByName _)),
+        maxBucket, shingleWidth).localCheckpoint()
       out += survivors
       history = history.unionByName(survivors.select(col(idCol), col(textCol)))
-      // append ONLY the new survivors' bands — the history bands are never
-      // recomputed (at scale: an append to the persisted band table)
-      hBands = hBands.unionByName(
-        bandTable(survivors, idCol, textCol, shingleWidth = shingleWidth))
+      pieces :+= bandTable(survivors, idCol, textCol, shingleWidth = shingleWidth)
         .localCheckpoint()
     }
     out.result()

@@ -158,7 +158,17 @@ object Curation {
   def runCheckpointed(spark: SparkSession, docs: DataFrame,
                       embeddings: Option[DataFrame], outDir: String,
                       cfg: Config = Config(),
-                      inputFp: String = ""): Seq[(String, String)] = {
+                      // REQUIRED (no default): an empty fingerprint would
+                      // mark the first stage always-fresh, so a rerun over
+                      // the same outDir with DIFFERENT input would serve
+                      // the previous run's outputs for the entire chain —
+                      // the exact staleness this runner exists to prevent.
+                      // Callers fingerprint their input directory
+                      // (QualityPipeline.inputFingerprint) or pass any
+                      // string that changes when the input does.
+                      inputFp: String): Seq[(String, String)] = {
+    require(inputFp.nonEmpty,
+      "inputFp must identify the input content — an empty fingerprint would serve stale checkpoints on input change")
     val out = Seq.newBuilder[(String, String)]
     var fp = inputFp
     var cur = docs.select(col("doc_id").cast("long"), col("text"))
@@ -171,17 +181,24 @@ object Curation {
     }
 
     for ((name, fn) <- stages(cfg)) step(name)(fn(cur))
-    for (embs <- embeddings) step("semdedup") {
-      // embeddings for surviving docs only; docs without a vector are kept
-      val sem = Similarity.semDedupManaged(
-        embs.join(cur.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
-        cfg.semThreshold)
-      val kept = cur.join(
-        sem.df.filter(!col("keep")).select(col("vec_id").as("doc_id")),
-        Seq("doc_id"), "left_anti")
-      // checkpointStage materializes `kept` to parquet before returning —
-      // release the assignment cache as soon as this step's write is done
-      try kept.localCheckpoint() finally sem.release()
+    for (embs <- embeddings) {
+      // release hook escapes the by-name body so the assignment cache and
+      // centroid broadcast stay alive until checkpointStage's parquet
+      // WRITE has completed — releasing inside the body would let a block
+      // eviction between release and write force a recompute through a
+      // destroyed broadcast (job failure on a real cluster)
+      var release: () => Unit = () => ()
+      step("semdedup") {
+        // embeddings for surviving docs only; docs without a vector are kept
+        val sem = Similarity.semDedupManaged(
+          embs.join(cur.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+          cfg.semThreshold)
+        release = sem.release
+        cur.join(
+          sem.df.filter(!col("keep")).select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
+      release()
     }
     step("scrub") {
       cur.withColumn("pp", graft.functions.PiiFunctions.process_pii(col("text")))

@@ -44,15 +44,26 @@ object PageLake {
   /** Lake writes use INT64-micros timestamps (what the Iceberg spec
     * mandates): Spark's INT96 default carries NO parquet min/max statistics
     * (parquet-mr treats INT96 as unordered), which would leave the
-    * manifest's warc_ts range at the unknown sentinel for every file. */
+    * manifest's warc_ts range at the unknown sentinel for every file.
+    *
+    * Sessions CONFIGURED with TIMESTAMP_MICROS (GraftSession does, and a
+    * cluster deployment should) take the no-mutation fast path — there is
+    * no per-write parquet option for this, so on an unconfigured session
+    * the save/set/restore below can race with concurrent writes in the
+    * same session; the worst outcome is an INT96 file whose warc_ts stats
+    * degrade to the unknown sentinel (full-range reads, never wrong
+    * answers). */
   private def withInt64Timestamps[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
     val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    if (saved.contains("TIMESTAMP_MICROS")) body
+    else {
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try body
+      finally saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 
@@ -183,14 +194,18 @@ object PageLake {
     (rewritten, before, after)
   }
 
-  /** The lake's current data-file listing (metadata-only walk). */
-  private def liveFiles(spark: SparkSession, path: String): Set[String] = {
+  /** The lake's current data-file listing (metadata-only walk),
+    * restrictable to a set of date partitions so per-day reads pay one
+    * directory listing, not a whole-lake walk. */
+  private def liveFiles(spark: SparkSession, path: String,
+                        dates: Option[Set[String]] = None): Set[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     (for {
       part <- fs.listStatus(root)
       if part.isDirectory && part.getPath.getName.startsWith("crawl_date=")
+      if dates.forall(_.contains(part.getPath.getName.stripPrefix("crawl_date=")))
       f <- fs.listStatus(part.getPath)
       if f.isFile && f.getPath.getName.endsWith(".parquet")
     } yield f.getPath.toString).toSet
@@ -210,12 +225,26 @@ object PageLake {
     * manifest-driven read silently skip rows or fail on missing paths —
     * the staleness check is a metadata-only listing compare, and the
     * footer-scan fallback runs only on mismatch (or a missing manifest:
-    * reads never write to the lake — read-only mounts, snapshots). */
-  private def trustedStats(spark: SparkSession, path: String): Seq[FileStat] =
-    readManifest(spark, path) match {
-      case Some(stats) if stats.map(_.path).toSet == liveFiles(spark, path) => stats
-      case _ => collectStats(spark, path)
+    * reads never write to the lake — read-only mounts, snapshots).
+    *
+    * Cost control at 10⁵-10⁶-file lakes: `dates` restricts BOTH the
+    * validation listing and the fallback footer scan to the partitions the
+    * read actually touches (a day-scoped read lists one directory, not the
+    * lake); `validate = false` skips the listing entirely for deployments
+    * where every lake mutation goes through `write`/`compact` — the trust
+    * model Iceberg's transactional metadata gives for free. */
+  private def trustedStats(spark: SparkSession, path: String,
+                           dates: Option[Set[String]] = None,
+                           validate: Boolean = true): Seq[FileStat] = {
+    val manifest = readManifest(spark, path)
+      .map(s => dates.fold(s)(ds => s.filter(f => ds.contains(f.crawlDate))))
+    if (!validate) manifest.getOrElse(collectStats(spark, path, dates))
+    else manifest match {
+      case Some(stats) if stats.map(_.path).toSet == liveFiles(spark, path, dates) =>
+        stats
+      case _ => collectStats(spark, path, dates)
     }
+  }
 
   /** A day's slice: resolves to a partition-pruned scan. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
@@ -269,13 +298,15 @@ object PageLake {
     * (foreign writer, stats disabled, schema drift) are recorded with the
     * FULL bucket range — always opened, never silently dropped: pruning may
     * only change which files are read, never the answer. */
-  def collectStats(spark: SparkSession, path: String): Seq[FileStat] = {
+  def collectStats(spark: SparkSession, path: String,
+                   dates: Option[Set[String]] = None): Seq[FileStat] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val stats = scala.collection.mutable.ArrayBuffer.empty[FileStat]
     for (part <- fs.listStatus(root)
-         if part.isDirectory && part.getPath.getName.startsWith("crawl_date=")) {
+         if part.isDirectory && part.getPath.getName.startsWith("crawl_date=")
+         if dates.forall(_.contains(part.getPath.getName.stripPrefix("crawl_date=")))) {
       val date = part.getPath.getName.stripPrefix("crawl_date=")
       for (f <- fs.listStatus(part.getPath)
            if f.isFile && f.getPath.getName.endsWith(".parquet")) {
@@ -368,8 +399,9 @@ object PageLake {
     * Iceberg manifest-pruning read path. Result always equals the full-scan
     * filter; the manifest changes which files are OPENED, not the answer.
     * Falls back to a freshly built manifest if the lake lacks one. */
-  def readBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): DataFrame = {
-    val stats = trustedStats(spark, path)
+  def readBuckets(spark: SparkSession, path: String, buckets: Seq[Int],
+                  validate: Boolean = true): DataFrame = {
+    val stats = trustedStats(spark, path, validate = validate)
     val wanted = buckets.toSet
     val files = stats.filter(s => wanted.exists(b => b >= s.minBucket && b <= s.maxBucket))
       .map(_.path)
@@ -403,8 +435,10 @@ object PageLake {
     * open the matching buckets of EVERY day. Exact filters on the
     * survivors keep the answer independent of pruning. */
   def readDayBuckets(spark: SparkSession, path: String, day: String,
-                     buckets: Seq[Int]): DataFrame = {
-    val stats = trustedStats(spark, path)
+                     buckets: Seq[Int], validate: Boolean = true): DataFrame = {
+    // day-scoped stats: validation lists ONE partition directory and the
+    // footer-scan fallback opens only that day's files
+    val stats = trustedStats(spark, path, dates = Some(Set(day)), validate = validate)
     val wanted = buckets.toSet
     val files = stats.filter(s => s.crawlDate == day &&
       wanted.exists(b => b >= s.minBucket && b <= s.maxBucket)).map(_.path)

@@ -74,20 +74,20 @@ class BpeVocabSpec extends SparkSpecBase {
     assert(m.merges.head.count == m.merges.map(_.count).max)
   }
 
-  test("production-vocab scale smoke: 4k merges fit in bounded time") {
+  test("production-vocab scale smoke: a 4k-merge fit completes with dense ranks") {
     // The fixture corpus has only 31 distinct words (pair space exhausts at
     // ~93 merges), so derive a rich deterministic vocabulary from it: each
-    // doc's md5 split into 4-hex-char chunks. The indexed merge loop is
-    // near-linear — 4096 merges measure ~8s on this host; an accidental
-    // quadratic recount (the regression this guards) would take minutes.
+    // doc's md5 split into 4-hex-char chunks. This exercises the indexed
+    // merge loop at production vocab size; WALL-CLOCK is deliberately not
+    // asserted here (a VM-steal burst would flake the deterministic suite)
+    // — timing lives in `graft.tools.BpeScaleSmoke`, which measures ~8s
+    // for these 4096 merges on a quiet host (an accidental quadratic
+    // recount shows up there as minutes).
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(regexp_replace(md5($"text"), "(....)", "$1 ").as("text"))
-    val t0 = System.nanoTime()
     val m = BpeVocab.fit(docs, "text", nMerges = 4096, maxWords = 1 << 16)
-    val sec = (System.nanoTime() - t0) / 1e9
     assert(m.merges.size == 4096, s"expected 4096 merges, got ${m.merges.size}")
-    assert(sec < 90, f"4k-merge fit took $sec%.1fs — merge loop no longer near-linear")
     // ranks are dense and counts positive all the way down
     assert(m.merges.map(_.rank) == (0 until 4096))
     assert(m.merges.forall(_.count > 0))

@@ -143,6 +143,20 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(s1.nonEmpty && s2.nonEmpty)
   }
 
+  test("flood buckets never truncate the probe side: every batch duplicate is caught") {
+    // 10 batch copies of one history doc all land in the SAME (band,
+    // digest) buckets; with maxBucket = 2 a probe-side cap would examine
+    // only 2 of them and silently admit the other 8 — the cap must apply
+    // to the history (partner) side only
+    val text = docs.orderBy($"doc_id").limit(1).select("text").as[String].head()
+    val history = Seq((0L, text)).toDF("doc_id", "text")
+    val batch = (1L to 10L).map(i => (100L + i, text)).toDF("doc_id", "text")
+    val survivors = IncrementalDedup.nearNewOnly(batch, history, "doc_id", "text",
+      maxBucket = 2).select("doc_id").as[Long].collect()
+    assert(survivors.isEmpty,
+      s"all 10 batch duplicates must be flagged, but ${survivors.length} survived")
+  }
+
   test("nearCrossPairs accepts a precomputed (persisted) history band table") {
     val base = docs.limit(150)
     val history = base.filter($"doc_id" % 3 === 0)
