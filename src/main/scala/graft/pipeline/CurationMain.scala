@@ -47,6 +47,17 @@ object CurationMain {
     // 100-TB run reports to dashboards alongside its lineage)
     counts.toDF("stage_no", "stage", "rows")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/metrics")
+    // per-file lineage: every produced artifact file with its row count —
+    // each output row of every stage is attributable to a concrete file of
+    // a concrete checkpoint (metadata-scale: one footer-backed count per
+    // file, no data scan)
+    val lineage = stages.flatMap { case (name, path) =>
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("file")).count()
+        .collect().map(r => (name, r.getString(0), r.getLong(1)))
+    }
+    lineage.toDF("stage", "file", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/lineage")
     spark.stop()
   }
 }
