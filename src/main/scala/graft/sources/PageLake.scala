@@ -323,7 +323,7 @@ object PageLake {
             rows += block.getRowCount
             for (c <- block.getColumns.asScala) c.getPath.toDotString match {
               case "url_bucket" =>
-                val st = c.getStatistics
+                val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
                 // Try-guarded: a foreign writer may have left url_bucket
                 // with a NON-NUMERIC type (schema drift) — genericGetMin
                 // would then throw ClassCastException; unusable stats must
@@ -341,7 +341,7 @@ object PageLake {
               case "warc_ts" =>
                 // Spark writes TimestampType as INT64 epoch micros; same
                 // degrade-on-drift discipline as url_bucket
-                val st = c.getStatistics
+                val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
                 if (st != null && !st.isEmpty) scala.util.Try {
                   (st.genericGetMin.asInstanceOf[Number].longValue(),
                     st.genericGetMax.asInstanceOf[Number].longValue())
