@@ -211,42 +211,112 @@ object Similarity {
     * same lifecycle contract as [[IncrementalDedup.newOnlyManaged]]. */
   def semDedupManaged(vectors: DataFrame, threshold: Double,
                       nCells: Int = 16, sampleSize: Int = 2048,
-                      maxCluster: Int = 4096): SemDeduped = {
-    val spark = vectors.sparkSession
+                      maxCluster: Int = 4096): SemDeduped =
+    semDedupManaged(vectors, threshold,
+      fitSemCentroids(vectors, nCells, sampleSize), maxCluster)
+
+  /** The coarse quantizer [[semDedup]] fits before clustering: k-means over
+    * an ORDERED bounded sample of the L2-normalized vectors (a bare limit()
+    * would sample in partition order and make every cell id depend on input
+    * layout). Exposed so an INCREMENTAL deployment can freeze the
+    * centroids of its first corpus pass and assign every later batch to
+    * the same cells ([[semDedupIncremental]]). */
+  def fitSemCentroids(vectors: DataFrame, nCells: Int = 16,
+                      sampleSize: Int = 2048): Array[Array[Double]] = {
+    val sample = l2normalize(vectors).orderBy("id").limit(sampleSize).select("u")
+      .collect().map(_.getSeq[Double](0).map(_.toFloat).toArray)
+    ivfCentroids(sample, nCells)
+  }
+
+  /** (vec_id → id, embedding → u): L2-normalized double vectors (zero
+    * vectors map to the zero vector). */
+  private def l2normalize(vectors: DataFrame): DataFrame = {
     val norm = sqrt(aggregate(col("embedding"), lit(0.0),
       (a, x) => a + x.cast("double") * x.cast("double")))
-    val unit = vectors.select(col("vec_id").as("id"),
+    vectors.select(col("vec_id").as("id"),
       when(norm > 0, transform(col("embedding"), x => x.cast("double") / norm))
         .otherwise(transform(col("embedding"), x => lit(0.0))).as("u"))
-    // ordered take: a bare limit() samples in partition order, which would
-    // make the centroid init (and so every cell id) depend on input layout
-    val sample = unit.orderBy("id").limit(sampleSize).select("u")
-      .collect().map(_.getSeq[Double](0).map(_.toFloat).toArray)
-    val bc = spark.sparkContext.broadcast(ivfCentroids(sample, nCells))
+  }
+
+  /** Normalized cell assignments under a FROZEN quantizer: (id, u, cell) —
+    * the standard SemDeDup intermediate a deployment persists to the lake
+    * (bucketed by cell) so later batches join against it without
+    * recomputation. Centroids ride the udf closure (task binary → one
+    * torrent-broadcast copy per executor, no explicit lifecycle). */
+  def assignCells(vectors: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val cellUdf = udf((v: Seq[Double]) =>
-      nearestCentroid(v.map(_.toFloat).toArray, bc.value))
-    // Persisted: the normalize+assign subtree feeds BOTH self-join sides and
-    // the final projection — without this Spark recomputes it three times.
-    // MEMORY_AND_DISK spills at scale; at the 10¹²-row tier a deployment
-    // writes the assignment table to the lake instead (cluster assignments
-    // are a standard SemDeDup intermediate). The returned release() hook
-    // unpersists it (and drops the centroid broadcast).
-    val assigned = unit.select(col("id"), col("u"), cellUdf(col("u")).as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nearestCentroid(v.map(_.toFloat).toArray, centroids))
+    l2normalize(vectors).select(col("id"), col("u"), cellUdf(col("u")).as("cell"))
+  }
+
+  /** The deterministic drop rule over an assignment table: vector b is
+    * dropped iff some vector a with a.id < b.id shares its cell at cosine
+    * ≥ threshold (both within the per-cell `maxCluster` id-rank cap).
+    * `probe` restricts the VERDICT side — pairs where b is not a probe row
+    * are never generated, so an incremental call pays |history|·|batch|
+    * per cell, not |history|² (the a side always spans everything). */
+  private def semDropRule(assigned: DataFrame, threshold: Double,
+                          maxCluster: Int,
+                          probe: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy("cell").orderBy("id")
     val capped = assigned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxCluster).drop("_rn")
+    val bSide = probe.fold(capped)(p =>
+      capped.join(p.select(col("id")), Seq("id"), "left_semi"))
     val dropped = capped.select(col("cell"), col("id").as("id_a"), col("u").as("u_a"))
-      .join(capped.select(col("cell"), col("id").as("id_b"), col("u").as("u_b")), Seq("cell"))
+      .join(bSide.select(col("cell"), col("id").as("id_b"), col("u").as("u_b")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("u_a"), col("u_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_b").as("id")).distinct()
       .withColumn("_dropped", lit(true))
-    val out = assigned.select(col("id").as("vec_id"), col("cell"))
+    val outRows = probe.fold(assigned)(p =>
+      assigned.join(p.select(col("id")), Seq("id"), "left_semi"))
+    outRows.select(col("id").as("vec_id"), col("cell"))
       .join(dropped.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("_dropped").isNull.as("keep"))
-    SemDeduped(out, () => { assigned.unpersist(); bc.destroy(); () })
+  }
+
+  /** [[semDedupManaged]] with CALLER-SUPPLIED centroids (frozen quantizer —
+    * the deterministic remainder of the algorithm). */
+  def semDedupManaged(vectors: DataFrame, threshold: Double,
+                      centroids: Array[Array[Double]],
+                      maxCluster: Int): SemDeduped = {
+    // Persisted: the normalize+assign subtree feeds BOTH self-join sides and
+    // the final projection — without this Spark recomputes it three times.
+    // MEMORY_AND_DISK spills at scale; at the 10¹²-row tier a deployment
+    // writes the assignment table to the lake instead (assignCells is that
+    // table). The returned release() hook unpersists it.
+    val assigned = assignCells(vectors, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SemDeduped(semDropRule(assigned, threshold, maxCluster),
+      () => { assigned.unpersist(); () })
+  }
+
+  /** Incremental (cross-batch) SemDeDup — the embedding-space analogue of
+    * [[IncrementalDedup.nearNewOnly]]: the daily batch is assigned to the
+    * FROZEN historical cells and judged against the persisted historical
+    * assignment table plus its own earlier-id rows; only batch verdicts
+    * are produced, and only |history|·|batch| within-cell pairs are
+    * generated (never history², which was judged when the history was
+    * built). EXACTLY equals [[semDedupManaged]] over history ∪ batch with
+    * the same centroids, restricted to batch ids (spec-pinned) — requires
+    * every history id < every batch id (crawl ids grow monotonically).
+    *
+    * `historyAssigned` is [[assignCells]] output for the historical corpus
+    * (at scale: read back from the lake, bucketed by cell so the per-cell
+    * join satisfies its clustering from the table layout). */
+  def semDedupIncremental(batch: DataFrame, historyAssigned: DataFrame,
+                          centroids: Array[Array[Double]], threshold: Double,
+                          maxCluster: Int = 4096): SemDeduped = {
+    val batchAssigned = assignCells(batch, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = historyAssigned.select("id", "u", "cell")
+      .unionByName(batchAssigned)
+    SemDeduped(
+      semDropRule(assigned, threshold, maxCluster,
+        probe = Some(batchAssigned.select("id"))),
+      () => { batchAssigned.unpersist(); () })
   }
 
   /** ANN via sign-LSH: score only same-bucket candidates. Recall < 1 by

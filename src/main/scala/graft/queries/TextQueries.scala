@@ -697,6 +697,25 @@ object TextQueries {
         .orderBy("batch_id", "hist_id")
     }),
 
+    // Incremental SemDeDup (embedding-space daily batch): history = vectors
+    // with id < 300 (frozen centroids fit there), batch = the rest ∪
+    // planted scaled copies; batch verdicts judged against the persisted
+    // historical assignment table. Golden-pinned (k-means quantizer);
+    // exact equivalence with the full frozen-centroid run restricted to
+    // the batch is spec-pinned in SemDedupSpec.
+    "q66_incr_semdedup" -> ((s, dir) => {
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val history = e.filter(col("vec_id") < 300)
+      val batch = e.filter(col("vec_id") >= 300).unionByName(planted)
+      val centroids = Similarity.fitSemCentroids(history)
+      val inc = Similarity.semDedupIncremental(batch,
+        Similarity.assignCells(history, centroids), centroids, threshold = 0.99)
+      inc.df.orderBy("vec_id")
+    }),
+
     // Multimodal pipeline: binary media → decode(stub) → features → rollup.
     "q27_media_pipeline" -> ((s, dir) => {
       import graft.operators.Multimodal

@@ -77,6 +77,30 @@ class SemDedupSpec extends SparkSpecBase {
       "release() must unpersist the assignment subtree")
   }
 
+  test("incremental semdedup equals the full frozen-centroid run restricted to the batch") {
+    val all = withPlanted
+    val history = all.filter($"vec_id" < 300)
+    val batch = all.filter($"vec_id" >= 300) // includes the planted copies (+100000)
+    val centroids = Similarity.fitSemCentroids(history)
+    val inc = Similarity.semDedupIncremental(batch,
+      Similarity.assignCells(history, centroids), centroids, threshold = 0.99)
+    val got = inc.df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sorted.toSeq
+    val full = Similarity.semDedupManaged(all, 0.99, centroids, maxCluster = 4096)
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    val want = full.df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .filter(t => batchIds.contains(t._1)).sorted.toSeq
+    inc.release(); full.release()
+    assert(got == want && got.nonEmpty)
+    // verdicts cover exactly the batch, and every planted scaled copy in
+    // the batch is dropped against its earlier original
+    assert(got.map(_._1).toSet == batchIds)
+    val copies = got.filter(_._1 >= 100000L)
+    assert(copies.nonEmpty && copies.forall(!_._3),
+      "scaled copies must drop against earlier-id originals across the boundary")
+  }
+
   test("result is invariant to input partition layout") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Similarity.semDedup(df, threshold = 0.99)
