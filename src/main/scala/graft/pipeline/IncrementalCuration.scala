@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import graft.operators.{IncrementalDedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The DAILY curation step — what a crawl pipeline runs per batch once the
+  * initial corpus has been curated ([[Curation]] is the full-corpus run;
+  * this is its incremental counterpart): the incoming batch is deduped
+  * against persisted history state across all three duplicate classes
+  * without ever re-shuffling the history —
+  *
+  *   1. exact     — Bloom-prefiltered digest anti-join
+  *                  ([[IncrementalDedup.newOnly]]);
+  *   2. near-dup  — MinHash bands vs the persisted band table
+  *                  ([[IncrementalDedup.nearNewOnly]]);
+  *   3. semantic  — frozen-centroid cells vs the persisted assignment
+  *                  table ([[Similarity.semDedupIncremental]]);
+  *   4. quality   — the langid + Gopher/C4 gate chain
+  *                  ([[Curation.qualityStage]]);
+  *
+  * then the survivors are APPENDED to every state table. Within-batch
+  * duplicates are handled too: exact by [[Curation.exactStage]] and
+  * near-dup by [[Curation.neardupStage]] over the batch alone (both run
+  * BEFORE the history joins, shrinking the probe side), semantic by
+  * [[Similarity.semDedupIncremental]] itself (a batch row is judged
+  * against the batch's earlier-id rows as well as history).
+  *
+  * State tables are plain DataFrames here; a deployment persists them to
+  * the lake with the layouts each join wants — digests bucketed by digest,
+  * bands by band_digest, cells by cell — so every per-batch join satisfies
+  * its clustering from the table layout and ONLY the batch side moves.
+  */
+object IncrementalCuration {
+
+  /** The persisted history: curated docs (id, text, digest), their MinHash
+    * band table, the frozen semantic quantizer and its assignment table
+    * (None when the corpus has no embeddings). */
+  final case class State(
+      docs: DataFrame,
+      bands: DataFrame,
+      semantic: Option[SemState])
+
+  final case class SemState(centroids: Array[Array[Double]],
+                            cells: DataFrame)
+
+  /** Bootstrap state from an ALREADY-CURATED corpus (the output of the
+    * full [[Curation]] run). */
+  def init(corpus: DataFrame,
+           embeddings: Option[DataFrame],
+           nCells: Int = 16): State = {
+    val docs = corpus.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("digest", md5(col("text")))
+    val bands = IncrementalDedup.bandTable(docs, "doc_id", "text")
+    val sem = embeddings.map { e =>
+      val centroids = Similarity.fitSemCentroids(e)
+      SemState(centroids, Similarity.assignCells(e, centroids))
+    }
+    State(docs, bands, sem)
+  }
+
+  /** One daily step: returns (survivors of the batch, next state).
+    * Batch ids must exceed every history id (crawl ids grow
+    * monotonically — the min-id canonicalization contract of every
+    * incremental operator here). The returned survivors are materialized
+    * (`localCheckpoint`); at scale each append is a lake-table append. */
+  def step(state: State, batch: DataFrame,
+           batchEmbeddings: Option[DataFrame] = None,
+           cfg: Curation.Config = Curation.Config(),
+           expectedHistoryDigests: Long = 1 << 20,
+           bloomShards: Int = 1): (DataFrame, State) = {
+    // 0. collapse within-batch exact dups, digest the rest
+    val b0 = Curation.exactStage(
+        batch.select(col("doc_id").cast("long").as("doc_id"), col("text")))
+      .withColumn("digest", md5(col("text")))
+
+    // 1. exact vs history (Bloom prefilter; broadcast released after the
+    //    step materializes)
+    val pf = IncrementalDedup.newOnlyManaged(b0, state.docs.select("digest"),
+      "digest", expectedHistoryDigests, shards = bloomShards)
+    val b1 = pf.df.localCheckpoint()
+    pf.release()
+
+    // 2. near-dup: within the batch first (full-corpus operator over the
+    //    day — smaller probe side for the history join), then vs history
+    //    (persisted band table; nearNewOnly needs history text for the
+    //    Jaccard verify join)
+    val b2 = IncrementalDedup.nearNewOnly(
+      Curation.neardupStage(b1, cfg.neardupThreshold),
+      state.docs, "doc_id", "text",
+      threshold = cfg.neardupThreshold, historyBands = Some(state.bands))
+
+    // 3. semantic vs history (frozen cells), when both sides have vectors
+    val b3 = (state.semantic, batchEmbeddings) match {
+      case (Some(sem), Some(be)) =>
+        val inc = Similarity.semDedupIncremental(
+          be.join(b2.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+          sem.cells, sem.centroids, cfg.semThreshold)
+        val out = b2.join(
+          inc.df.filter(!col("keep")).select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        inc.release()
+        out
+      case _ => b2
+    }
+
+    // 4. quality gates on what's left
+    val survivors = Curation.qualityStage(b3.select("doc_id", "text"), cfg)
+      .withColumn("digest", md5(col("text")))
+      .localCheckpoint()
+
+    // 5. append survivors to every state table (at scale: lake appends)
+    val nextSem = (state.semantic, batchEmbeddings) match {
+      case (Some(sem), Some(be)) =>
+        val survEmb = be.join(
+          survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        Some(sem.copy(cells = sem.cells.unionByName(
+          Similarity.assignCells(survEmb, sem.centroids))))
+      case (s, _) => s
+    }
+    val next = State(
+      docs = state.docs.unionByName(survivors.select("doc_id", "text", "digest")),
+      bands = state.bands.unionByName(
+        IncrementalDedup.bandTable(survivors, "doc_id", "text")),
+      semantic = nextSem)
+    (survivors.select("doc_id", "text"), next)
+  }
+}

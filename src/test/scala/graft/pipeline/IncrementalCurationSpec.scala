@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The daily incremental curation step: each duplicate class dies at its
+  * stage, survivors accumulate into state, and batch 2 dedups against
+  * history ∪ batch-1 survivors. */
+class IncrementalCurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select($"doc_id".cast("long").as("doc_id"), $"text").cache()
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select("vec_id", "embedding").cache()
+
+  private def mutant(src: org.apache.spark.sql.DataFrame, idOff: Long) =
+    src.select(($"doc_id" + idOff).as("doc_id"),
+      array_join(slice(split(trim($"text"), "\\s+"), 3, 1000000), " ").as("text"))
+
+  test("two daily batches: every duplicate class dies, state accumulates") {
+    val history = base.filter($"doc_id" < 200)
+    val histEmb = embs.filter($"vec_id" < 200)
+    val state0 = IncrementalCuration.init(history, Some(histEmb))
+
+    // batch 1: fresh docs 200..279, an exact copy of history doc 7, a
+    // near-mutant of history doc 30, and a within-batch exact dup pair
+    val fresh1 = base.filter($"doc_id" >= 200 && $"doc_id" < 280)
+    val b1 = fresh1
+      .unionByName(history.filter($"doc_id" === 7)
+        .select(lit(9000007L).as("doc_id"), $"text"))
+      .unionByName(mutant(history.filter($"doc_id" === 30), 9000000L))
+      .unionByName(base.filter($"doc_id" === 250)
+        .select(lit(9000250L).as("doc_id"), $"text"))
+    // embeddings for batch-1 ids: fresh docs carry their own vectors; the
+    // planted copies reuse a history vector SCALED (cosine-identical →
+    // semantic dup of vec 40)
+    val semCopy = embs.filter($"vec_id" === 40)
+      .select(lit(9000040L).as("vec_id"),
+        transform($"embedding", x => x * lit(3.0f)).as("embedding"))
+    val b1e = embs.filter($"vec_id" >= 200 && $"vec_id" < 280).unionByName(semCopy)
+    // the semantic dup carries GENUINELY fresh text (no lexical overlap
+    // with any doc) so no text-based stage can claim its kill — only the
+    // embedding stage can drop it
+    val b1doc = spark.range(1).select(lit(9000040L).as("doc_id"),
+      lit("a completely original page describing semantic duplication where " +
+        "the words share nothing with any other document in this corpus " +
+        "yet the embedding is a scaled copy of vector forty").as("text"))
+
+    val (s1, state1) = IncrementalCuration.step(state0, b1.unionByName(b1doc), Some(b1e))
+    val ids1 = s1.select("doc_id").as[Long].collect().toSet
+    assert(!ids1.contains(9000007L), "exact copy of history must die")
+    assert(!ids1.contains(9000030L), "near-mutant of history must die")
+    assert(!ids1.contains(9000250L), "within-batch exact dup must die (min id 250 wins)")
+    assert(!ids1.contains(9000040L), "semantic copy (scaled embedding of vec 40) must die")
+    assert(ids1.exists(id => id >= 200 && id < 280), "fresh docs must survive")
+
+    // batch 2: fresh docs 280..339, an exact copy of a BATCH-1 survivor,
+    // and a near-mutant of a batch-1 survivor
+    val sv = ids1.filter(id => id >= 200 && id < 280).toSeq.sorted
+    val (svA, svB) = (sv.head, sv.last)
+    val b2 = base.filter($"doc_id" >= 280 && $"doc_id" < 340)
+      .unionByName(base.filter($"doc_id" === svA)
+        .select(lit(9100000L + svA).as("doc_id"), $"text"))
+      .unionByName(mutant(base.filter($"doc_id" === svB), 9200000L))
+    val (s2, state2) = IncrementalCuration.step(state1, b2, None)
+    val ids2 = s2.select("doc_id").as[Long].collect().toSet
+    assert(!ids2.contains(9100000L + svA), "exact copy of a batch-1 survivor must die")
+    assert(!ids2.contains(9200000L + svB), "near-mutant of a batch-1 survivor must die")
+    assert(ids2.exists(id => id >= 280 && id < 340), "fresh batch-2 docs must survive")
+
+    // state accumulates exactly the survivors
+    val n0 = state0.docs.count()
+    assert(state1.docs.count() == n0 + s1.count())
+    assert(state2.docs.count() == n0 + s1.count() + s2.count())
+    // band + cell tables grew with the survivors too
+    assert(state2.bands.count() > state1.bands.count())
+    assert(state1.semantic.get.cells.count() >= state0.semantic.get.cells.count())
+  }
+}
