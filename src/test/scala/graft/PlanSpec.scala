@@ -175,6 +175,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("minhash_sigs"), "per-row signature expression missing")
   }
 
+  test("q66: incremental semdedup joins only on cell ids — no cartesian, no nested loop") {
+    val p = executedPlan("q66_incr_semdedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs plan regressed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs plan regressed:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"batch assignment subtree must be persisted:\n$p")
+  }
+
   test("q54: mixture repeat is a pure narrow generate — no shuffle before the sort") {
     val p = executedPlan("q54_mixture_repeat")
     val idx = p.indexOf("== Initial Plan ==")
