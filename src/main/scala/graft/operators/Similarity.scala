@@ -252,15 +252,19 @@ object Similarity {
   /** The deterministic drop rule over an assignment table: vector b is
     * dropped iff some vector a with a.id < b.id shares its cell at cosine
     * ≥ threshold (both within the per-cell `maxCluster` id-rank cap).
-    * `probe` restricts the VERDICT side — pairs where b is not a probe row
-    * are never generated, so an incremental call pays |history|·|batch|
-    * per cell, not |history|² (the a side always spans everything). */
+    * `probe` (an (id, u, cell) SUBSET of `assigned`) restricts the VERDICT
+    * side — pairs where b is not a probe row are never generated, so an
+    * incremental call pays |history|·|batch| per cell, not |history)|²
+    * (the a side always spans everything) — and the output rows come
+    * straight from the probe rows (no join back through the history). */
   private def semDropRule(assigned: DataFrame, threshold: Double,
                           maxCluster: Int,
                           probe: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy("cell").orderBy("id")
     val capped = assigned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxCluster).drop("_rn")
+    // b side still derives from `capped`: a probe row beyond the combined
+    // per-cell cap is kept UNEXAMINED, same contract as the full rule
     val bSide = probe.fold(capped)(p =>
       capped.join(p.select(col("id")), Seq("id"), "left_semi"))
     val dropped = capped.select(col("cell"), col("id").as("id_a"), col("u").as("u_a"))
@@ -270,9 +274,7 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_b").as("id")).distinct()
       .withColumn("_dropped", lit(true))
-    val outRows = probe.fold(assigned)(p =>
-      assigned.join(p.select(col("id")), Seq("id"), "left_semi"))
-    outRows.select(col("id").as("vec_id"), col("cell"))
+    probe.getOrElse(assigned).select(col("id").as("vec_id"), col("cell"))
       .join(dropped.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("_dropped").isNull.as("keep"))
   }
@@ -308,15 +310,22 @@ object Similarity {
     * join satisfies its clustering from the table layout). */
   def semDedupIncremental(batch: DataFrame, historyAssigned: DataFrame,
                           centroids: Array[Array[Double]], threshold: Double,
-                          maxCluster: Int = 4096): SemDeduped = {
-    val batchAssigned = assignCells(batch, centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = historyAssigned.select("id", "u", "cell")
-      .unionByName(batchAssigned)
+                          maxCluster: Int = 4096,
+                          persist: Boolean = true): SemDeduped = {
+    // Two caches: the batch assignment (feeds the b side AND the output
+    // projection) and the combined table (feeds both sides of the capped
+    // pairing — without it a LAZY historyAssigned recomputes per consumer;
+    // a deployment reading the cell table off the lake may pass
+    // persist = false and let the bucketed scan serve each consumer).
+    def cache(df: DataFrame): DataFrame =
+      if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val batchAssigned = cache(assignCells(batch, centroids))
+    val assigned = cache(historyAssigned.select("id", "u", "cell")
+      .unionByName(batchAssigned))
     SemDeduped(
-      semDropRule(assigned, threshold, maxCluster,
-        probe = Some(batchAssigned.select("id"))),
-      () => { batchAssigned.unpersist(); () })
+      semDropRule(assigned, threshold, maxCluster, probe = Some(batchAssigned)),
+      () => { if (persist) { assigned.unpersist(); batchAssigned.unpersist() }; () })
   }
 
   /** ANN via sign-LSH: score only same-bucket candidates. Recall < 1 by

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   *                  ([[IncrementalDedup.newOnly]]);
   *   2. near-dup  — MinHash bands vs the persisted band table
   *                  ([[IncrementalDedup.nearNewOnly]]);
-  *   3. semantic  — frozen-centroid cells vs the persisted assignment
-  *                  table ([[Similarity.semDedupIncremental]]);
-  *   4. quality   — the langid + Gopher/C4 gate chain
+  *   3. quality   — the langid + Gopher/C4 gate chain
   *                  ([[Curation.qualityStage]]);
+  *   4. semantic  — frozen-centroid cells vs the persisted assignment
+  *                  table ([[Similarity.semDedupIncremental]]) — after
+  *                  quality, matching the full-corpus runner's order;
   *
   * then the survivors are APPENDED to every state table. Within-batch
   * duplicates are handled too: exact by [[Curation.exactStage]] and
@@ -51,10 +52,12 @@ object IncrementalCuration {
            nCells: Int = 16): State = {
     val docs = corpus.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .withColumn("digest", md5(col("text")))
-    val bands = IncrementalDedup.bandTable(docs, "doc_id", "text")
+    // state tables are materialized once at birth (at scale: written to the
+    // lake); later steps read them repeatedly and must not re-derive them
+    val bands = IncrementalDedup.bandTable(docs, "doc_id", "text").localCheckpoint()
     val sem = embeddings.map { e =>
-      val centroids = Similarity.fitSemCentroids(e)
-      SemState(centroids, Similarity.assignCells(e, centroids))
+      val centroids = Similarity.fitSemCentroids(e, nCells)
+      SemState(centroids, Similarity.assignCells(e, centroids).localCheckpoint())
     }
     State(docs, bands, sem)
   }
@@ -90,38 +93,45 @@ object IncrementalCuration {
       state.docs, "doc_id", "text",
       threshold = cfg.neardupThreshold, historyBands = Some(state.bands))
 
-    // 3. semantic vs history (frozen cells), when both sides have vectors
-    val b3 = (state.semantic, batchEmbeddings) match {
+    // 3. quality gates BEFORE the semantic stage — the same order the
+    //    full-corpus runner uses (Curation.runCheckpointed): a low-quality
+    //    batch doc must not kill its high-quality semantic neighbor and
+    //    then die itself at quality (verdicts would become
+    //    batch-composition dependent)
+    val b3 = Curation.qualityStage(b2.select("doc_id", "text"), cfg)
+
+    // 4. semantic vs history (frozen cells), when both sides have vectors
+    val b4 = (state.semantic, batchEmbeddings) match {
       case (Some(sem), Some(be)) =>
         val inc = Similarity.semDedupIncremental(
-          be.join(b2.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+          be.join(b3.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
           sem.cells, sem.centroids, cfg.semThreshold)
-        val out = b2.join(
+        val out = b3.join(
           inc.df.filter(!col("keep")).select(col("vec_id").as("doc_id")),
           Seq("doc_id"), "left_anti").localCheckpoint()
         inc.release()
         out
-      case _ => b2
+      case _ => b3
     }
 
-    // 4. quality gates on what's left
-    val survivors = Curation.qualityStage(b3.select("doc_id", "text"), cfg)
-      .withColumn("digest", md5(col("text")))
-      .localCheckpoint()
+    val survivors = b4.withColumn("digest", md5(col("text"))).localCheckpoint()
 
-    // 5. append survivors to every state table (at scale: lake appends)
+    // 5. append survivors to every state table, each appended piece
+    //    materialized ONCE at birth like the init tables (at scale: lake
+    //    appends) — lazy pieces would re-derive every prior batch's
+    //    signatures/assignments on every later step
     val nextSem = (state.semantic, batchEmbeddings) match {
       case (Some(sem), Some(be)) =>
         val survEmb = be.join(
           survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
         Some(sem.copy(cells = sem.cells.unionByName(
-          Similarity.assignCells(survEmb, sem.centroids))))
+          Similarity.assignCells(survEmb, sem.centroids).localCheckpoint())))
       case (s, _) => s
     }
     val next = State(
       docs = state.docs.unionByName(survivors.select("doc_id", "text", "digest")),
       bands = state.bands.unionByName(
-        IncrementalDedup.bandTable(survivors, "doc_id", "text")),
+        IncrementalDedup.bandTable(survivors, "doc_id", "text").localCheckpoint()),
       semantic = nextSem)
     (survivors.select("doc_id", "text"), next)
   }

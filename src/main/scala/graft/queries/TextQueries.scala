@@ -711,8 +711,11 @@ object TextQueries {
       val history = e.filter(col("vec_id") < 300)
       val batch = e.filter(col("vec_id") >= 300).unionByName(planted)
       val centroids = Similarity.fitSemCentroids(history)
+      // persist = false: the driver holds the returned plan with no chance
+      // to call release(), and at this scale recompute beats a leaked cache
       val inc = Similarity.semDedupIncremental(batch,
-        Similarity.assignCells(history, centroids), centroids, threshold = 0.99)
+        Similarity.assignCells(history, centroids), centroids, threshold = 0.99,
+        persist = false)
       inc.df.orderBy("vec_id")
     }),
 

@@ -179,8 +179,9 @@ class PlanSpec extends SparkSpecBase {
     val p = executedPlan("q66_incr_semdedup")
     assert(!p.contains("CartesianProduct"), s"all-pairs plan regressed:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs plan regressed:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"batch assignment subtree must be persisted:\n$p")
+    // (q66 runs persist = false — unreleasable from the driver contract —
+    // so no InMemoryTableScan is expected here; the managed default's
+    // persist/release lifecycle is covered in SemDedupSpec)
   }
 
   test("q54: mixture repeat is a pure narrow generate — no shuffle before the sort") {
