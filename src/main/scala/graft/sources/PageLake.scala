@@ -41,6 +41,49 @@ object PageLake {
     writeManifest(pages.sparkSession, path): Unit
   }
 
+  /** Per-batch incremental ingest: APPEND a batch of pages into the lake's
+    * date partitions (same layout discipline as [[write]] — per-(date,
+    * bucket) fan-out, bucket-sorted files) and refresh the manifest so
+    * readers keep their zero-footer-I/O pruning. This is the writer the
+    * small-file problem comes from — run [[compact]] periodically behind
+    * it. */
+  def append(pages: DataFrame, path: String): Unit = {
+    withInt64Timestamps(pages.sparkSession) {
+      pages
+        .withColumn("crawl_date", to_date(col("warc_ts")))
+        .withColumn("url_bucket", urlBucket(col("url")))
+        .repartition(col("crawl_date"), col("url_bucket"))
+        .sortWithinPartitions("url_bucket", "url")
+        .write.mode("append")
+        .partitionBy("crawl_date")
+        .parquet(path)
+    }
+    refreshManifest(pages.sparkSession, path): Unit
+  }
+
+  /** INCREMENTAL manifest refresh (the Iceberg append-manifest behavior):
+    * keep prior entries for files still present, read footers ONLY for
+    * files the manifest doesn't know, drop entries for vanished files.
+    * Per-append cost is O(new files) footer reads + one listing — a full
+    * [[writeManifest]] rebuild pays O(lake files) footers per batch. */
+  def refreshManifest(spark: SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = readManifest(spark, path).getOrElse(Nil).map(s => s.path -> s).toMap
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val merged = Seq.newBuilder[FileStat]
+    for (part <- fs.listStatus(root)
+         if part.isDirectory && part.getPath.getName.startsWith("crawl_date=")) {
+      val date = part.getPath.getName.stripPrefix("crawl_date=")
+      for (f <- fs.listStatus(part.getPath)
+           if f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        merged += prior.getOrElse(f.getPath.toString,
+          fileStat(conf, f.getPath, date))
+      }
+    }
+    persistManifest(spark, path, merged.result())
+  }
+
   /** Lake writes use INT64-micros timestamps (what the Iceberg spec
     * mandates): Spark's INT96 default carries NO parquet min/max statistics
     * (parquet-mr treats INT96 as unordered), which would leave the
@@ -197,8 +240,8 @@ object PageLake {
   /** The lake's current data-file listing (metadata-only walk),
     * restrictable to a set of date partitions so per-day reads pay one
     * directory listing, not a whole-lake walk. */
-  private def liveFiles(spark: SparkSession, path: String,
-                        dates: Option[Set[String]] = None): Set[String] = {
+  private[graft] def liveFiles(spark: SparkSession, path: String,
+                               dates: Option[Set[String]] = None): Set[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -274,11 +317,13 @@ object PageLake {
     * per-file metadata I/O. Writers call this once after mutating the lake
     * (`write`/`compact` do); the cost is O(files) driver-side metadata
     * reads at write time, amortized over every subsequent pruned read. */
-  def writeManifest(spark: SparkSession, path: String): Int = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  def writeManifest(spark: SparkSession, path: String): Int =
+    persistManifest(spark, path, collectStats(spark, path))
+
+  private def persistManifest(spark: SparkSession, path: String,
+                              stats: Seq[FileStat]): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val stats = collectStats(spark, path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = om.createArrayNode()
     stats.foreach { s =>
@@ -310,7 +355,16 @@ object PageLake {
       val date = part.getPath.getName.stripPrefix("crawl_date=")
       for (f <- fs.listStatus(part.getPath)
            if f.isFile && f.getPath.getName.endsWith(".parquet")) {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+        stats += fileStat(conf, f.getPath, date)
+      }
+    }
+    stats.toSeq
+  }
+
+  /** One file's manifest entry, straight from its parquet footer. */
+  private def fileStat(conf: org.apache.hadoop.conf.Configuration,
+                       p: org.apache.hadoop.fs.Path, date: String): FileStat = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           import scala.jdk.CollectionConverters._
@@ -357,11 +411,8 @@ object PageLake {
           val (bLo, bHi) = if (mn != Int.MaxValue) (mn, mx) else (0, Buckets - 1)
           val (tLo, tHi) = if (tsMn != Long.MaxValue) (tsMn, tsMx)
                            else (Long.MinValue, Long.MaxValue)
-          stats += FileStat(f.getPath.toString, date, bLo, bHi, rows, tLo, tHi)
+          FileStat(p.toString, date, bLo, bHi, rows, tLo, tHi)
         } finally reader.close()
-      }
-    }
-    stats.toSeq
   }
 
   /** The manifest, if the lake has one. */

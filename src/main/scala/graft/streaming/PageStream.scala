@@ -53,4 +53,73 @@ object PageStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streamed crawl ingestion INTO the page lake: kept pages of each
+    * micro-batch are appended to `lakeDir` through
+    * [[graft.sources.PageLake.append]] (date-partitioned, bucket-sorted,
+    * manifest refreshed incrementally — O(new files) footer reads per
+    * batch), so downstream bucket-pruned reads stay exact as the crawl
+    * streams in.
+    *
+    * `foreachBatch` + append is at-least-once under driver retry, so each
+    * batch commits through a WRITE-AHEAD INTENT under `_stream_commits/`
+    * (the mini version of the file sink's transaction log): the intent
+    * records the pre-append file listing, the append runs, then the
+    * intent renames to the commit marker. A replayed batch whose commit
+    * exists is skipped; a replay that finds a dangling intent first
+    * DELETES every data file not in the intent's listing (the crashed
+    * attempt's partial output — batches run sequentially, so nothing else
+    * wrote meanwhile) and re-appends. Net effect: exactly-once lake rows
+    * under any crash point. */
+  def runIntoLake(spark: SparkSession, inDir: String, lakeDir: String,
+                  checkpointDir: String,
+                  cfg: QualityPipeline.Config = QualityPipeline.Config()): Unit = {
+    import org.apache.spark.sql.functions._
+    val q = QualityPipeline.run(readPages(spark, inDir), cfg)
+      .filter(col("keep"))
+      .select(col("url"), col("warc_ts"),
+        encode(concat(lit("<html><body>"), col("text_scrubbed"),
+          lit("</body></html>")), "UTF-8").as("html"),
+        col("text_scrubbed").as("text"), col("lang_pred").as("lang"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, lakeDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One idempotent lake append (see [[runIntoLake]] for the protocol). */
+  private[streaming] def ingestBatch(batch: DataFrame, batchId: Long,
+                                     lakeDir: String): Unit = {
+    import graft.sources.PageLake
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val commit = new org.apache.hadoop.fs.Path(lakeDir, s"_stream_commits/$batchId")
+    val intent = new org.apache.hadoop.fs.Path(lakeDir, s"_stream_commits/$batchId.intent")
+    val fs = commit.getFileSystem(hconf)
+    if (!fs.exists(commit)) {
+      if (fs.exists(intent)) {
+        // crashed attempt: roll back its partial data files
+        val before = {
+          val in = fs.open(intent)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+          finally in.close()
+        }
+        for (f <- PageLake.liveFiles(spark, lakeDir) if !before.contains(f))
+          fs.delete(new org.apache.hadoop.fs.Path(f), false)
+      } else {
+        fs.mkdirs(commit.getParent)
+        val out = fs.create(intent, true)
+        try out.write(PageLake.liveFiles(spark, lakeDir).toSeq.sorted
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      PageLake.append(batch, lakeDir)
+      if (!fs.rename(intent, commit))
+        throw new java.io.IOException(s"stream commit rename failed for batch $batchId")
+    }
+  }
 }
