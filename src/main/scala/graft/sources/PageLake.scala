@@ -173,6 +173,22 @@ object PageLake {
         fs.delete(s.getPath, true)
       }
     }
+    // Mutual exclusion with streamed ingestion: a dangling write-ahead
+    // intent under _stream_commits/ means a crashed stream append awaits
+    // replay, and its rollback compares the live listing against the
+    // intent's pre-append listing — compacting NOW would replace those
+    // paths wholesale and the rollback would delete the compacted lake as
+    // "partial output". The stream's recovery must run first.
+    val commitsRoot = new org.apache.hadoop.fs.Path(root, "_stream_commits")
+    if (fs.exists(commitsRoot)) {
+      val dangling = fs.listStatus(commitsRoot)
+        .flatMap(d => if (d.isDirectory) fs.listStatus(d.getPath) else Array(d))
+        .filter(_.getPath.getName.endsWith(".intent"))
+      if (dangling.nonEmpty)
+        throw new IllegalStateException(
+          s"compaction refused: crashed stream ingest awaits replay " +
+            s"(${dangling.head.getPath}); restart the ingest stream first")
+    }
     val parts = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("crawl_date="))
     var failed = false

@@ -54,8 +54,16 @@ object PageStream {
     q.awaitTermination()
   }
 
-  /** Streamed crawl ingestion INTO the page lake: kept pages of each
-    * micro-batch are appended to `lakeDir` through
+  /** Streamed crawl ingestion INTO the page lake.
+    *
+    * CONTRACT: `lakeDir` is a KEPT-PAGES product lake (the same artifact
+    * `PipelineMain` writes) — `text` is the PII-SCRUBBED text, `html` a
+    * synthesized wrapper of it, `lang` the predicted language. It is NOT a
+    * raw-crawl mirror; don't mix it with a lake of raw pages (digests over
+    * `text` would differ for identical source pages and exact dedup would
+    * miss them).
+    *
+    * Kept pages of each micro-batch are appended to `lakeDir` through
     * [[graft.sources.PageLake.append]] (date-partitioned, bucket-sorted,
     * manifest refreshed incrementally — O(new files) footer reads per
     * batch), so downstream bucket-pruned reads stay exact as the crawl
@@ -83,7 +91,7 @@ object PageStream {
         col("text_scrubbed").as("text"), col("lang_pred").as("lang"))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, lakeDir)
+        ingestBatch(batch, batchId, lakeDir, streamIdOf(spark, checkpointDir))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -91,18 +99,54 @@ object PageStream {
     q.awaitTermination()
   }
 
-  /** One idempotent lake append (see [[runIntoLake]] for the protocol). */
+  /** The checkpoint's query UUID (from `<checkpoint>/metadata`, written at
+    * query start — foreachBatch runs after, so it exists by first read):
+    * a recreated checkpoint gets a new UUID, so its restarted batch
+    * numbering can never collide with the old markers. Falls back to a
+    * path hash if the metadata is unreadable (older layouts). */
+  private def streamIdOf(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    scala.util.Try {
+      val in = fs.open(p)
+      val bytes = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        bos.toByteArray
+      } finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes).get("id").asText()
+    }.getOrElse(java.lang.Integer.toHexString(checkpointDir.hashCode))
+  }
+
+  /** One idempotent lake append (see [[runIntoLake]] for the protocol).
+    *
+    * `streamId` namespaces the commit markers: a RESET checkpoint (or a
+    * second stream into the same lake) gets fresh batch numbering, and
+    * bare batch ids would collide with the old markers and silently skip
+    * whole batches — [[runIntoLake]] passes the checkpoint's metadata
+    * UUID, which changes whenever the checkpoint is recreated.
+    *
+    * The two listings per batch (intent = pre-append,
+    * [[graft.sources.PageLake.refreshManifest]] = post-append) are both
+    * required — they snapshot different points in time; transactional
+    * metadata (Iceberg) is what removes them, not reordering. */
   private[streaming] def ingestBatch(batch: DataFrame, batchId: Long,
-                                     lakeDir: String): Unit = {
+                                     lakeDir: String,
+                                     streamId: String = "default",
+                                     retainMarkers: Int = 128): Unit = {
     import graft.sources.PageLake
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
-    val commit = new org.apache.hadoop.fs.Path(lakeDir, s"_stream_commits/$batchId")
-    val intent = new org.apache.hadoop.fs.Path(lakeDir, s"_stream_commits/$batchId.intent")
+    val dir = new org.apache.hadoop.fs.Path(lakeDir, s"_stream_commits/$streamId")
+    val commit = new org.apache.hadoop.fs.Path(dir, s"$batchId")
+    val intent = new org.apache.hadoop.fs.Path(dir, s"$batchId.intent")
     val fs = commit.getFileSystem(hconf)
     if (!fs.exists(commit)) {
       if (fs.exists(intent)) {
-        // crashed attempt: roll back its partial data files
+        // crashed attempt: roll back its partial data files, including any
+        // task-committed output still parked under _temporary (the replay's
+        // job commit would otherwise resurrect it alongside its own)
         val before = {
           val in = fs.open(intent)
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
@@ -110,16 +154,32 @@ object PageStream {
         }
         for (f <- PageLake.liveFiles(spark, lakeDir) if !before.contains(f))
           fs.delete(new org.apache.hadoop.fs.Path(f), false)
+        fs.delete(new org.apache.hadoop.fs.Path(lakeDir, "_temporary"), true)
       } else {
-        fs.mkdirs(commit.getParent)
-        val out = fs.create(intent, true)
+        // ATOMIC intent: write to a tmp path, rename into place — a torn
+        // half-written intent would otherwise make a later replay's
+        // rollback read a truncated listing and delete committed data
+        fs.mkdirs(dir)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s"$batchId.intent.tmp")
+        val out = fs.create(tmp, true)
         try out.write(PageLake.liveFiles(spark, lakeDir).toSeq.sorted
           .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        if (!fs.rename(tmp, intent))
+          throw new java.io.IOException(s"intent rename failed for batch $batchId")
       }
       PageLake.append(batch, lakeDir)
       if (!fs.rename(intent, commit))
         throw new java.io.IOException(s"stream commit rename failed for batch $batchId")
+      // GC old markers: replay only ever concerns the latest uncommitted
+      // batch, so a bounded retention window is safe (a continuous stream
+      // would otherwise accrete one tiny file per micro-batch forever)
+      if (batchId > retainMarkers) {
+        for (s <- fs.listStatus(dir)
+             if scala.util.Try(s.getPath.getName.takeWhile(_.isDigit).toLong)
+               .toOption.exists(_ < batchId - retainMarkers))
+          fs.delete(s.getPath, false)
+      }
     }
   }
 }

@@ -94,7 +94,7 @@ class PageStreamSpec extends SparkSpecBase {
     // landed, no commit marker
     val fs = new org.apache.hadoop.fs.Path(lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val intent = new org.apache.hadoop.fs.Path(lakeDir, "_stream_commits/1.intent")
+    val intent = new org.apache.hadoop.fs.Path(lakeDir, "_stream_commits/default/1.intent")
     fs.mkdirs(intent.getParent)
     val out = fs.create(intent, true)
     out.write(PageLake.liveFiles(spark, lakeDir).toSeq.sorted
@@ -102,8 +102,13 @@ class PageStreamSpec extends SparkSpecBase {
     out.close()
     batch1.limit(37).write.mode("append") // the partial output of the crash
       .parquet(s"$lakeDir/crawl_date=2024-01-01")
+    // compaction must refuse to run while the crashed ingest awaits replay
+    // (it would invalidate the intent's listing and doom the rollback)
+    intercept[IllegalStateException] { PageLake.compact(spark, lakeDir) }
     // replay: partial files rolled back, the batch lands exactly once
     PageStream.ingestBatch(batch1, 1L, lakeDir)
+    // committed state again: compaction is allowed now
+    PageLake.compact(spark, lakeDir)
     val urls = PageLake.read(spark, lakeDir).select("url")
       .collect().map(_.getString(0)).toSeq
     assert(urls.length == urls.distinct.length, "no duplicate rows after replay")
