@@ -271,9 +271,85 @@ case class QualitySignals(child: Expression)
     copy(child = newChild)
 }
 
+/** Gopher within-document duplicate-shape counts (Rae et al. 2021 Table A1:
+  * `dup_line_frac` / `dup_para_frac` and their character-fraction variants —
+  * the repetition gates word-n-gram signals cannot see: a page that repeats
+  * whole nav blocks or paragraphs verbatim). One pass builds both the line
+  * and paragraph count maps; returns EXACT integer counts so callers (and
+  * the DuckDB oracle) derive the fractions — integer outputs keep the
+  * oracle comparison float-free.
+  *
+  * Semantics (mirrored verbatim in the q67 oracle SQL):
+  *  - lines = `\r?\n`-split, trimmed, empties dropped;
+  *  - paragraphs = blank-line-split (`(\r?\n){2,}`), trimmed, empties
+  *    dropped;
+  *  - an element occurring c times contributes c−1 duplicate occurrences
+  *    and (c−1)·len duplicate characters (len in code points);
+  *  - fractions are duplicate/total occurrences (or chars) — 0 when the
+  *    document has no elements.
+  */
+case class DupShapeSignals(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_lines", IntegerType, nullable = false),
+    StructField("line_chars", LongType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("n_paras", IntegerType, nullable = false),
+    StructField("dup_paras", IntegerType, nullable = false),
+    StructField("para_chars", LongType, nullable = false),
+    StructField("dup_para_chars", LongType, nullable = false)))
+  override def prettyName: String = "dup_shape_signals"
+
+  /** Space-only trim — the `trim` semantics Spark and DuckDB share (Java's
+    * String.trim also strips control chars and would diverge from the
+    * oracle on tab-edged lines). */
+  private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** occurrences-beyond-first and their code-point mass over trimmed
+    * non-empty elements. */
+  private def dupCounts(elems: Array[String]): (Int, Int, Long, Long) = {
+    val counts = new java.util.HashMap[String, Int](elems.length * 2)
+    var n = 0
+    var dups = 0
+    var chars = 0L
+    var dupChars = 0L
+    var i = 0
+    while (i < elems.length) {
+      val t = trimSpaces(elems(i))
+      if (t.nonEmpty) {
+        n += 1
+        val len = t.codePointCount(0, t.length).toLong
+        chars += len
+        val c = counts.merge(t, 1, (a, b) => a + b)
+        if (c > 1) { dups += 1; dupChars += len }
+      }
+      i += 1
+    }
+    (n, dups, chars, dupChars)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val (nl, dl, lc, dlc) = dupCounts(s.split("\r?\n"))
+    val (np, dp, pc, dpc) = dupCounts(s.split("(\r?\n){2,}"))
+    InternalRow(nl, dl, lc, dlc, np, dp, pc, dpc)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object QualityFunctions {
   def quality_signals(c: Column): Column =
     ColumnBridge.column(QualitySignals(ColumnBridge.expression(c)))
+  def dup_shape_signals(c: Column): Column =
+    ColumnBridge.column(DupShapeSignals(ColumnBridge.expression(c)))
   def repetition_ratio(c: Column, n: Int): Column =
     ColumnBridge.column(RepetitionRatio(ColumnBridge.expression(c), n))
   def langid(c: Column, model: LangIdModel = LangIdModel.default): Column =

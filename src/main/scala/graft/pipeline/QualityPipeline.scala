@@ -37,7 +37,17 @@ object QualityPipeline {
       // invariant holds only for pages whose every line is prose
       c4LineFilter: Boolean = false,
       c4MinWordsPerLine: Int = 3,
-      c4MinLinesKept: Int = 5)
+      c4MinLinesKept: Int = 5,
+      // Gopher duplicate-shape gates (Rae et al. 2021 Table A1): pages that
+      // repeat whole lines/paragraphs verbatim. OFF by default — single-line
+      // prose (the fixture shape all existing goldens pin) can never trip
+      // them, but the extra per-row pass isn't free, so it's opt-in like
+      // the C4 line filter. Thresholds are the paper's.
+      gopherDupGates: Boolean = false,
+      maxDupLineFrac: Double = 0.30,
+      maxDupParaFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxDupParaCharFrac: Double = 0.20)
 
   /** Stage 1: extract text/host from the raw page row. The text column is
     * carried through verbatim (byte-identical invariant). */
@@ -86,6 +96,12 @@ object QualityPipeline {
       // prose (frac 0) never trips them
       .withColumn("lsig", graft.functions.TextFunctions.lineShapeSignals(col("text")))
       .drop("qs")
+    // Gopher duplicate-shape signals (opt-in): one fused pass builds both
+    // the line and paragraph duplicate counts
+    val withDup =
+      if (cfg.gopherDupGates)
+        withSignals.withColumn("dsig", QualityFunctions.dup_shape_signals(col("text")))
+      else withSignals
     val reasonCols = Seq(
       when(col("n_words") < cfg.minWords, lit("too_few_words")),
       when(col("n_words") > cfg.maxWords, lit("too_many_words")),
@@ -104,12 +120,24 @@ object QualityPipeline {
       // exists iff it did
       (if (df.columns.contains("n_lines_kept"))
         Seq(when(col("n_lines_kept") < cfg.c4MinLinesKept, lit("too_few_sentences")))
+      else Nil) ++
+      // Gopher dup-shape gates: 0-element documents yield 0/0 = NaN
+      // fractions, and NaN > threshold is false — no spurious drop
+      (if (cfg.gopherDupGates) Seq(
+        when(col("dsig.dup_lines").cast("double") / col("dsig.n_lines") >
+          cfg.maxDupLineFrac, lit("dup_lines")),
+        when(col("dsig.dup_paras").cast("double") / col("dsig.n_paras") >
+          cfg.maxDupParaFrac, lit("dup_paras")),
+        when(col("dsig.dup_line_chars").cast("double") / col("dsig.line_chars") >
+          cfg.maxDupLineCharFrac, lit("dup_line_chars")),
+        when(col("dsig.dup_para_chars").cast("double") / col("dsig.para_chars") >
+          cfg.maxDupParaCharFrac, lit("dup_para_chars")))
       else Nil)
     val reasons = array_compact(array(reasonCols: _*))
-    withSignals
+    withDup
       .withColumn("drop_reasons", reasons)
       .withColumn("keep", size(col("drop_reasons")) === 0)
-      .drop("lsig")
+      .drop("lsig", "dsig")
   }
 
   /** Optional stage 3b: Kneser-Ney perplexity scoring against a broadcast

@@ -47,6 +47,18 @@ object TextQueries {
     d.unionByName(mutated)
   }
 
+  /** Known-good prose paragraphs (> 200 chars, no quotes — embedded verbatim
+    * in the q68 oracle SQL literal) that sandwich the body text in the q68
+    * HTML-extraction construction. */
+  private val ExtractProse1: String = "The committee published its annual findings " +
+    "on river water quality this week, noting a steady improvement across all " +
+    "monitored basins since the new treatment plants came online in the spring " +
+    "of last year."
+  private val ExtractProse2: String = "Local officials credited the change to " +
+    "sustained investment in wastewater infrastructure and to stricter enforcement " +
+    "of discharge permits, while cautioning that two downstream stations still " +
+    "show elevated nitrate levels."
+
   /** Deterministic messy URL per doc — exercises every canonicalization
     * rule (scheme/host case, www, default port, tracking params, fragment);
     * mirrored verbatim in the q36 oracle SQL. */
@@ -614,6 +626,61 @@ object TextQueries {
           round(col("sig.frac_ellipsis"), 4).as("frac_ellipsis"),
           (col("sig.frac_bullet") > 0.9).as("drop_bullet"),
           (col("sig.frac_ellipsis") > 0.3).as("drop_ellipsis"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher duplicate-shape repetition (Rae et al. 2021 Table A1:
+    // dup_line_frac / dup_para_frac + character-fraction variants) — the
+    // within-document repetition the word-n-gram signals can't see: whole
+    // nav blocks or paragraphs repeated verbatim. Planted: every 4th doc
+    // gets a nav line ×3 (2 duplicate lines), every 7th doc repeats its
+    // whole body as a second paragraph (1 duplicate paragraph, and the body
+    // line becomes a duplicate line); other docs pin the all-zero path.
+    // Fractions are UNROUNDED int/int divisions — bit-identical IEEE in
+    // both engines, so no round() implementation divergence to paper over.
+    "q67_dup_shape" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          repeat(lit("\nSubscribe to our newsletter"), 3)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\n\n"), col("text"))).otherwise(lit("")))
+      rawDocs(s, dir)
+        .select(col("doc_id"), QualityFunctions.dup_shape_signals(planted).as("ds"))
+        .select(col("doc_id"),
+          col("ds.n_lines").as("n_lines"), col("ds.dup_lines").as("dup_lines"),
+          col("ds.line_chars").as("line_chars"),
+          col("ds.dup_line_chars").as("dup_line_chars"),
+          col("ds.n_paras").as("n_paras"), col("ds.dup_paras").as("dup_paras"),
+          col("ds.para_chars").as("para_chars"),
+          col("ds.dup_para_chars").as("dup_para_chars"),
+          (col("ds.dup_lines").cast("double") / col("ds.n_lines")).as("dup_line_frac"),
+          (col("ds.dup_line_chars").cast("double") / col("ds.line_chars")).as("dup_line_char_frac"),
+          (col("ds.dup_paras").cast("double") / col("ds.n_paras")).as("dup_para_frac"),
+          (col("ds.dup_para_chars").cast("double") / col("ds.para_chars")).as("dup_para_char_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // jusText HTML extraction (Pomikálek 2011), oracled BY CONSTRUCTION: the
+    // page is body text sandwiched between two known-good prose paragraphs,
+    // wrapped in nav/footer boilerplate. The SQL oracle computes the EXPECTED
+    // surviving text directly from the construction (it never re-implements
+    // the classifier), so the extractor must recover the content byte-exactly
+    // — boilerplate fully gone, prose and body fully intact — for every doc.
+    "q68_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>T</title><style>p{color:red}</style></head>" +
+          "<body><nav><a href='/'>Home</a> <a href='/s'>Shop</a> " +
+          "<a href='/c'>Cart</a></nav>"),
+        lit(s"<p>$ExtractProse1</p><p>"), col("text"),
+        lit(s"</p><p>$ExtractProse2</p>"),
+        lit("<!-- tracking --><script>var a = 1 > 0;</script>" +
+          "<footer>© 2026 Example Corp</footer></body></html>"))
+      rawDocs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.HtmlFunctions.justext_extract(html).as("extracted"))
+        .select(col("doc_id"),
+          length(col("extracted")).cast("int").as("n_chars"),
+          md5(col("extracted")).as("extracted_md5"))
         .orderBy("doc_id")
     }),
 
@@ -1428,6 +1495,48 @@ object TextQueries {
         |  (CAST(len(list_filter(ls, l -> regexp_matches(l, '^[•*-]'))) AS DOUBLE) / len(ls) > 0.9) AS drop_bullet,
         |  (CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE) / len(ls) > 0.3) AS drop_ellipsis
         |FROM ln ORDER BY doc_id""".stripMargin,
+    "q68_html_extract" ->
+      (s"""SELECT doc_id,
+        |  CAST(length('$ExtractProse1' || chr(10) || text || chr(10) || '$ExtractProse2') AS INT) AS n_chars,
+        |  md5('$ExtractProse1' || chr(10) || text || chr(10) || '$ExtractProse2') AS extracted_md5
+        |FROM documents ORDER BY doc_id""").stripMargin,
+    "q67_dup_shape" ->
+      """WITH u AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |       THEN repeat(chr(10) || 'Subscribe to our newsletter', 3) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |       THEN chr(10) || chr(10) || text ELSE '' END) AS text
+        |  FROM documents
+        |), el AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '\r?\n'), x -> trim(x)), x -> x <> '') AS lines,
+        |    list_filter(list_transform(regexp_split_to_array(text, '(\r?\n){2,}'), x -> trim(x)), x -> x <> '') AS paras
+        |  FROM u
+        |), lg AS (
+        |  SELECT doc_id, line, count(*) AS c, length(line) AS len
+        |  FROM (SELECT doc_id, unnest(lines) AS line FROM el) GROUP BY doc_id, line
+        |), la AS (
+        |  SELECT doc_id, CAST(SUM(c) AS INT) AS n_lines, CAST(SUM(c - 1) AS INT) AS dup_lines,
+        |    CAST(SUM(c * len) AS BIGINT) AS line_chars,
+        |    CAST(SUM((c - 1) * len) AS BIGINT) AS dup_line_chars
+        |  FROM lg GROUP BY doc_id
+        |), pg AS (
+        |  SELECT doc_id, para, count(*) AS c, length(para) AS len
+        |  FROM (SELECT doc_id, unnest(paras) AS para FROM el) GROUP BY doc_id, para
+        |), pa AS (
+        |  SELECT doc_id, CAST(SUM(c) AS INT) AS n_paras, CAST(SUM(c - 1) AS INT) AS dup_paras,
+        |    CAST(SUM(c * len) AS BIGINT) AS para_chars,
+        |    CAST(SUM((c - 1) * len) AS BIGINT) AS dup_para_chars
+        |  FROM pg GROUP BY doc_id
+        |)
+        |SELECT la.doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+        |  n_paras, dup_paras, para_chars, dup_para_chars,
+        |  CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
+        |  CAST(dup_line_chars AS DOUBLE) / line_chars AS dup_line_char_frac,
+        |  CAST(dup_paras AS DOUBLE) / n_paras AS dup_para_frac,
+        |  CAST(dup_para_chars AS DOUBLE) / para_chars AS dup_para_char_frac
+        |FROM la JOIN pa USING (doc_id) ORDER BY la.doc_id""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** jusText-style HTML extraction: block segmentation, link/length/stopword
+  * classification, context revision, and the corpus-wide recovery property
+  * the q68 oracle pins (body text survives a boilerplate sandwich exactly).
+  */
+class HtmlExtractSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("html")
+      .select(HtmlFunctions.justext_extract(col("html")).as("t"))
+      .collect().head.getString(0)
+
+  private val prose1 = "The committee published its annual findings on river water " +
+    "quality this week, noting a steady improvement across all monitored basins " +
+    "since the new treatment plants came online in the spring of last year."
+  private val prose2 = "Local officials credited the change to sustained investment " +
+    "in wastewater infrastructure and to stricter enforcement of discharge permits, " +
+    "while cautioning that two downstream stations still show elevated nitrate levels."
+
+  test("nav bars, copyright footers and link-heavy blocks die; prose survives") {
+    val html =
+      s"""<html><head><title>T</title><style>p{color:red}</style></head><body>
+         |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+         |<p>$prose1</p>
+         |<p>$prose2</p>
+         |<div class="footer">© 2026 Example Corp. All rights reserved.</div>
+         |</body></html>""".stripMargin
+    assert(extract(html) == s"$prose1\n$prose2")
+  }
+
+  test("short block sandwiched between good blocks survives; between bad and good dies") {
+    val kept = s"<p>$prose1</p><p>A short middle note.</p><p>$prose2</p>"
+    assert(extract(kept) == s"$prose1\nA short middle note.\n$prose2")
+    val dropped =
+      s"""<div><a href="/x">Login</a> <a href="/y">Register</a></div>
+         |<p>Read more</p><p>$prose1</p>""".stripMargin
+    assert(extract(dropped) == prose1)
+  }
+
+  test("single lone paragraph needs lengthHigh to stand without context") {
+    assert(extract(s"<p>$prose1</p>") == prose1) // > 200 chars → good outright
+    assert(extract("<p>A lone medium-length paragraph that clears seventy " +
+      "characters but not the two hundred bar.</p>") == "") // near-good, bad edges
+  }
+
+  test("script/style/comment content is dropped; entities decode; attrs with '>' are safe") {
+    val html = s"""<p>$prose1</p><script>if (1 > 0) alert("x");</script>
+      |<!-- hidden -->
+      |<p data-x="a>b">Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#8212; d&#x2019;accord,
+      | and the rest of this sentence pads the block comfortably past the length
+      | gate so the classifier keeps it on its own merits.</p>""".stripMargin
+    val got = extract(html)
+    assert(got.contains("Tom & Jerry <3 \"quoted\" — d’accord"), got)
+    assert(!got.contains("alert") && !got.contains("hidden"), got)
+  }
+
+  test("whitespace collapses to single spaces across inline tags") {
+    val padded = s"<p>  ${prose1.replace(" ", "\n  ")}  <b>  </b></p>"
+    assert(extract(padded) == prose1)
+  }
+
+  test("stopword mode: wordy low-stopword spam dies, prose survives") {
+    val sw = Set("the", "a", "of", "to", "and", "in", "is", "that", "its", "on",
+      "this", "all", "since", "new", "came", "while", "two", "still", "show")
+    val spam = "buy cheap pills casino poker viagra discount luxury watches " * 6
+    val html = s"<p>$prose1</p><p>${spam.trim}</p>"
+    val got = Seq(html).toDF("html")
+      .select(HtmlFunctions.justext_extract(col("html"), sw).as("t"))
+      .collect().head.getString(0)
+    assert(got == prose1, got)
+  }
+
+  test("corpus recovery: body text survives a boilerplate sandwich byte-exactly") {
+    // the q68 construction: nav + good prose + body + good prose + footer;
+    // expected output is p1\nbody\np2 for EVERY doc (short bodies inherit
+    // good context, long ones stand alone)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val html = concat(
+      lit("<html><body><nav><a href='/'>Home</a> <a href='/s'>Shop</a> " +
+        "<a href='/c'>Cart</a></nav>"),
+      lit(s"<p>$prose1</p><p>"), col("text"), lit(s"</p><p>$prose2</p>"),
+      lit("<footer>© 2026 Example Corp</footer></body></html>"))
+    val bad = docs.select(col("doc_id"), col("text"),
+        HtmlFunctions.justext_extract(html).as("got"))
+      .filter(col("got") =!= concat(lit(s"$prose1\n"), col("text"), lit(s"\n$prose2")))
+      .count()
+    assert(bad == 0)
+  }
+}

@@ -37,6 +37,35 @@ class PipelineSpec extends SparkSpecBase {
       !out("https://a.example.org/3").contains("ellipsis_heavy"), out.toString)
   }
 
+  test("quality stage: Gopher duplicate-shape gates fire on repeated lines/paragraphs") {
+    import spark.implicits._
+    val prose = "The quick brown fox jumps over the lazy dog near the river bank today."
+    val navSpam = s"Subscribe to our newsletter now\nSubscribe to our newsletter now\n" +
+      s"Subscribe to our newsletter now\n$prose" // dup_line_frac 2/4 > 0.3
+    val paraSpam = s"$prose\n\n$prose\n\nAnother different closing sentence sits here."
+    // dup_para_frac 1/3 > 0.3, dup_para_char_frac ≈ 0.45 > 0.2
+    val pages = Seq(
+      ("https://a.example.org/lines", navSpam),
+      ("https://a.example.org/paras", paraSpam),
+      ("https://a.example.org/clean", prose)
+    ).toDF("url", "text")
+      .withColumn("warc_ts", timestamp_seconds(lit(1704067200L)))
+      .withColumn("lang", lit("en"))
+    def reasons(cfg: QualityPipeline.Config) =
+      QualityPipeline.qualityStage(
+          QualityPipeline.langIdStage(QualityPipeline.extract(pages)), cfg)
+        .select(col("url"), array_join(col("drop_reasons"), ",").as("r"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val on = reasons(QualityPipeline.Config(gopherDupGates = true))
+    assert(on("https://a.example.org/lines").contains("dup_lines"), on.toString)
+    assert(on("https://a.example.org/paras").contains("dup_paras") &&
+      on("https://a.example.org/paras").contains("dup_para_chars"), on.toString)
+    assert(!on("https://a.example.org/clean").contains("dup_"), on.toString)
+    // default config: gates off — no dup reasons anywhere
+    val off = reasons(QualityPipeline.Config())
+    assert(off.values.forall(!_.contains("dup_")), off.toString)
+  }
+
   test("C4 line-filter stage: noise lines die, sparse pages gated, off-path unchanged") {
     import spark.implicits._
     val pages = Seq(
