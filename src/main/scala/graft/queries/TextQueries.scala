@@ -59,6 +59,21 @@ object TextQueries {
     "of discharge permits, while cautioning that two downstream stations still " +
     "show elevated nitrate levels."
 
+  /** Deterministic on-domain text for the DSIR query/specs: all 20 planted
+    * physics words in an id-rotated order (step 7 is coprime to 20, so every
+    * doc carries the full vocabulary — identical unigram distribution,
+    * distinct texts). `offset` decouples the target sample from the planted
+    * candidates: DSIR must match the DISTRIBUTION, not the exact strings. */
+  private[graft] val DsirVocab: Seq[String] = Seq(
+    "electron", "proton", "neutron", "quark", "photon", "lepton", "boson",
+    "hadron", "spectrum", "orbital", "isotope", "plasma", "quantum",
+    "particle", "collider", "detector", "momentum", "neutrino", "muon", "gluon")
+  private[graft] def dsirDomainText(id: org.apache.spark.sql.Column,
+                                      offset: Int): org.apache.spark.sql.Column =
+    concat_ws(" ", (0 until 24).map(j =>
+      element_at(array(DsirVocab.map(lit): _*),
+        pmod(id + lit(j * 7 + offset), lit(DsirVocab.size)).cast("int") + 1)): _*)
+
   /** Deterministic messy URL per doc — exercises every canonicalization
     * rule (scheme/host case, www, default port, tracking params, fragment);
     * mirrored verbatim in the q36 oracle SQL. */
@@ -681,6 +696,28 @@ object TextQueries {
         .select(col("doc_id"),
           length(col("extracted")).cast("int").as("n_chars"),
           md5(col("extracted")).as("extracted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): select raw docs shaped
+    // like a target domain. Target sample + planted on-domain candidates
+    // share a 20-word physics vocabulary (rotated per id — same unigram bag,
+    // different texts); the fixture corpus is the raw/off-domain pool. The
+    // 50 planted candidates (sf0.001) must dominate the k=60 selection.
+    // Golden-pinned (murmur3 feature hashing + Gumbel keys — no SQL oracle);
+    // the selection gate + layout invariance live in DsirSpec.
+    "q69_dsir_select" -> ((s, dir) => {
+      import graft.filter.Dsir
+      val raw = rawDocs(s, dir).select("doc_id", "text")
+      val target = raw.select(dsirDomainText(col("doc_id"), offset = 3).as("text"))
+      val planted = raw.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          dsirDomainText(col("doc_id"), offset = 0).as("text"))
+      val candidates = raw.unionByName(planted)
+      val model = Dsir.fit(target, raw, col("text"))
+      Dsir.resample(candidates, col("doc_id"), col("text"), model, k = 60)
+        .select(col("doc_id"), (col("doc_id") >= 500000L).as("is_domain"),
+          round(col("log_weight"), 4).as("log_weight"))
         .orderBy("doc_id")
     }),
 
