@@ -49,6 +49,23 @@ object QualityPipeline {
       maxDupLineCharFrac: Double = 0.20,
       maxDupParaCharFrac: Double = 0.20)
 
+  /** Optional stage 0a: populate `text` from the raw `html` payload for
+    * pages that arrive without a pre-extracted text column — jusText
+    * boilerplate-aware extraction in language-independent mode (the only
+    * mode available before langid has run). Pages WITH text keep it verbatim
+    * (the byte-identity invariant); narrow per-row work. */
+  def htmlExtractStage(pages: DataFrame): DataFrame =
+    pages.withColumn("text",
+      when(col("text").isNull || col("text") === "",
+        graft.functions.HtmlFunctions.justext_extract(decode(col("html"), "UTF-8")))
+        .otherwise(col("text")))
+
+  /** Optional stage 0b: mojibake repair (UTF-8-as-cp1252 damage) before any
+    * hashing, token counting or dedup sees the text. Correct text is a
+    * fixpoint with an ASCII fast path, so the off-path cost is one scan. */
+  def mojibakeStage(pages: DataFrame): DataFrame =
+    pages.withColumn("text", graft.functions.FixMojibake.fix_mojibake(col("text")))
+
   /** Stage 1: extract text/host from the raw page row. The text column is
     * carried through verbatim (byte-identical invariant). */
   def extract(pages: DataFrame): DataFrame =

@@ -74,6 +74,14 @@ object TextQueries {
       element_at(array(DsirVocab.map(lit): _*),
         pmod(id + lit(j * 7 + offset), lit(DsirVocab.size)).cast("int") + 1)): _*)
 
+  /** q70 mojibake construction: `MojiClean` is appended UTF-8→cp1252-damaged
+    * (at runtime — no mojibake literals in source) and must repair exactly;
+    * `MojiIntact` is appended correct and must survive untouched. Unicode
+    * escapes keep the source ASCII-safe. */
+  private val MojiClean: String = " caf\u00E9 \u2014 d\u00E9j\u00E0 vu " +
+    "\u00ABquoted\u00BB \u00A9 2026 na\u00EFve\u2026"
+  private val MojiIntact: String = " intact: fran\u00E7ais \u0153uvre"
+
   /** Deterministic messy URL per doc — exercises every canonicalization
     * rule (scheme/host case, www, default port, tracking params, fragment);
     * mirrored verbatim in the q36 oracle SQL. */
@@ -718,6 +726,22 @@ object TextQueries {
       Dsir.resample(candidates, col("doc_id"), col("text"), model, k = 60)
         .select(col("doc_id"), (col("doc_id") >= 500000L).as("is_domain"),
           round(col("log_weight"), 4).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // Mojibake repair (ftfy fix_encoding core), oracled BY CONSTRUCTION:
+    // each doc gets a suffix damaged UTF-8→cp1252 at runtime plus a
+    // correctly-encoded suffix; the oracle concatenates the ORIGINAL clean
+    // strings — repair must invert the damage exactly and must not touch
+    // the intact part (or the ASCII body).
+    "q70_fix_mojibake" -> ((s, dir) => {
+      import graft.functions.FixMojibake
+      val damaged = new String(
+        MojiClean.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+      rawDocs(s, dir)
+        .select(col("doc_id"),
+          FixMojibake.fix_mojibake(
+            concat(col("text"), lit(damaged), lit(MojiIntact))).as("fixed_text"))
         .orderBy("doc_id")
     }),
 
@@ -1532,6 +1556,9 @@ object TextQueries {
         |  (CAST(len(list_filter(ls, l -> regexp_matches(l, '^[•*-]'))) AS DOUBLE) / len(ls) > 0.9) AS drop_bullet,
         |  (CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE) / len(ls) > 0.3) AS drop_ellipsis
         |FROM ln ORDER BY doc_id""".stripMargin,
+    "q70_fix_mojibake" ->
+      (s"""SELECT doc_id, text || '$MojiClean$MojiIntact' AS fixed_text
+        |FROM documents ORDER BY doc_id""").stripMargin,
     "q68_html_extract" ->
       (s"""SELECT doc_id,
         |  CAST(length('$ExtractProse1' || chr(10) || text || chr(10) || '$ExtractProse2') AS INT) AS n_chars,

@@ -66,6 +66,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(off.values.forall(!_.contains("dup_")), off.toString)
   }
 
+  test("html-extract and mojibake stages: null-text pages extract, damage repairs, clean text untouched") {
+    import spark.implicits._
+    val prose = "The committee published its annual findings on river water " +
+      "quality this week, noting a steady improvement across all monitored " +
+      "basins since the new treatment plants came online in the spring of last year."
+    val mojibake = new String( // "café — déjà" damaged UTF-8→cp1252
+      "café — déjà".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      "windows-1252")
+    val pages = Seq(
+      // no pre-extracted text: must come from the html payload, boilerplate-free
+      ("https://a.example.org/raw", null.asInstanceOf[String],
+        s"<html><body><nav><a href='/'>Home</a> <a href='/x'>Shop</a></nav>" +
+          s"<p>$prose</p><footer>© 2026 Example</footer></body></html>"),
+      // damaged text: must repair; clean text: must pass through verbatim
+      ("https://a.example.org/moji", s"$mojibake $prose", "<html></html>"),
+      ("https://a.example.org/ok", prose, "<html></html>"))
+      .toDF("url", "text", "html_s")
+      .withColumn("warc_ts", timestamp_seconds(lit(1704067200L)))
+      .withColumn("html", encode(col("html_s"), "UTF-8"))
+      .withColumn("lang", lit("en")).drop("html_s")
+    val out = QualityPipeline.mojibakeStage(QualityPipeline.htmlExtractStage(pages))
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("https://a.example.org/raw") == prose, out.toString)
+    assert(out("https://a.example.org/moji") == s"café — déjà $prose")
+    assert(out("https://a.example.org/ok") == prose)
+  }
+
   test("C4 line-filter stage: noise lines die, sparse pages gated, off-path unchanged") {
     import spark.implicits._
     val pages = Seq(
