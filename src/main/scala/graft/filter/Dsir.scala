@@ -91,7 +91,11 @@ object Dsir {
   /** Gumbel top-k resampling without replacement: keep the k documents with
     * the largest `log w + Gumbel` key. Noise comes from murmur3 of
     * (id, seed) mapped to (0,1) — deterministic per id, so the selected set
-    * is identical under any input layout; ties broken by id. */
+    * is identical under any input layout; ties broken by id.
+    *
+    * Output = the input columns plus `log_weight` (which is overwritten if
+    * the input already carries one); the selection key itself is internal
+    * and dropped. */
   def resample(df: DataFrame, idCol: Column, textCol: Column,
                model: DsirModel, k: Int, seed: Int = 41): DataFrame = {
     // (hash & (2^30-1)) + 0.5 over 2^30: u ∈ (0,1), never 0 or 1 — both
@@ -100,8 +104,9 @@ object Dsir {
       lit((1 << 30).toDouble)
     val gumbel = -log(-log(u))
     df.withColumn("log_weight", logWeights(df, textCol, model))
-      .withColumn("gumbel_key", col("log_weight") + gumbel)
-      .orderBy(desc("gumbel_key"), idCol)
+      .withColumn("_dsir_gumbel_key", col("log_weight") + gumbel)
+      .orderBy(desc("_dsir_gumbel_key"), idCol)
       .limit(k)
+      .drop("_dsir_gumbel_key")
   }
 }

@@ -57,7 +57,14 @@ object QualityPipeline {
   def htmlExtractStage(pages: DataFrame): DataFrame =
     pages.withColumn("text",
       when(col("text").isNull || col("text") === "",
-        graft.functions.HtmlFunctions.justext_extract(decode(col("html"), "UTF-8")))
+        graft.functions.HtmlFunctions.justext_extract(
+          // NOT decode(html,'UTF-8'): under Spark 4's default ANSI mode that
+          // THROWS on the first invalid byte — and crawl payloads are
+          // routinely mis-encoded (the premise of the mojibake stage). The
+          // binary→string cast reinterprets bytes unchecked; make_valid_utf8
+          // then replaces ill-formed sequences with U+FFFD, so one broken
+          // page degrades to replacement chars instead of killing the job.
+          expr("make_valid_utf8(cast(html as string))")))
         .otherwise(col("text")))
 
   /** Optional stage 0b: mojibake repair (UTF-8-as-cp1252 damage) before any
@@ -138,18 +145,24 @@ object QualityPipeline {
       (if (df.columns.contains("n_lines_kept"))
         Seq(when(col("n_lines_kept") < cfg.c4MinLinesKept, lit("too_few_sentences")))
       else Nil) ++
-      // Gopher dup-shape gates: 0-element documents yield 0/0 = NaN
-      // fractions, and NaN > threshold is false — no spurious drop
-      (if (cfg.gopherDupGates) Seq(
-        when(col("dsig.dup_lines").cast("double") / col("dsig.n_lines") >
-          cfg.maxDupLineFrac, lit("dup_lines")),
-        when(col("dsig.dup_paras").cast("double") / col("dsig.n_paras") >
-          cfg.maxDupParaFrac, lit("dup_paras")),
-        when(col("dsig.dup_line_chars").cast("double") / col("dsig.line_chars") >
-          cfg.maxDupLineCharFrac, lit("dup_line_chars")),
-        when(col("dsig.dup_para_chars").cast("double") / col("dsig.para_chars") >
-          cfg.maxDupParaCharFrac, lit("dup_para_chars")))
-      else Nil)
+      // Gopher dup-shape gates. 0-element documents (empty/whitespace text)
+      // must gate as fraction 0, and the division needs an explicit guard:
+      // under Spark 4's default ANSI mode 0/0 THROWS (and with ANSI off it
+      // yields NULL) — an unguarded divide would kill the whole job on one
+      // blank page.
+      (if (cfg.gopherDupGates) {
+        def frac(num: String, den: String): org.apache.spark.sql.Column =
+          when(col(s"dsig.$den") > 0,
+            col(s"dsig.$num").cast("double") / col(s"dsig.$den"))
+            .otherwise(lit(0.0))
+        Seq(
+          when(frac("dup_lines", "n_lines") > cfg.maxDupLineFrac, lit("dup_lines")),
+          when(frac("dup_paras", "n_paras") > cfg.maxDupParaFrac, lit("dup_paras")),
+          when(frac("dup_line_chars", "line_chars") >
+            cfg.maxDupLineCharFrac, lit("dup_line_chars")),
+          when(frac("dup_para_chars", "para_chars") >
+            cfg.maxDupParaCharFrac, lit("dup_para_chars")))
+      } else Nil)
     val reasons = array_compact(array(reasonCols: _*))
     withDup
       .withColumn("drop_reasons", reasons)

@@ -74,6 +74,12 @@ object TextQueries {
       element_at(array(DsirVocab.map(lit): _*),
         pmod(id + lit(j * 7 + offset), lit(DsirVocab.size)).cast("int") + 1)): _*)
 
+  /** q67 helper: duplicate-shape fraction with the zero-element guard
+    * (ANSI-safe; mirrored by the CASE in the oracle SQL). */
+  private def dsFrac(num: String, den: String): org.apache.spark.sql.Column =
+    when(col(s"ds.$den") > 0, col(s"ds.$num").cast("double") / col(s"ds.$den"))
+      .otherwise(lit(0.0))
+
   /** q70 mojibake construction: `MojiClean` is appended UTF-8→cp1252-damaged
     * (at runtime — no mojibake literals in source) and must repair exactly;
     * `MojiIntact` is appended correct and must survive untouched. Unicode
@@ -676,10 +682,13 @@ object TextQueries {
           col("ds.n_paras").as("n_paras"), col("ds.dup_paras").as("dup_paras"),
           col("ds.para_chars").as("para_chars"),
           col("ds.dup_para_chars").as("dup_para_chars"),
-          (col("ds.dup_lines").cast("double") / col("ds.n_lines")).as("dup_line_frac"),
-          (col("ds.dup_line_chars").cast("double") / col("ds.line_chars")).as("dup_line_char_frac"),
-          (col("ds.dup_paras").cast("double") / col("ds.n_paras")).as("dup_para_frac"),
-          (col("ds.dup_para_chars").cast("double") / col("ds.para_chars")).as("dup_para_char_frac"))
+          // guarded division: a zero-element document is fraction 0 — and
+          // under Spark 4's default ANSI mode an unguarded 0/0 would THROW,
+          // not yield NaN/NULL
+          dsFrac("dup_lines", "n_lines").as("dup_line_frac"),
+          dsFrac("dup_line_chars", "line_chars").as("dup_line_char_frac"),
+          dsFrac("dup_paras", "n_paras").as("dup_para_frac"),
+          dsFrac("dup_para_chars", "para_chars").as("dup_para_char_frac"))
         .orderBy("doc_id")
     }),
 
@@ -1594,13 +1603,23 @@ object TextQueries {
         |    CAST(SUM((c - 1) * len) AS BIGINT) AS dup_para_chars
         |  FROM pg GROUP BY doc_id
         |)
-        |SELECT la.doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
-        |  n_paras, dup_paras, para_chars, dup_para_chars,
-        |  CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
-        |  CAST(dup_line_chars AS DOUBLE) / line_chars AS dup_line_char_frac,
-        |  CAST(dup_paras AS DOUBLE) / n_paras AS dup_para_frac,
-        |  CAST(dup_para_chars AS DOUBLE) / para_chars AS dup_para_char_frac
-        |FROM la JOIN pa USING (doc_id) ORDER BY la.doc_id""".stripMargin,
+        |SELECT u.doc_id,
+        |  COALESCE(n_lines, 0) AS n_lines, COALESCE(dup_lines, 0) AS dup_lines,
+        |  COALESCE(line_chars, CAST(0 AS BIGINT)) AS line_chars,
+        |  COALESCE(dup_line_chars, CAST(0 AS BIGINT)) AS dup_line_chars,
+        |  COALESCE(n_paras, 0) AS n_paras, COALESCE(dup_paras, 0) AS dup_paras,
+        |  COALESCE(para_chars, CAST(0 AS BIGINT)) AS para_chars,
+        |  COALESCE(dup_para_chars, CAST(0 AS BIGINT)) AS dup_para_chars,
+        |  CASE WHEN COALESCE(n_lines, 0) > 0
+        |    THEN CAST(dup_lines AS DOUBLE) / n_lines ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN COALESCE(line_chars, 0) > 0
+        |    THEN CAST(dup_line_chars AS DOUBLE) / line_chars ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE WHEN COALESCE(n_paras, 0) > 0
+        |    THEN CAST(dup_paras AS DOUBLE) / n_paras ELSE 0.0 END AS dup_para_frac,
+        |  CASE WHEN COALESCE(para_chars, 0) > 0
+        |    THEN CAST(dup_para_chars AS DOUBLE) / para_chars ELSE 0.0 END AS dup_para_char_frac
+        |FROM u LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
+        |ORDER BY u.doc_id""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -64,6 +64,23 @@ class HtmlExtractSpec extends SparkSpecBase {
     assert(extract(padded) == prose1)
   }
 
+  test("self-closing skip tags do not swallow the rest of the document") {
+    val html = s"<p>$prose1</p><iframe src='ad'/><p>$prose2</p>"
+    assert(extract(html) == s"$prose1\n$prose2")
+  }
+
+  test("single <br> is inline whitespace; <br><br> breaks the block") {
+    // hard-wrapped prose: each fragment < lengthLow, but single <br>s keep
+    // it ONE block that clears lengthHigh on its own
+    val words = prose1.split(" ")
+    val wrapped = words.grouped(8).map(_.mkString(" ")).mkString("<br>")
+    assert(extract(s"<p>$wrapped</p>") == prose1)
+    // a double <br> is a paragraph boundary: the short tail is its own
+    // block, kept via good-good context
+    val doubled = s"<p>$prose1<br><br>A short middle note.<br/><br/>$prose2</p>"
+    assert(extract(doubled) == s"$prose1\nA short middle note.\n$prose2")
+  }
+
   test("stopword mode: wordy low-stopword spam dies, prose survives") {
     val sw = Set("the", "a", "of", "to", "and", "in", "is", "that", "its", "on",
       "this", "all", "since", "new", "came", "while", "two", "still", "show")

@@ -93,6 +93,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(out("https://a.example.org/ok") == prose)
   }
 
+  test("ANSI edges: invalid-UTF-8 html extracts lossily; empty text survives dup gates") {
+    import spark.implicits._
+    val prose = "The committee published its annual findings on river water " +
+      "quality this week, noting a steady improvement across all monitored " +
+      "basins since the new treatment plants came online in the spring of last year."
+    // html with bytes that are NOT valid UTF-8 (0x92 = cp1252 apostrophe):
+    // decode() would throw under Spark 4's default ANSI mode; the stage
+    // must degrade to U+FFFD and still extract
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val goodBytes = s"<p>$prose</p>".getBytes(utf8)
+    val badBytes = ("<p>it".getBytes(utf8) :+ 0x92.toByte) ++ s"s $prose</p>".getBytes(utf8)
+    val pages = Seq(
+      ("https://a.example.org/bad", null.asInstanceOf[String], badBytes),
+      ("https://a.example.org/good", null.asInstanceOf[String], goodBytes),
+      ("https://a.example.org/empty", "", goodBytes))
+      .toDF("url", "text", "html")
+      .withColumn("warc_ts", timestamp_seconds(lit(1704067200L)))
+      .withColumn("lang", lit("en"))
+    val extracted = QualityPipeline.htmlExtractStage(pages)
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(extracted("https://a.example.org/good") == prose)
+    assert(extracted("https://a.example.org/empty") == prose) // "" counts as missing
+    assert(extracted("https://a.example.org/bad").endsWith(prose) &&
+      extracted("https://a.example.org/bad").contains("�"),
+      extracted("https://a.example.org/bad"))
+    // a whitespace-only page through the dup gates: 0/0 must not throw
+    // (ANSI divide-by-zero) and must not fire any dup reason
+    val blank = Seq(("https://a.example.org/blank", "   "))
+      .toDF("url", "text")
+      .withColumn("warc_ts", timestamp_seconds(lit(1704067200L)))
+      .withColumn("lang", lit("en"))
+    val reasons = QualityPipeline.qualityStage(
+        QualityPipeline.langIdStage(QualityPipeline.extract(blank)),
+        QualityPipeline.Config(gopherDupGates = true))
+      .select(array_join(col("drop_reasons"), ",")).collect().head.getString(0)
+    assert(!reasons.contains("dup_"), reasons)
+  }
+
   test("C4 line-filter stage: noise lines die, sparse pages gated, off-path unchanged") {
     import spark.implicits._
     val pages = Seq(
