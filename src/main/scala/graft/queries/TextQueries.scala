@@ -80,6 +80,13 @@ object TextQueries {
     when(col(s"ds.$den") > 0, col(s"ds.$num").cast("double") / col(s"ds.$den"))
       .otherwise(lit(0.0))
 
+  /** q71/q72 link-construction target: deterministic per-doc outlink URL
+    * (`https://site-{(id·m+a) mod 40}.example.com/p{id}`). */
+  private def linkTarget(id: org.apache.spark.sql.Column, mult: Int,
+                         add: Int): org.apache.spark.sql.Column =
+    concat(lit("https://site-"), pmod(id * mult + add, lit(40)).cast("int").cast("string"),
+      lit(".example.com/p"), id.cast("string"))
+
   /** q70 mojibake construction: `MojiClean` is appended UTF-8→cp1252-damaged
     * (at runtime — no mojibake literals in source) and must repair exactly;
     * `MojiIntact` is appended correct and must survive untouched. Unicode
@@ -752,6 +759,43 @@ object TextQueries {
           FixMojibake.fix_mojibake(
             concat(col("text"), lit(damaged), lit(MojiIntact))).as("fixed_text"))
         .orderBy("doc_id")
+    }),
+
+    // Outlink extraction, oracled BY CONSTRUCTION: each doc's page carries
+    // three <a href> links (targets by id arithmetic) in three quoting
+    // styles, plus hreflang/data-href red herrings and a quoted '>' in an
+    // attribute — the oracle constructs the expected (doc_id, pos, link)
+    // rows directly.
+    "q71_extract_links" -> ((s, dir) => {
+      val html = concat(
+        lit("<div class=\"a>b\"><a hreflang=\"en\" href='"), linkTarget(col("doc_id"), 7, 1),
+        lit("'>one</a> <a data-href=\"junk\" href=\""), linkTarget(col("doc_id"), 13, 2),
+        lit("\">two</a></div><p>"), col("text"),
+        lit(" <a target=_blank href="), linkTarget(col("doc_id"), 3, 5),
+        lit(">three</a></p>"))
+      rawDocs(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.ExtractLinks.extract_links(html)))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("link"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // Host-level PageRank as the crawl-curation quality prior. The edge
+    // list comes from the q71 link construction (40 hosts, id-arithmetic
+    // targets); ranks are fixed-point Longs with pure integer arithmetic,
+    // so the 10-iteration result is bit-exact against a DuckDB recursive
+    // CTE doing the same HUGEINT-free BIGINT math — an ORACLED iterative
+    // distributed algorithm (like q39's connected components).
+    "q72_host_rank" -> ((s, dir) => {
+      val d = rawDocs(s, dir)
+      def hostOf(mult: Int, add: Int) =
+        concat(lit("site-"), pmod(col("doc_id") * mult + add, lit(40)).cast("int").cast("string"))
+      val src = concat(lit("site-"), pmod(col("doc_id"), lit(40)).cast("int").cast("string"))
+      val edges = Seq((7, 1), (13, 2), (3, 5)).map { case (m, a) =>
+        d.select(src.as("src"), hostOf(m, a).as("dst"))
+      }.reduce(_ unionByName _).distinct()
+      graft.operators.LinkGraph.hostRank(edges, iterations = 10)
+        .orderBy("host")
     }),
 
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
@@ -1568,6 +1612,40 @@ object TextQueries {
     "q70_fix_mojibake" ->
       (s"""SELECT doc_id, text || '$MojiClean$MojiIntact' AS fixed_text
         |FROM documents ORDER BY doc_id""").stripMargin,
+    "q71_extract_links" ->
+      """SELECT doc_id, pos, 'https://site-' || CAST((doc_id * m + a) % 40 AS VARCHAR)
+        |         || '.example.com/p' || CAST(doc_id AS VARCHAR) AS link
+        |FROM documents, (VALUES (0, 7, 1), (1, 13, 2), (2, 3, 5)) AS f(pos, m, a)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q72_host_rank" ->
+      """WITH RECURSIVE
+        |links AS (
+        |  SELECT CAST(doc_id % 40 AS INT) AS s, CAST((doc_id * m + a) % 40 AS INT) AS t
+        |  FROM documents, (VALUES (7, 1), (13, 2), (3, 5)) AS f(m, a)
+        |),
+        |edges AS (SELECT DISTINCT 'site-' || CAST(s AS VARCHAR) AS src,
+        |                          'site-' || CAST(t AS VARCHAR) AS dst FROM links),
+        |-- NOT `src UNION dst`: inside WITH RECURSIVE DuckDB treats a bare
+        |-- UNION as the recursion construct and the dedup is lost
+        |hosts AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst AS host FROM edges) u),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |fan AS (
+        |  SELECT e.src AS src, e.dst AS tgt, d.deg AS deg FROM edges e JOIN deg d USING (src)
+        |  UNION ALL
+        |  SELECT host, host, CAST(0 AS BIGINT) FROM hosts
+        |),
+        |pr AS (
+        |  SELECT 0 AS iter, host, CAST(1000000000000 AS BIGINT) AS rank FROM hosts
+        |  UNION ALL
+        |  SELECT iter + 1, tgt AS host,
+        |    CAST(150000000000 AS BIGINT) +
+        |      (85 * SUM(CASE WHEN deg > 0 THEN rank // deg ELSE CAST(0 AS BIGINT) END)) // 100
+        |  FROM (SELECT p.iter, f.tgt, f.deg, p.rank
+        |        FROM pr p JOIN fan f ON f.src = p.host WHERE p.iter < 10) step
+        |  GROUP BY iter, tgt
+        |)
+        |SELECT host, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10 ORDER BY host""".stripMargin,
     "q68_html_extract" ->
       (s"""SELECT doc_id,
         |  CAST(length('$ExtractProse1' || chr(10) || text || chr(10) || '$ExtractProse2') AS INT) AS n_chars,

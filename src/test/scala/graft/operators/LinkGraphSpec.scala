@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.functions.ExtractLinks
+import org.apache.spark.sql.functions._
+
+/** Link extraction edge cases + fixed-point PageRank invariants (symmetry,
+  * hub dominance, bit-determinism under partition layout). */
+class LinkGraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("extract_links: quoting styles, red herrings, order and duplicates") {
+    val html = """<div class="x>y"><a hreflang="en" href='/a'>a</a>""" +
+      """<a data-href="no" href="/b">b</a><a target=_blank href=/c>c</a>""" +
+      """<a title='it''s'>no href</a><a href="/a">dup</a></div>"""
+    assert(ExtractLinks.links(html).toSeq == Seq("/a", "/b", "/c", "/a"))
+    assert(ExtractLinks.links("<p>no links here</p>").isEmpty)
+    assert(ExtractLinks.links("<a href=\"unterminated").isEmpty)
+  }
+
+  test("hostRank: symmetric cycle gets equal ranks; hub outranks leaves") {
+    val cycle = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val cr = LinkGraph.hostRank(cycle, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cr("a") == cr("b"))
+    assert(cr("a") > LinkGraph.Scale / 2) // cycle conserves most mass
+
+    val star = (1 to 9).map(i => (s"leaf$i", "hub")).toDF("src", "dst")
+    val sr = LinkGraph.hostRank(star, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sr("hub") > 5 * sr("leaf1"), sr.toString)
+    assert((1 to 9).map(i => sr(s"leaf$i")).distinct.size == 1)
+  }
+
+  test("hostRank is bit-deterministic under input layout") {
+    val edges = (0L until 400L).flatMap { i =>
+      Seq((s"h${i % 40}", s"h${(i * 7 + 1) % 40}"), (s"h${i % 40}", s"h${(i * 13 + 2) % 40}"))
+    }.toDF("src", "dst").distinct()
+    val r1 = LinkGraph.hostRank(edges, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = LinkGraph.hostRank(edges.repartition(13), 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r2)
+    // total mass never exceeds the initial mass (truncation + dangling
+    // drop only ever lose micro-units)
+    assert(r1.values.sum <= 40L * LinkGraph.Scale)
+  }
+}
