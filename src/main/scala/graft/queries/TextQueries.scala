@@ -798,6 +798,28 @@ object TextQueries {
         .orderBy("host")
     }),
 
+    // robots.txt crawl filtering (RFC 9309), oracled BY CONSTRUCTION: one
+    // planted policy, five URL classes per doc_id%5 whose allow/deny
+    // decisions are known from the construction — wildcard+$ anchoring,
+    // longest-match Allow override and the no-match default each get a
+    // class. The oracle CASEs on doc_id%5; the matcher earns its row.
+    "q73_robots_filter" -> ((s, dir) => {
+      import graft.functions.RobotsAllowed
+      val robots = "User-agent: *\nDisallow: /private/\n" +
+        "Allow: /private/public/\nDisallow: /tmp/*.pdf$\n"
+      val url = concat(lit("https://site-"),
+        pmod(col("doc_id"), lit(40)).cast("int").cast("string"), lit(".example.com"),
+        when(col("doc_id") % 5 === 0, concat(lit("/private/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 5 === 1, concat(lit("/private/public/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 5 === 2, concat(lit("/tmp/f"), col("doc_id").cast("string"), lit(".pdf")))
+          .when(col("doc_id") % 5 === 3, concat(lit("/f"), col("doc_id").cast("string"), lit(".pdf")))
+          .otherwise(concat(lit("/docs/p"), col("doc_id").cast("string"))))
+      rawDocs(s, dir)
+        .select(col("doc_id"), url.as("url"),
+          RobotsAllowed.robots_allowed(lit(robots), url).as("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
     // embeddings ∪ planted scaled copies (cosine-identical, so each copy
     // MUST be dropped against its earlier original). Golden-pinned (k-means
@@ -1612,6 +1634,19 @@ object TextQueries {
     "q70_fix_mojibake" ->
       (s"""SELECT doc_id, text || '$MojiClean$MojiIntact' AS fixed_text
         |FROM documents ORDER BY doc_id""").stripMargin,
+    "q73_robots_filter" ->
+      """SELECT doc_id,
+        |  'https://site-' || CAST(doc_id % 40 AS VARCHAR) || '.example.com' ||
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN '/private/public/p' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN '/tmp/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |    WHEN 3 THEN '/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |    ELSE '/docs/p' || CAST(doc_id AS VARCHAR)
+        |  END AS url,
+        |  CASE doc_id % 5 WHEN 0 THEN false WHEN 1 THEN true WHEN 2 THEN false
+        |    WHEN 3 THEN true ELSE true END AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q71_extract_links" ->
       """SELECT doc_id, pos, 'https://site-' || CAST((doc_id * m + a) % 40 AS VARCHAR)
         |         || '.example.com/p' || CAST(doc_id AS VARCHAR) AS link
