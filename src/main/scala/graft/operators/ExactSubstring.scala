@@ -153,6 +153,58 @@ object ExactSubstring {
         size(col("s.kept")).as("n_lines_kept"),
         array_join(col("s.kept"), "\n").as("text_filtered"))
 
+  /** Sentence split used by the span dedup: maximal runs ending in terminal
+    * punctuation (`[^.!?]+[.!?]+`), space-trimmed. Deliberately the simplest
+    * deterministic rule that both Java regex and RE2 (the DuckDB oracle)
+    * evaluate identically — trailing text with no terminal punctuation is
+    * dropped, the same fate it meets in C4's langdetect-based splitter. */
+  def sentences(text: Column): Column =
+    transform(regexp_extract_all(text, lit("[^.!?]+[.!?]+"), lit(0)), s => trim(s))
+
+  /** C4's actual dedup unit (Raffel et al. 2020 §2.2): "we discard all but
+    * one of any three-sentence span occurring more than once in the data
+    * set". Line dedup ([[dedupLines]]) approximates this at line granularity;
+    * this is the faithful sentence-window form.
+    *
+    * A duplicated `span`-sentence window is kept only at its first
+    * (min doc id, position) occurrence; every sentence covered by a cut
+    * window is removed from its document, and the document is rebuilt from
+    * the survivors in order (every input doc keeps a row — a fully-cut doc
+    * surfaces as `n_kept = 0`, the drop predicate is the caller's).
+    * Windows occurring more than `maxDf` times are boilerplate: all
+    * occurrences cut, no canonical survivor — the same flood cap as
+    * [[cutSpans]].
+    *
+    * Plan shape: narrow sentence split → per-doc sliding windows (hashed to
+    * the 60-bit key, so the one shuffle moves 8-byte keys) → the single
+    * window over the key (occurrences move once, as in [[cutSpans]]) → a
+    * per-doc cut-list join + higher-order rebuild (as in [[scrub]]). */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 span: Int = 3, maxDf: Long = 1000000): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      sentences(col(textCol)).as("ss"))
+    // sequence(1, n) descends when n < 1 — guard short docs to an empty list.
+    val windows = when(size(col("ss")) >= span,
+      transform(sequence(lit(1), size(col("ss")) - (span - 1)),
+        i => TF.hash60(concat_ws(" ", slice(col("ss"), i, lit(span))))))
+      .otherwise(array().cast("array<long>"))
+    val wg = Window.partitionBy("g")
+    val cuts = base
+      .select(col("id"), posexplode(windows))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+      .withColumn("n_occ", count(lit(1)).over(wg))
+      .withColumn("rn", row_number().over(wg.orderBy("id", "pos")))
+      .filter(col("n_occ") > 1 && (col("n_occ") > lit(maxDf) || col("rn") > 1))
+      .groupBy("id").agg(sort_array(collect_list("pos")).as("cuts"))
+    base.join(cuts, Seq("id"), "left")
+      .select(col("id"), size(col("ss")).as("n_sentences"),
+        filter(col("ss"), (_, i) => coalesce(
+          !exists(col("cuts"), p => i + 1 >= p && i + 1 < p + span),
+          lit(true))).as("kept"))
+      .select(col("id"), col("n_sentences"), size(col("kept")).as("n_kept"),
+        array_join(col("kept"), " ").as("text_dedup"))
+  }
+
   /** Scrubbed corpus: each document's lowered token stream with every cut
     * span's tokens removed (id, text_dedup). Span lists ride a broadcast-or-
     * shuffle join keyed by doc id; the per-token membership test is a

@@ -820,6 +820,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // C4 three-sentence-span dedup (Raffel et al. 2020 §2.2 — the paper's
+    // actual dedup unit). Planted tail: a per-doc unique sentence followed by
+    // three shared boilerplate sentences, so the trailing (Call, Free,
+    // Limited) window is corpus-wide duplicated and must survive only in the
+    // min-doc_id document, while the (unique, Call, Free) window stays
+    // unique per doc. Organic within-corpus span dups dedup too — the DuckDB
+    // oracle mirrors the full rule on the span STRING (Spark shuffles the
+    // 60-bit hash; the 2^-60 collision trade is q53's, documented there).
+    "q74_span_dedup" -> ((s, dir) => {
+      import graft.operators.ExactSubstring
+      val planted = rawDocs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" Unique tail sentence "), col("doc_id").cast("string"),
+          lit(" marker. Call today! Free shipping applies. Limited time only.")
+        ).as("text"))
+      ExactSubstring.dedupSpans(planted, "doc_id", "text")
+        .select(col("id"), col("n_sentences"), col("n_kept"),
+          md5(col("text_dedup")).as("dedup_md5"))
+        .orderBy("id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
     // embeddings ∪ planted scaled copies (cosine-identical, so each copy
     // MUST be dropped against its earlier original). Golden-pinned (k-means
@@ -1647,6 +1668,41 @@ object TextQueries {
         |  CASE doc_id % 5 WHEN 0 THEN false WHEN 1 THEN true WHEN 2 THEN false
         |    WHEN 3 THEN true ELSE true END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q74_span_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text || ' Unique tail sentence ' || CAST(doc_id AS VARCHAR)
+        |    || ' marker. Call today! Free shipping applies. Limited time only.' AS text
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[^.!?]+[.!?]+'), x -> trim(x)) AS ss
+        |  FROM u
+        |), sp AS (
+        |  SELECT doc_id, i AS pos, ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2] AS span
+        |  FROM s, UNNEST(range(1, len(ss) - 1)) AS t(i)
+        |), occ AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY span) AS n_occ,
+        |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM sp
+        |), cut AS (
+        |  SELECT doc_id, pos FROM occ WHERE n_occ > 1 AND (n_occ > 1000000 OR rn > 1)
+        |), sent AS (
+        |  SELECT doc_id, i AS pos, ss[i] AS sentence, len(ss) AS n_sentences
+        |  FROM s, UNNEST(range(1, len(ss) + 1)) AS t(i)
+        |), kept AS (
+        |  SELECT se.doc_id, se.pos, se.sentence FROM sent se
+        |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+        |    WHERE c.doc_id = se.doc_id AND se.pos >= c.pos AND se.pos < c.pos + 3)
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(sentence, ' ' ORDER BY pos) AS text_dedup
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT s.doc_id AS id, len(s.ss) AS n_sentences,
+        |  COALESCE(a.n_kept, 0) AS n_kept, md5(COALESCE(a.text_dedup, '')) AS dedup_md5
+        |FROM s LEFT JOIN agg a ON s.doc_id = a.doc_id
+        |ORDER BY 1""".stripMargin,
     "q71_extract_links" ->
       """SELECT doc_id, pos, 'https://site-' || CAST((doc_id * m + a) % 40 AS VARCHAR)
         |         || '.example.com/p' || CAST(doc_id AS VARCHAR) AS link

@@ -300,6 +300,45 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(capped(1L) == "alpha one\nbeta one")
   }
 
+  test("span dedup keeps first occurrence of a duplicated 3-sentence window") {
+    val c = Seq(
+      (1L, "One a. Two b. Three c. Tail a."),
+      (2L, "Intro b! One a. Two b. Three c. End b?"),
+      (3L, "Just two. Sentences here.") // < 3 sentences: no windows, untouched
+    ).toDF("doc_id", "text")
+    val out = ExactSubstring.dedupSpans(c, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_sentences"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("text_dedup"))).toMap
+    assert(out(1L) == (4, 4, "One a. Two b. Three c. Tail a."))
+    // the shared (One, Two, Three) window at pos 2 cuts sentences 2-4
+    assert(out(2L) == (5, 2, "Intro b! End b?"))
+    assert(out(3L) == (2, 2, "Just two. Sentences here."))
+  }
+
+  test("span dedup cuts within-document repeats and floods above maxDf") {
+    val rep = Seq((7L, "X. Y. Z. X. Y. Z. W.")).toDF("doc_id", "text")
+    val out = ExactSubstring.dedupSpans(rep, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_kept"), r.getAs[String]("text_dedup"))).toMap
+    // (X,Y,Z) repeats at pos 4: sentences 4-6 cut, trailing W survives
+    assert(out(7L) == (4, "X. Y. Z. W."))
+    // three copies of one span with maxDf = 2: boilerplate, no canonical kept
+    val c = Seq(
+      (1L, "Dup one. Dup two. Dup three."),
+      (2L, "Dup one. Dup two. Dup three."),
+      (3L, "Dup one. Dup two. Dup three. Plus own tail.")
+    ).toDF("doc_id", "text")
+    val capped = ExactSubstring.dedupSpans(c, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("n_kept"), r.getAs[String]("text_dedup"))).toMap
+    assert(capped(1L) == (0, ""))
+    assert(capped(2L) == (0, ""))
+    // doc 3: pos-1 window flooded (cut), pos-2 window (two,three,tail) unique
+    // but its sentences 2-3 are already covered by the flooded window
+    assert(capped(3L) == (1, "Plus own tail."))
+  }
+
   test("C4 line filter keeps terminal-punctuated >=3-word lines, rebuilds in order") {
     val c = Seq(
       (1L, "A proper first sentence here.\nHome | About\nOk.\nShe said \"stop\"\nEnds with a question?"),
