@@ -41,6 +41,24 @@ object UrlFunctions {
     regexp_extract(regexp_replace(hostOf(url), ":[0-9]+$", ""),
       "([^.]+\\.[^.]+)$", 1)
 
+  /** All label-boundary suffixes of a host, shallowest-first capped at
+    * `maxLabels` labels: "a.b.example.com" → ["com", "example.com",
+    * "b.example.com", "a.b.example.com"]. UT1-style blocklists ban a
+    * registrable domain INCLUDING its subdomains; matching host suffixes by
+    * EQUALITY against an exploded suffix column turns that into a broadcast
+    * hash join — the scale-safe form (a LIKE '%'||entry join is a cartesian
+    * nested loop, and a bare string suffix match has no label boundary, so
+    * "tracker.net" would wrongly ban "nottracker.net"). Hosts deeper than
+    * maxLabels still produce their shallow suffixes, which is where
+    * blocklist entries live. */
+  def hostSuffixes(host: Column, maxLabels: Int = 8): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    // i = 1..min(n, maxLabels) labels counted from the END of the host
+    transform(sequence(lit(1), least(n, lit(maxLabels))),
+      i => array_join(slice(parts, n - i + 1, lit(maxLabels)), "."))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = stripFragment(url)
     val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines.
@@ -177,6 +178,33 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Quality-aware dup-group resolution (the RefinedWeb-style retention
+    * policy): given verified near-dup pairs and a per-doc quality score,
+    * keep the argmax-`scoreCol` member of each duplicate cluster — ties
+    * broken toward the smallest id — instead of blindly keeping the
+    * smallest id. Returns the surviving rows of `docs` unchanged.
+    *
+    * Scale shape: only cluster MEMBERS (rows that appear in a verified
+    * pair — a small fraction of the corpus after exact dedup) ever reach
+    * the per-component window; every other row passes through an anti-join
+    * against the member-id set. Both joins key on `idCol`, so AQE
+    * broadcasts the component table when it is small and otherwise the two
+    * shuffles share one exchange of `docs`; the window itself shuffles only
+    * the members. */
+  def keepBestPerComponent(docs: DataFrame, idCol: String, scoreCol: String,
+                           pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs) // (id, comp) — dup members only
+    val members = docs.join(comps, docs(idCol) === comps("id"), "inner")
+      .drop("id")
+    val w = Window.partitionBy("comp")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val best = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "comp")
+    val singles = docs.join(comps.select("id"),
+      docs(idCol) === col("id"), "left_anti")
+    singles.unionByName(best)
   }
 
   /** SimHash-64: per token-hash bit voting — near-identical docs land on

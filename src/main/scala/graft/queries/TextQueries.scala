@@ -841,6 +841,58 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // Quality-aware dup-cluster retention (the RefinedWeb-style policy):
+    // each near-dup component keeps its argmax-quality member (word count
+    // here; ties → min id), NOT the minimum id. Planted clusters cover both
+    // directions: token-DROPPED mutants (original, smaller id, wins) and
+    // token-APPENDED mutants (the LARGER id wins — distinguishing this from
+    // q39's min-id retention). Fully DuckDB-oracled: the q39 recursive-CC
+    // skeleton plus an argmax window.
+    "q75_keep_best" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val dropped = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(TF.tokens(col("text")), 3, 1000000), " ").as("text"))
+      val appended = base.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(trim(col("text")), lit(" "),
+            array_join(slice(TF.tokens(col("text")), 1, 8), " ")).as("text"))
+      val d = base.unionByName(dropped).unionByName(appended)
+        .withColumn("n_words", size(TF.tokens(col("text"))))
+      val pairs = Dedup.jaccardVerify(d, "doc_id", "text",
+          Dedup.candidatePairs(
+            Dedup.lshBandsFast(Dedup.minhashSignaturesFast(d, "doc_id", "text"))))
+        .filter(col("jaccard") >= 0.5)
+      Dedup.keepBestPerComponent(d, "doc_id", "n_words", pairs)
+        .select("doc_id", "n_words")
+        .orderBy("doc_id")
+    }),
+
+    // UT1-style domain blocklist with subdomain semantics: a banned
+    // registrable domain bans all its subdomains, but never across a label
+    // boundary ("tracker.net" must NOT ban "nottracker.net" — the trap a
+    // naive string-suffix match falls into). The blocklist joins by
+    // EQUALITY against the exploded host-suffix column, so it plans as a
+    // broadcast hash join (a LIKE-suffix join is a nested loop; at real
+    // blocklist sizes — UT1 is millions of entries — that's the difference
+    // between a narrow pass and a cartesian). Oracled by construction.
+    "q76_domain_suffix_block" -> ((s, dir) => {
+      import s.implicits._
+      val pages = rawDocs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+            concat(lit("site"), (col("doc_id") % 40).cast("string"), lit(".org")))
+          .when(col("doc_id") % 5 === 1, lit("ads.tracker.net"))
+          .when(col("doc_id") % 5 === 2, lit("tracker.net"))
+          .when(col("doc_id") % 5 === 3, lit("nottracker.net"))
+          .otherwise(lit("deep.a.b.example.com")).as("host"))
+      val blocked = Seq("tracker.net", "b.example.com").toDF("entry")
+      val bad = pages
+        .select(col("doc_id"), explode(UrlFunctions.hostSuffixes(col("host"))).as("sfx"))
+        .join(broadcast(blocked), col("sfx") === col("entry"), "left_semi")
+        .select("doc_id").distinct()
+      pages.join(bad, Seq("doc_id"), "left_anti").orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
     // embeddings ∪ planted scaled copies (cosine-identical, so each copy
     // MUST be dropped against its earlier original). Golden-pinned (k-means
@@ -1703,6 +1755,74 @@ object TextQueries {
         |  COALESCE(a.n_kept, 0) AS n_kept, md5(COALESCE(a.text_dedup, '')) AS dedup_md5
         |FROM s LEFT JOIN agg a ON s.doc_id = a.doc_id
         |ORDER BY 1""".stripMargin,
+    "q75_keep_best" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ') AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         trim(text) || ' ' ||
+        |           array_to_string(regexp_split_to_array(trim(text), '\s+')[1:8], ' ') AS text
+        |  FROM documents WHERE doc_id % 40 = 0
+        |), shl AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |           j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u)
+        |  WHERE len(w) >= 3
+        |), sig AS (
+        |  SELECT doc_id AS id, i,
+        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |  GROUP BY 1,2
+        |), bands AS (
+        |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
+        |  FROM sig GROUP BY 1,2
+        |), prs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bd = b.bd AND a.id < b.id
+        |), verified AS (
+        |  SELECT p.id_a, p.id_b FROM prs p
+        |  JOIN shl sa ON sa.doc_id = p.id_a JOIN shl sb ON sb.doc_id = p.id_b
+        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM verified
+        |  UNION SELECT id_b, id_a FROM verified
+        |), r(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.id
+        |), comp AS (
+        |  SELECT id, MIN(comp) AS comp FROM r GROUP BY 1
+        |), scored AS (
+        |  SELECT u.doc_id,
+        |    CAST(len(regexp_split_to_array(trim(u.text), '\s+')) AS INT) AS n_words,
+        |    COALESCE(c.comp, u.doc_id) AS comp
+        |  FROM u LEFT JOIN comp c ON c.id = u.doc_id
+        |)
+        |SELECT doc_id, n_words FROM (
+        |  SELECT doc_id, n_words,
+        |    ROW_NUMBER() OVER (PARTITION BY comp
+        |                       ORDER BY n_words DESC, doc_id ASC) AS rn
+        |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q76_domain_suffix_block" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'site' || CAST(doc_id % 40 AS VARCHAR) || '.org'
+        |      WHEN 1 THEN 'ads.tracker.net'
+        |      WHEN 2 THEN 'tracker.net'
+        |      WHEN 3 THEN 'nottracker.net'
+        |      ELSE 'deep.a.b.example.com' END AS host
+        |  FROM documents)
+        |SELECT doc_id, host FROM h
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (VALUES ('tracker.net'), ('b.example.com')) b(e)
+        |  WHERE h.host = b.e OR h.host LIKE '%.' || b.e)
+        |ORDER BY doc_id""".stripMargin,
     "q71_extract_links" ->
       """SELECT doc_id, pos, 'https://site-' || CAST((doc_id * m + a) % 40 AS VARCHAR)
         |         || '.example.com/p' || CAST(doc_id AS VARCHAR) AS link

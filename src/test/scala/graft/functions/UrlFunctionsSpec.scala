@@ -66,4 +66,19 @@ class UrlFunctionsSpec extends SparkSpecBase {
     assert(h == "localhost")
     assert(d == "")
   }
+
+  test("hostSuffixes: label-boundary suffixes, shallowest first, depth-capped") {
+    def sfx(host: String, maxLabels: Int = 8): Seq[String] =
+      Seq(host).toDF("h")
+        .select(UrlFunctions.hostSuffixes(col("h"), maxLabels))
+        .head().getSeq[String](0)
+    assert(sfx("a.b.example.com") ==
+      Seq("com", "example.com", "b.example.com", "a.b.example.com"))
+    assert(sfx("a.b.example.com", maxLabels = 2) == Seq("com", "example.com"))
+    assert(sfx("localhost") == Seq("localhost"))
+    // the label boundary: a blocklist entry "tracker.net" matches by
+    // EQUALITY against these suffixes, so "nottracker.net" can never hit it
+    assert(!sfx("nottracker.net").contains("tracker.net"))
+    assert(sfx("ads.tracker.net").contains("tracker.net"))
+  }
 }

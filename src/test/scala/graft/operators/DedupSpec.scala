@@ -228,6 +228,23 @@ class DedupSpec extends SparkSpecBase {
         s"mutant ${src + 1000} not grouped with $src: $comp")
   }
 
+  test("keepBestPerComponent keeps the argmax-score member, not the min id") {
+    val d = Seq(
+      (1L, 5), (2L, 9), (3L, 9), // cluster A: 2 and 3 tie on score → id 2 wins
+      (10L, 1), (11L, 1),        // cluster B: constant score → min id 10 wins
+      (42L, 0)                   // singleton → always survives
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      Dedup.keepBestPerComponent(df, "doc_id", "score", pairs)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept(d) == Set(2L, 10L, 42L))
+    // constant scores degrade to exactly q39's min-id retention
+    assert(kept(d.withColumn("score", lit(1))) == Set(1L, 10L, 42L))
+    // survivor set is invariant to input partition layout
+    assert(kept(d.repartition(13)) == Set(2L, 10L, 42L))
+  }
+
   test("LSH ANN: cosine-identical queries land in the source's bucket and rank it first") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // scaling preserves cosine and all hyperplane signs ⇒ the source vector
