@@ -893,6 +893,22 @@ object TextQueries {
       pages.join(bad, Seq("doc_id"), "left_anti").orderBy("doc_id")
     }),
 
+    // CCNet corpus bucketing (Wenzek et al. 2020 §4.4): per-language
+    // perplexity-tercile cutoffs label each page head/middle/tail (training
+    // mixes prefer the head). The score here is a deterministic SQL-
+    // expressible proxy (mean chars per token) so the bucketing itself is
+    // DuckDB-oracled end to end; CcnetBucketSpec runs the same operator on
+    // real KN-perplexity scores. Cutoffs are a per-lang two-row aggregate
+    // broadcast back — documents never shuffle.
+    "q77_ccnet_bucket" -> ((s, dir) => {
+      import graft.filter.CcnetBucket
+      val scored = rawDocs(s, dir).select(col("doc_id"), col("lang"),
+        round(col("n_chars").cast("double") /
+          (lit(1.0) + size(TF.tokens(col("text")))), 4).as("score"))
+      CcnetBucket.bucketByScore(scored, "lang", "score")
+        .select("doc_id", "lang", "score", "bucket").orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
     // embeddings ∪ planted scaled copies (cosine-identical, so each copy
     // MUST be dropped against its earlier original). Golden-pinned (k-means
@@ -1823,6 +1839,23 @@ object TextQueries {
         |  SELECT 1 FROM (VALUES ('tracker.net'), ('b.example.com')) b(e)
         |  WHERE h.host = b.e OR h.host LIKE '%.' || b.e)
         |ORDER BY doc_id""".stripMargin,
+    "q77_ccnet_bucket" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    ROUND(CAST(n_chars AS DOUBLE) /
+        |      (1.0 + len(regexp_split_to_array(trim(text), '\s+'))), 4) AS score
+        |  FROM documents
+        |), cuts AS (
+        |  SELECT lang,
+        |    QUANTILE_CONT(score, 1.0/3) AS lo,
+        |    QUANTILE_CONT(score, 2.0/3) AS hi
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT s.doc_id, s.lang, s.score,
+        |  CASE WHEN s.score <= c.lo THEN 'head'
+        |       WHEN s.score <= c.hi THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s JOIN cuts c USING (lang) ORDER BY s.doc_id""".stripMargin,
     "q71_extract_links" ->
       """SELECT doc_id, pos, 'https://site-' || CAST((doc_id * m + a) % 40 AS VARCHAR)
         |         || '.example.com/p' || CAST(doc_id AS VARCHAR) AS link
