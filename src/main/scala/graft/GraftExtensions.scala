@@ -1,7 +1,7 @@
 package graft
 
 import graft.filter.LangIdModel
-import graft.functions.{DeflateRatio, LangIdExpression, NfcNormalize, PiiDetectExpression, PiiScrubExpression, RepetitionRatio, WinnowFingerprint}
+import graft.functions.{CcnetNormalize, DeflateRatio, LangIdExpression, NfcNormalize, PiiDetectExpression, PiiScrubExpression, RepetitionRatio, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,5 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(text) - Unicode NFC form (dedup-stable bytes)"),
       (args: Seq[Expression]) => NfcNormalize(args.head)))
+    e.injectFunction((FunctionIdentifier("ccnet_normalize"),
+      info("ccnet_normalize", "ccnet_normalize(text) - CCNet paragraph-dedup key (lowercase, accent/digit-fold, punct-strip)"),
+      (args: Seq[Expression]) => CcnetNormalize(args.head)))
   }
 }

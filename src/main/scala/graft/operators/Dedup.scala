@@ -21,6 +21,26 @@ object Dedup {
       .groupBy("digest")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("canonical_id"))
 
+  /** URL-level recrawl dedup: Common Crawl captures the same URL across
+    * snapshots; keep only the LATEST capture per URL (`tsCol` max), ties
+    * broken on the smallest `idCol` so the survivor set is deterministic
+    * under any layout.
+    *
+    * Deliberately an AGGREGATION, not a `row_number` window: `max_by` with
+    * a composite (ts, -id) order key combines map-side, so each shuffle
+    * partition receives at most one pre-reduced candidate row per URL per
+    * map task — a recrawl-heavy corpus (hundreds of captures of popular
+    * URLs) reduces before it moves. The equivalent window would shuffle
+    * every capture and sort per URL. One uniform shuffle on url. */
+  def latestCapture(df: DataFrame, urlCol: String, tsCol: String,
+                    idCol: String): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val orderKey = struct(col(tsCol).as("ts"), (-col(idCol)).as("neg_id"))
+    df.groupBy(urlCol)
+      .agg(max_by(payload, orderKey).as("best"), count(lit(1)).as("n_captures"))
+      .select(col("best.*"), col("n_captures"))
+  }
+
   /** MinHash signatures: k permutations h_i(s) = hash60(s + "#" + i) over the
     * distinct word-3-shingle set. Emitted long-form (id, i, sig) so the band
     * step is a single re-aggregation.

@@ -96,12 +96,31 @@ object ExactSubstring {
     * rebuild (groupBy id). A document whose every line is removed (pure
     * boilerplate) drops out of the corpus entirely. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-                 maxDf: Long = 1000000): DataFrame = {
+                 maxDf: Long = 1000000): DataFrame =
+    dedupLinesBy(df, idCol, textCol, l => TF.hash60(trim(l)), maxDf)
+
+  /** CCNet-style fuzzy line/paragraph dedup (Wenzek et al. 2020 §4.1): the
+    * dedup key is the 60-bit hash of the CCNET-NORMALIZED line (lowercase,
+    * accent-fold, digit-fold, punctuation-strip — see
+    * [[graft.functions.CcnetNormalize]]), so "Share on FACEBOOK - 1,234
+    * Likes!" and "share on facebook 0 likes" are the same boilerplate and
+    * survive once corpus-wide. Rebuilt text keeps the ORIGINAL line bytes
+    * of each first occurrence — normalization only chooses the key.
+    * Plan is identical to [[dedupLines]]: one 8-byte uniform shuffle key,
+    * one window, one per-doc rebuild. */
+  def ccnetDedupLines(df: DataFrame, idCol: String, textCol: String,
+                      maxDf: Long = 1000000): DataFrame =
+    dedupLinesBy(df, idCol, textCol,
+      l => TF.hash60(graft.functions.CcnetNormalize.ccnet_normalize(l)), maxDf)
+
+  /** Shared skeleton: line dedup under a caller-chosen key function. */
+  def dedupLinesBy(df: DataFrame, idCol: String, textCol: String,
+                   keyOf: Column => Column, maxDf: Long): DataFrame = {
     val wk = Window.partitionBy("key")
     df.select(col(idCol).cast("long").as("id"),
         posexplode(split(col(textCol), "\n")))
       .select(col("id"), (col("pos") + 1).as("line_no"), col("col").as("line"))
-      .withColumn("key", TF.hash60(trim(col("line"))))
+      .withColumn("key", keyOf(col("line")))
       .withColumn("n_occ", count(lit(1)).over(wk))
       .withColumn("rn", row_number().over(wk.orderBy("id", "line_no")))
       .filter(col("n_occ") === 1 || (col("n_occ") <= lit(maxDf) && col("rn") === 1))

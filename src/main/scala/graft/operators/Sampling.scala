@@ -67,4 +67,61 @@ object Sampling {
     df.withColumn("copy", explode(when(nCopies >= 1, sequence(lit(1L), nCopies))
       .otherwise(array().cast("array<bigint>"))))
   }
+
+  /** Per-host document cap (corpus-balance policy: no single host may
+    * contribute more than `cap` pages, the best-`orderCol` ones win; ties
+    * break on `idCol` ascending so the result is layout-invariant).
+    *
+    * Scale design: a plain `row_number` window would shuffle + sort the
+    * ENTIRE corpus by host. Instead the host histogram (map-side partial
+    * agg → one tiny shuffle of (host, count) rows) finds the over-cap
+    * hosts; that set is dimension-scale (≤ #hosts, and only the heavy
+    * tail of it), so it broadcasts. Under-cap hosts pass through as a
+    * broadcast ANTI join — never shuffled, never sorted; only the over-cap
+    * hosts' rows (the small skewed head) pay the window. At web scale the
+    * heavy tail is exactly the part that is also skewed — confining the
+    * sort to it is what makes the window affordable.
+    */
+  def hostCap(df: DataFrame, hostCol: String, orderCol: String,
+              idCol: String, cap: Int): DataFrame = {
+    val over = df.groupBy(hostCol).agg(count(lit(1)).as("n_host"))
+      .filter(col("n_host") > cap).select(hostCol)
+    val light = df.join(broadcast(over), Seq(hostCol), "left_anti")
+    val capped = df.join(broadcast(over), Seq(hostCol), "left_semi")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(hostCol)
+          .orderBy(col(orderCol).desc, col(idCol).asc)))
+      .filter(col("rn") <= cap).drop("rn")
+    light.unionByName(capped)
+  }
+
+  /** Temperature-flattened multilingual sampling (the mixture rebalance of
+    * XLM-R / mT5: raise each language's mass to a sub-linear exponent so
+    * head languages shrink and tail languages keep everything). Keep rate
+    * for a language with `n` documents is `min(1, c / sqrt(n))` — expected
+    * kept count `∝ sqrt(n)`, i.e. temperature α = 0.5 up to the caller's
+    * budget constant `c`; selection is by stable key hash (layout- and
+    * run-invariant, like every sampler here).
+    *
+    * Bit-exactness across engines is designed in: `sqrt`, `/`, `*` and
+    * `floor` are all IEEE-754 correctly-rounded, so the integer threshold
+    * `floor(1e6·rate)` is identical in Spark and DuckDB — no float-compare
+    * tolerance needed, the q80 oracle hash-matches. (This is why the
+    * exponent is a sqrt and not `pow(n, α)`: pow is not correctly rounded
+    * and may differ in the last ulp between libm implementations.)
+    *
+    * Scale: per-language counts are a map-side-combined two-column agg;
+    * rates broadcast-join back; the corpus itself never shuffles. */
+  def temperatureSample(df: DataFrame, langCol: String, keyCol: Column,
+                        c: Double, salt: String = ""): DataFrame = {
+    // Single multiply by 1e6 (not ·Buckets·100 chained): IEEE rounding of
+    // (x·10000)·100 can differ from x·1000000 in the last ulp — the oracle
+    // does one multiply, so this side must too.
+    val rates = df.groupBy(langCol).agg(count(lit(1)).as("n_lang"))
+      .withColumn("keep_threshold",
+        floor(least(lit(1.0), lit(c) / sqrt(col("n_lang"))) * lit(1000000.0)).cast("long"))
+    df.join(broadcast(rates), Seq(langCol))
+      .filter(pmod(TF.hash60(concat(keyCol.cast("string"), lit("|" + salt))),
+        lit(1000000L)) < col("keep_threshold"))
+  }
 }

@@ -909,6 +909,71 @@ object TextQueries {
         .select("doc_id", "lang", "score", "bucket").orderBy("doc_id")
     }),
 
+    // CCNet-normalized paragraph dedup (Wenzek et al. 2020 §4.1): the dedup
+    // key is the NORMALIZED line (lowercase, digit-fold, punctuation-strip,
+    // whitespace-collapse), so case/digit/punct variants of the same
+    // boilerplate collapse corpus-wide. Planted: every doc gets a social-
+    // footer line whose surface form varies by parity ("Share on FACEBOOK -
+    // 1,234 Likes!!!" vs "share   on facebook 0000 likes") — same key, so it
+    // survives only in doc 0. The DuckDB oracle mirrors the full rule
+    // including organic collisions (lower + 3 regexp_replace reproduce the
+    // expression exactly on ASCII; the non-ASCII path is CcnetNormalizeSpec's).
+    "q78_ccnet_paradedup" -> ((s, dir) => {
+      import graft.operators.ExactSubstring
+      val withFooter = rawDocs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+              lit("\nShare on FACEBOOK - 1,234 Likes!!!"))
+            .otherwise(lit("\nshare   on facebook 0000 likes"))).as("text"))
+      ExactSubstring.ccnetDedupLines(withFooter, "doc_id", "text")
+        .select(col("id"), col("n_lines_kept"), md5(col("text_dedup")).as("dedup_md5"))
+        .orderBy("id")
+    }),
+
+    // Per-host document cap (corpus-balance policy): no host contributes
+    // more than 5 pages; the highest-n_chars pages win, ties on doc_id.
+    // Hosts are synthesized skewed: a third of the corpus lands on 13 hot
+    // hosts (the planted heavy tail), the rest spreads over 211 — so both
+    // the broadcast-anti passthrough and the capped-window path do real
+    // work. Oracle: QUALIFY row_number() per host.
+    "q79_host_cap" -> ((s, dir) => {
+      val pages = rawDocs(s, dir).select(col("doc_id"), col("n_chars"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("hot"), (col("doc_id") % 13).cast("string"), lit(".com")))
+          .otherwise(concat(lit("h"), (col("doc_id") % 211).cast("string"), lit(".org")))
+          .as("host"))
+      Sampling.hostCap(pages, "host", "n_chars", "doc_id", cap = 5)
+        .select("doc_id", "host", "n_chars").orderBy("doc_id")
+    }),
+
+    // Temperature-flattened multilingual sampling (XLM-R / mT5 mixture
+    // rebalance): keep rate min(1, 8/sqrt(n_lang)) — head languages (en)
+    // downsample hard, the tail keeps (nearly) everything; selection is by
+    // stable doc_id hash. Bit-exact across engines by construction (sqrt /
+    // div / mul / floor are all IEEE correctly-rounded — no pow), so the
+    // oracle hash-matches with zero tolerance.
+    "q80_lang_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(rawDocs(s, dir).select("doc_id", "lang"),
+          "lang", col("doc_id"), c = 8.0, salt = "t1")
+        .select("doc_id", "lang", "n_lang").orderBy("doc_id")),
+
+    // Latest-capture-per-URL dedup (Common-Crawl recrawl semantics): urls
+    // repeat across synthetic snapshots (~3-4 captures each), keep max ts,
+    // ties → min doc_id (planted: doc_id%50 mutants duplicate their
+    // original's url AND ts, so the tie-break is exercised). Spark side is
+    // a map-side-combining max_by AGGREGATION — not a window (see
+    // Dedup.latestCapture scaladoc); the oracle is the equivalent window.
+    "q81_url_latest" -> ((s, dir) => {
+      val base = rawDocs(s, dir).select(col("doc_id"),
+        concat(lit("https://s.com/p"), (col("doc_id") % 150).cast("string")).as("url"),
+        ((col("doc_id") * 37) % 1000).as("warc_ts"))
+      val tied = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("url"), col("warc_ts"))
+      graft.operators.Dedup.latestCapture(base.unionByName(tied),
+          "url", "warc_ts", "doc_id")
+        .select("url", "doc_id", "warc_ts", "n_captures").orderBy("url")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
     // embeddings ∪ planted scaled copies (cosine-identical, so each copy
     // MUST be dropped against its earlier original). Golden-pinned (k-means
@@ -1856,6 +1921,75 @@ object TextQueries {
         |       WHEN s.score <= c.hi THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM scored s JOIN cuts c USING (lang) ORDER BY s.doc_id""".stripMargin,
+    // Mirrors CcnetNormalize exactly on ASCII: lower → digit-fold → strip
+    // non-alnum-non-space → collapse runs → trim (see the expression's
+    // scaladoc for why the step order is equivalent to the single JVM pass).
+    "q78_ccnet_paradedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || CASE WHEN doc_id % 2 = 0
+        |      THEN 'Share on FACEBOOK - 1,234 Likes!!!'
+        |      ELSE 'share   on facebook 0000 likes' END AS text
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM u
+        |), lines AS (
+        |  SELECT doc_id, i AS line_no, ls[i] AS line,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(ls[i]), '[0-9]', '0', 'g'),
+        |      '[^a-z0-9 \t]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm
+        |  FROM ln, UNNEST(range(1, len(ls) + 1)) AS t(i)
+        |), keyed AS (
+        |  SELECT doc_id, line_no, line,
+        |    ('0x'||substr(md5(norm),1,15))::UBIGINT AS key
+        |  FROM lines
+        |), occ AS (
+        |  SELECT doc_id, line_no, line,
+        |    COUNT(*) OVER (PARTITION BY key) AS n_occ,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, line_no) AS rn
+        |  FROM keyed
+        |), kept AS (
+        |  SELECT doc_id, line_no, line FROM occ
+        |  WHERE n_occ = 1 OR (n_occ <= 1000000 AND rn = 1)
+        |)
+        |SELECT doc_id AS id, COUNT(*) AS n_lines_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS dedup_md5
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q79_host_cap" ->
+      """WITH pages AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'hot' || CAST(doc_id % 13 AS VARCHAR) || '.com'
+        |      ELSE 'h' || CAST(doc_id % 211 AS VARCHAR) || '.org' END AS host
+        |  FROM documents)
+        |SELECT doc_id, host, n_chars FROM pages
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id) <= 5
+        |ORDER BY doc_id""".stripMargin,
+    "q80_lang_temperature" ->
+      """WITH n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+        | r AS (SELECT lang, n_lang,
+        |   CAST(floor(least(1.0, 8.0 / sqrt(CAST(n_lang AS DOUBLE))) * 1000000.0) AS BIGINT) AS thr
+        |   FROM n)
+        |SELECT d.doc_id, d.lang, r.n_lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR) || '|t1'),1,15))::UBIGINT % 1000000 < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
+    "q81_url_latest" ->
+      """WITH caps AS (
+        |  SELECT doc_id,
+        |    'https://s.com/p' || CAST(doc_id % 150 AS VARCHAR) AS url,
+        |    (doc_id * 37) % 1000 AS warc_ts
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'https://s.com/p' || CAST(doc_id % 150 AS VARCHAR),
+        |    (doc_id * 37) % 1000
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), n AS (SELECT url, COUNT(*) AS n_captures FROM caps GROUP BY 1)
+        |SELECT c.url, c.doc_id, c.warc_ts, n.n_captures
+        |FROM caps c JOIN n USING (url)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY c.url ORDER BY c.warc_ts DESC, c.doc_id) = 1
+        |ORDER BY c.url""".stripMargin,
     "q71_extract_links" ->
       """SELECT doc_id, pos, 'https://site-' || CAST((doc_id * m + a) % 40 AS VARCHAR)
         |         || '.example.com/p' || CAST(doc_id AS VARCHAR) AS link

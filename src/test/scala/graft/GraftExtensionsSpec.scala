@@ -31,6 +31,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val lang = spark.sql("SELECT langid('the quick brown fox and the lazy dog of the north').lang AS l")
         .head().getString(0)
       assert(lang == "en")
+      val ccnet = spark.sql("SELECT ccnet_normalize('Share on FACEBOOK - 1,234 Likes!!!') AS n")
+        .head().getString(0)
+      assert(ccnet == "share on facebook 0000 likes")
       assert(spark.sql("SELECT winnow_fingerprint('some reasonably long text for fingerprinting') AS f")
         .head().getSeq[Long](0).nonEmpty)
       // redundancy detector: looped boilerplate compresses far below prose

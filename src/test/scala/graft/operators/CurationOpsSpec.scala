@@ -300,6 +300,25 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(capped(1L) == "alpha one\nbeta one")
   }
 
+  test("ccnet line dedup collapses case/digit/punct boilerplate variants; originals kept verbatim") {
+    val c = Seq(
+      (1L, "Unique alpha\nShare on FACEBOOK - 1,234 Likes!!!"),
+      (2L, "Unique beta\nshare   on facebook 0000 likes"),
+      (3L, "Unique gamma\nSHARE ON FACEBOOK — 5,678 likes") // digit-fold is per-digit: 4 digits → 0000
+    ).toDF("doc_id", "text")
+    val out = ExactSubstring.ccnetDedupLines(c, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text_dedup")).toMap
+    // all three footers share one normalized key → survive only in doc 1,
+    // and doc 1 keeps its ORIGINAL bytes, not the normalized form
+    assert(out(1L) == "Unique alpha\nShare on FACEBOOK - 1,234 Likes!!!")
+    assert(out(2L) == "Unique beta")
+    assert(out(3L) == "Unique gamma")
+    // plain dedupLines would NOT collapse them (different raw bytes)
+    val plain = ExactSubstring.dedupLines(c, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.sum("n_lines_kept")).head().getLong(0)
+    assert(plain == 6L)
+  }
+
   test("span dedup keeps first occurrence of a duplicated 3-sentence window") {
     val c = Seq(
       (1L, "One a. Two b. Three c. Tail a."),

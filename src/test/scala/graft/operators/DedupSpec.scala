@@ -257,4 +257,36 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh.forall(r => r.getAs[Long]("cand_id") == r.getAs[Long]("query_id") - 5000L))
     assert(lsh.forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6))
   }
+
+  test("latestCapture keeps max-ts capture per url, ts ties break on min id") {
+    val caps = Seq(
+      (1L, "u/a", 10L), (2L, "u/a", 30L), (3L, "u/a", 20L), // plain: max ts wins
+      (4L, "u/b", 50L), (9L, "u/b", 50L),                   // tie → min id
+      (7L, "u/c", 5L)                                        // singleton
+    ).toDF("id", "url", "ts")
+    val out = Dedup.latestCapture(caps, "url", "ts", "id")
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("ts"), r.getAs[Long]("n_captures")))).toMap
+    assert(out == Map("u/a" -> ((2L, 30L, 3L)), "u/b" -> ((4L, 50L, 2L)),
+      "u/c" -> ((7L, 5L, 1L))))
+  }
+
+  test("latestCapture is layout-invariant and matches the window formulation") {
+    val caps = spark.range(0, 2000).toDF("id")
+      .withColumn("url", concat(lit("p"), ($"id" % 97).cast("string")))
+      .withColumn("ts", ($"id" * 31) % 50) // dense ts collisions per url
+    def got(df: org.apache.spark.sql.DataFrame) =
+      Dedup.latestCapture(df, "url", "ts", "id")
+        .select("url", "id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      caps.withColumn("rn", row_number().over(
+          Window.partitionBy("url").orderBy($"ts".desc, $"id".asc)))
+        .filter($"rn" === 1).select("url", "id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    }
+    assert(got(caps) == viaWindow)
+    assert(got(caps.repartition(13)) == viaWindow)
+  }
 }

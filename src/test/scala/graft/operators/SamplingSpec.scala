@@ -41,6 +41,59 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(byG("common") - 900L) < 120, s"common ~10% of 9000: $byG")
   }
 
+  test("hostCap: under-cap hosts untouched, over-cap hosts keep best-`order` rows") {
+    val pages = spark.range(0, 1000).toDF("id")
+      .withColumn("host", when($"id" < 900, lit("giant.com"))
+        .otherwise(concat(lit("h"), ($"id" % 7).cast("string"), lit(".org"))))
+      .withColumn("score", ($"id" * 13) % 1000)
+    val kept = Sampling.hostCap(pages, "host", "score", "id", cap = 20)
+    val byHost = kept.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost("giant.com") == 20L, s"giant capped at 20: $byHost")
+    assert(byHost.filter(_._1 != "giant.com").values.forall(_ <= 20L))
+    assert(kept.count() == 20L + 100L) // 100 tail pages pass through whole
+    // the survivors of the capped host are exactly its top-20 scores
+    val giantScores = kept.filter($"host" === "giant.com")
+      .select("score").collect().map(_.getLong(0)).toSet
+    val top20 = pages.filter($"host" === "giant.com").orderBy($"score".desc, $"id")
+      .limit(20).select("score").collect().map(_.getLong(0)).toSet
+    assert(giantScores == top20)
+  }
+
+  test("hostCap is invariant to input partition layout") {
+    val pages = spark.range(0, 500).toDF("id")
+      .withColumn("host", concat(lit("h"), ($"id" % 9).cast("string")))
+      .withColumn("score", ($"id" * 7) % 100) // score ties → id tie-break matters
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hostCap(df, "host", "score", "id", cap = 11)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(pages) == ids(pages.repartition(13)))
+  }
+
+  test("temperatureSample: head language shrinks toward c·sqrt(n), tail kept whole") {
+    val docs = spark.range(0, 11000).toDF("id")
+      .withColumn("lang", when($"id" < 10000, "en").otherwise(
+        when($"id" < 10960, "fr").otherwise("mi")))
+    val kept = Sampling.temperatureSample(docs, "lang", $"id", c = 8.0, salt = "t")
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: rate 8/sqrt(10000)=0.08 → ~800 of 10000
+    assert(math.abs(byLang("en") - 800L) < 120, s"en ~800: $byLang")
+    // fr: 8/sqrt(960)≈0.258 → ~248 of 960
+    assert(math.abs(byLang("fr") - 248L) < 60, s"fr ~248: $byLang")
+    // mi: 8/sqrt(40)=1.26 → rate clamps to 1, all 40 kept
+    assert(byLang("mi") == 40L, s"tail language kept whole: $byLang")
+  }
+
+  test("temperatureSample selection is layout- and run-stable") {
+    val docs = spark.range(0, 3000).toDF("id")
+      .withColumn("lang", ($"id" % 5).cast("string"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureSample(df, "lang", $"id", c = 4.0, salt = "x")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(docs) == ids(docs.repartition(17)))
+  }
+
   test("decontaminate flags the doc whose passage seeded the benchmark") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
