@@ -1,7 +1,7 @@
 package graft
 
 import graft.filter.LangIdModel
-import graft.functions.{CcnetNormalize, DeflateRatio, LangIdExpression, NfcNormalize, PiiDetectExpression, PiiScrubExpression, RepetitionRatio, WinnowFingerprint}
+import graft.functions.{CcnetNormalize, DeflateRatio, LangIdExpression, LuhnValid, NfcNormalize, PiiDetectExpression, PiiScrubExpression, RepetitionRatio, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -44,5 +44,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("ccnet_normalize"),
       info("ccnet_normalize", "ccnet_normalize(text) - CCNet paragraph-dedup key (lowercase, accent/digit-fold, punct-strip)"),
       (args: Seq[Expression]) => CcnetNormalize(args.head)))
+    e.injectFunction((FunctionIdentifier("luhn_valid"),
+      info("luhn_valid", "luhn_valid(card) - ISO/IEC 7812-1 mod-10 checksum over a card-number candidate"),
+      (args: Seq[Expression]) => LuhnValid(args.head)))
   }
 }

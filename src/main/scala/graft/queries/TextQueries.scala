@@ -974,6 +974,25 @@ object TextQueries {
         .select("url", "doc_id", "warc_ts", "n_captures").orderBy("url")
     }),
 
+    // Luhn-gated card validation (ISO/IEC 7812-1): the regex layer accepts
+    // any 13-19-digit shape, so production scrubbers gate the hit on the
+    // mod-10 checksum to kill invoice/tracking-number false positives.
+    // Candidates are synthesized deterministically (16 digits, check digit
+    // = doc_id%10, grouped 4-4-4-4) so ~1 in 10 validates; Spark evaluates
+    // the LuhnValid expression on the SEPARATED form (stripping exercised),
+    // the oracle recomputes the checksum digit-by-digit in SQL.
+    "q82_card_luhn" -> ((s, dir) => {
+      val raw = concat(lit("4"),
+        lpad(((col("doc_id") * 7919 + 13) % 100000000000000L).cast("string"), 14, "0"),
+        (col("doc_id") % 10).cast("string"))
+      rawDocs(s, dir).select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), concat_ws("-",
+          substring(col("raw"), 1, 4), substring(col("raw"), 5, 4),
+          substring(col("raw"), 9, 4), substring(col("raw"), 13, 4)).as("card"))
+        .withColumn("luhn_ok", graft.functions.LuhnValid.luhn_valid(col("card")))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
     // embeddings ∪ planted scaled copies (cosine-identical, so each copy
     // MUST be dropped against its earlier original). Golden-pinned (k-means
@@ -1990,6 +2009,23 @@ object TextQueries {
         |FROM caps c JOIN n USING (url)
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY c.url ORDER BY c.warc_ts DESC, c.doc_id) = 1
         |ORDER BY c.url""".stripMargin,
+    // Digit-by-digit Luhn in SQL: double every second digit from the right
+    // ((16-i)%2=1 for left-index i), fold >9 by -9, sum ≡ 0 (mod 10).
+    "q82_card_luhn" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    '4' || lpad(CAST((doc_id * 7919 + 13) % 100000000000000 AS VARCHAR), 14, '0')
+        |        || CAST(doc_id % 10 AS VARCHAR) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(raw,1,4)||'-'||substr(raw,5,4)||'-'||substr(raw,9,4)||'-'||substr(raw,13,4) AS card,
+        |  list_sum(list_transform(range(1,17), i ->
+        |    CASE WHEN (16 - i) % 2 = 1 THEN
+        |      CASE WHEN 2*CAST(substr(raw,i,1) AS INT) > 9
+        |           THEN 2*CAST(substr(raw,i,1) AS INT) - 9
+        |           ELSE 2*CAST(substr(raw,i,1) AS INT) END
+        |    ELSE CAST(substr(raw,i,1) AS INT) END)) % 10 = 0 AS luhn_ok
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q71_extract_links" ->
       """SELECT doc_id, pos, 'https://site-' || CAST((doc_id * m + a) % 40 AS VARCHAR)
         |         || '.example.com/p' || CAST(doc_id AS VARCHAR) AS link

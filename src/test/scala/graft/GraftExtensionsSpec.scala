@@ -34,6 +34,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val ccnet = spark.sql("SELECT ccnet_normalize('Share on FACEBOOK - 1,234 Likes!!!') AS n")
         .head().getString(0)
       assert(ccnet == "share on facebook 0000 likes")
+      assert(spark.sql("SELECT luhn_valid('4111-1111-1111-1111') AS v").head().getBoolean(0))
+      assert(!spark.sql("SELECT luhn_valid('4111-1111-1111-1112') AS v").head().getBoolean(0))
       assert(spark.sql("SELECT winnow_fingerprint('some reasonably long text for fingerprinting') AS f")
         .head().getSeq[Long](0).nonEmpty)
       // redundancy detector: looped boilerplate compresses far below prose
