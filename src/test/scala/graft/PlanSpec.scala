@@ -192,4 +192,52 @@ class PlanSpec extends SparkSpecBase {
     assert(!f.contains("Join"), s"repeat must not join:\n$f")
     assert(f.contains("Generate explode"), "explode generate missing")
   }
+
+  test("q78: ccnet line dedup keeps the q56 shape — no joins, bounded shuffles") {
+    val p = executedPlan("q78_ccnet_paradedup")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(!f.contains("Join"), s"line dedup must not join:\n$f")
+    // one 8-byte-key window shuffle + one per-doc rebuild shuffle, nothing more
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(f).length
+    assert(exchanges <= 2, s"line dedup grew extra shuffles ($exchanges):\n$f")
+  }
+
+  test("q79: host cap broadcasts the over-cap set; corpus never sort-merges") {
+    val p = executedPlan("q79_host_cap")
+    assert(!p.contains("SortMergeJoin"), s"over-cap set must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"over-cap set must broadcast:\n$p")
+    // the window runs only on the semi-join (over-cap) branch — present,
+    // but fed by the broadcast-filtered side, never the raw scan directly
+    assert(p.contains("Window"), "cap window missing")
+  }
+
+  test("q80: temperature sampling — rates broadcast back, corpus not hash-shuffled") {
+    val p = executedPlan("q80_lang_temperature")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(f.contains("BroadcastHashJoin"), s"rates must broadcast:\n$f")
+    assert(!f.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$f")
+    // only the tiny per-language count agg may shuffle (partial → final)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(f).length
+    assert(exchanges <= 1, s"corpus-side shuffle crept in ($exchanges):\n$f")
+    assert(f.contains("partial_count"), "map-side partial count missing")
+  }
+
+  test("q81: latest-capture is a combining aggregation, not a window sort") {
+    val p = executedPlan("q81_url_latest")
+    assert(p.contains("partial_max_by"),
+      s"map-side max_by combine missing (window formulation crept back?):\n$p")
+    assert(!p.contains("Window"), s"must aggregate, not window-sort:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("q82: luhn gate is fully narrow — no shuffle, no join before the sort") {
+    val p = executedPlan("q82_card_luhn")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(!f.contains("Exchange hashpartitioning"), s"luhn gate must not shuffle:\n$f")
+    assert(!f.contains("Join"), s"luhn gate must not join:\n$f")
+    assert(f.contains("luhn_valid"), "expression missing from the plan")
+  }
 }
