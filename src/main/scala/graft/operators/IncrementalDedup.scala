@@ -233,6 +233,85 @@ object IncrementalDedup {
     out.result()
   }
 
+  // --- Incremental PARAGRAPH/LINE dedup (cross-batch) --------------------
+
+  /** One row per line of `docs`: (id, line_no, line, line_digest), digest =
+    * decimal string of the 60-bit hash of the CCNET-NORMALIZED line (case /
+    * digit / punctuation variants of the same boilerplate share a digest —
+    * [[graft.functions.CcnetNormalize]]). This is both the probe side of
+    * [[newLinesOnly]] and the row shape a production pipeline APPENDS to
+    * its persisted seen-paragraphs digest table after each batch. */
+  def lineDigests(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.{CcnetNormalize, TextFunctions => TF}
+    docs.select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")))
+      .select(col("id"), (col("pos") + 1).as("line_no"), col("col").as("line"))
+      .withColumn("line_digest",
+        TF.hash60(CcnetNormalize.ccnet_normalize(col("line"))).cast("string"))
+  }
+
+  /** Cross-batch paragraph dedup (the paragraph analogue of [[newOnly]],
+    * the discipline Dolma's dedup step applies with a persisted Bloom
+    * filter of every paragraph ever seen): rebuild each incoming-batch
+    * document with every line whose digest occurs in `historyDigests`
+    * REMOVED; a document whose every line is known boilerplate drops out
+    * entirely. Exactly equals lines-of-batch ANTI JOIN history (the Bloom
+    * pass changes cost, not the answer — same contract as [[newOnly]],
+    * and what the q83 DuckDB oracle checks).
+    *
+    * Scale shape: the history is line-grain (≈30× doc count) so the
+    * sharded-Bloom path matters sooner than for whole-document digests —
+    * definitely-new lines (the overwhelming majority of a fresh crawl's
+    * prose) never shuffle; only Bloom-positive suspects pay the verify
+    * join against the digest-bucketed history table. Within-batch line
+    * dedup stays [[ExactSubstring.ccnetDedupLines]]'s job — this operator
+    * guards the batch↔history boundary only. */
+  def newLinesOnlyManaged(batch: DataFrame, historyDigests: DataFrame,
+                          idCol: String, textCol: String,
+                          expectedItems: Long, fpp: Double = 0.01,
+                          shards: Int = 1): Prefiltered = {
+    val pf = newOnlyManaged(lineDigests(batch, idCol, textCol),
+      historyDigests, "line_digest", expectedItems, fpp, shards)
+    val rebuilt = pf.df.groupBy("id")
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          x => x("line")), "\n").as("text_dedup"))
+    Prefiltered(rebuilt, pf.release)
+  }
+
+  /** One-shot form of [[newLinesOnlyManaged]] (filter left to GC). */
+  def newLinesOnly(batch: DataFrame, historyDigests: DataFrame,
+                   idCol: String, textCol: String, expectedItems: Long,
+                   fpp: Double = 0.01, shards: Int = 1): DataFrame =
+    newLinesOnlyManaged(batch, historyDigests, idCol, textCol,
+      expectedItems, fpp, shards).df
+
+  /** Per-batch incremental paragraph-dedup loop (the line-grain analogue
+    * of [[dedupBatches]]): each batch is rebuilt against the accumulated
+    * line-digest history, then the digests of its SURVIVING lines are
+    * appended (what a production run appends to the persisted digest
+    * table), and the batch's filter broadcast is released before the next
+    * iteration builds its own. */
+  def lineDedupBatches(batches: Seq[DataFrame], history0: DataFrame,
+                       idCol: String, textCol: String, expectedItems: Long,
+                       fpp: Double = 0.01, shards: Int = 1): Seq[DataFrame] = {
+    var history = lineDigests(history0, idCol, textCol).select("line_digest")
+      .localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    for (batch <- batches) {
+      val pf = newLinesOnlyManaged(batch, history, idCol, textCol,
+        expectedItems, fpp, shards)
+      val survivors = pf.df.localCheckpoint() // eager: probe tasks run now
+      pf.release()
+      out += survivors
+      history = history.unionByName(
+        lineDigests(survivors.withColumnRenamed("text_dedup", "t"), "id", "t")
+          .select("line_digest")).localCheckpoint()
+    }
+    out.result()
+  }
+
   /** Shard router — a plain JVM hash is fine: build and probe both run this
     * exact function (no SQL-side mirror needed; result equality with the
     * anti-join is what the oracle pins). */

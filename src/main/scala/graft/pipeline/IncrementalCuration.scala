@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *   1. exact     — Bloom-prefiltered digest anti-join
   *                  ([[IncrementalDedup.newOnly]]);
+  *   1b. paragraph (optional, `init(withLineDedup = true)`) — within-batch
+  *                  line collapse + rebuild against the seen-line digest
+  *                  history ([[IncrementalDedup.newLinesOnly]]);
   *   2. near-dup  — MinHash bands vs the persisted band table
   *                  ([[IncrementalDedup.nearNewOnly]]);
   *   3. quality   — the langid + Gopher/C4 gate chain
@@ -36,11 +39,14 @@ object IncrementalCuration {
 
   /** The persisted history: curated docs (id, text, digest), their MinHash
     * band table, the frozen semantic quantizer and its assignment table
-    * (None when the corpus has no embeddings). */
+    * (None when the corpus has no embeddings), and — when paragraph dedup
+    * is on — the seen-line digest table (the persisted form of Dolma's
+    * seen-paragraphs Bloom filter; stored digest-bucketed at scale). */
   final case class State(
       docs: DataFrame,
       bands: DataFrame,
-      semantic: Option[SemState])
+      semantic: Option[SemState],
+      lines: Option[DataFrame] = None)
 
   final case class SemState(centroids: Array[Array[Double]],
                             cells: DataFrame)
@@ -49,7 +55,8 @@ object IncrementalCuration {
     * full [[Curation]] run). */
   def init(corpus: DataFrame,
            embeddings: Option[DataFrame],
-           nCells: Int = 16): State = {
+           nCells: Int = 16,
+           withLineDedup: Boolean = false): State = {
     val docs = corpus.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .withColumn("digest", md5(col("text")))
     // state tables are materialized once at birth (at scale: written to the
@@ -59,7 +66,11 @@ object IncrementalCuration {
       val centroids = Similarity.fitSemCentroids(e, nCells)
       SemState(centroids, Similarity.assignCells(e, centroids).localCheckpoint())
     }
-    State(docs, bands, sem)
+    val lines =
+      if (!withLineDedup) None
+      else Some(IncrementalDedup.lineDigests(docs, "doc_id", "text")
+        .select("line_digest").distinct().localCheckpoint())
+    State(docs, bands, sem, lines)
   }
 
   /** One daily step: returns (survivors of the batch, next state).
@@ -84,12 +95,31 @@ object IncrementalCuration {
     val b1 = pf.df.localCheckpoint()
     pf.release()
 
+    // 1b. paragraph dedup (optional): within-batch line collapse
+    //     (ccnetDedupLines) then rebuild against the seen-line history —
+    //     BEFORE near-dup, so shared boilerplate lines can't manufacture
+    //     MinHash similarity between otherwise-unrelated pages. A doc whose
+    //     every line is known boilerplate drops out here.
+    val b1b = state.lines match {
+      case Some(ld) =>
+        val within = graft.operators.ExactSubstring
+          .ccnetDedupLines(b1, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("text_dedup").as("text"))
+        val pfL = IncrementalDedup.newLinesOnlyManaged(within, ld,
+          "doc_id", "text", expectedHistoryDigests, shards = bloomShards)
+        val out = pfL.df.select(col("id").as("doc_id"),
+          col("text_dedup").as("text")).localCheckpoint()
+        pfL.release()
+        out
+      case None => b1
+    }
+
     // 2. near-dup: within the batch first (full-corpus operator over the
     //    day — smaller probe side for the history join), then vs history
     //    (persisted band table; nearNewOnly needs history text for the
     //    Jaccard verify join)
     val b2 = IncrementalDedup.nearNewOnly(
-      Curation.neardupStage(b1, cfg.neardupThreshold),
+      Curation.neardupStage(b1b, cfg.neardupThreshold),
       state.docs, "doc_id", "text",
       threshold = cfg.neardupThreshold, historyBands = Some(state.bands))
 
@@ -132,7 +162,10 @@ object IncrementalCuration {
       docs = state.docs.unionByName(survivors.select("doc_id", "text", "digest")),
       bands = state.bands.unionByName(
         IncrementalDedup.bandTable(survivors, "doc_id", "text").localCheckpoint()),
-      semantic = nextSem)
+      semantic = nextSem,
+      lines = state.lines.map(_.unionByName(
+        IncrementalDedup.lineDigests(survivors, "doc_id", "text")
+          .select("line_digest").distinct().localCheckpoint())))
     (survivors.select("doc_id", "text"), next)
   }
 }

@@ -974,6 +974,30 @@ object TextQueries {
         .select("url", "doc_id", "warc_ts", "n_captures").orderBy("url")
     }),
 
+    // Incremental (cross-batch) paragraph dedup, Dolma-style: the odd-id
+    // half of the corpus arrives as a fresh batch and is rebuilt with every
+    // line whose CCNET-NORMALIZED digest was already seen in the even-id
+    // history removed (Bloom-prefiltered, B=2 sharded; answer exactly equals
+    // the anti-join, which is what the oracle computes). Planted parity
+    // footers guarantee cross-boundary hits through DIFFERENT surface forms;
+    // organic cross-half dup lines count too, and the oracle mirrors both.
+    "q83_incr_linededup" -> ((s, dir) => {
+      import graft.operators.IncrementalDedup
+      val withFooter = rawDocs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+              lit("\nShare on FACEBOOK - 1,234 Likes!!!"))
+            .otherwise(lit("\nshare   on facebook 0000 likes"))).as("text"))
+      val hist = withFooter.filter(col("doc_id") % 2 === 0)
+      val batch = withFooter.filter(col("doc_id") % 2 === 1)
+      val histD = IncrementalDedup.lineDigests(hist, "doc_id", "text")
+        .select("line_digest")
+      IncrementalDedup.newLinesOnly(batch, histD, "doc_id", "text",
+          expectedItems = 100000, shards = 2)
+        .select(col("id"), col("n_lines_kept"), md5(col("text_dedup")).as("dedup_md5"))
+        .orderBy("id")
+    }),
+
     // Luhn-gated card validation (ISO/IEC 7812-1): the regex layer accepts
     // any 13-19-digit shape, so production scrubbers gate the hit on the
     // mod-10 checksum to kill invoice/tracking-number false positives.
@@ -2009,6 +2033,36 @@ object TextQueries {
         |FROM caps c JOIN n USING (url)
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY c.url ORDER BY c.warc_ts DESC, c.doc_id) = 1
         |ORDER BY c.url""".stripMargin,
+    // Same ASCII normalization mirror as q78; the incremental semantics is
+    // a plain NOT IN against the even-half's distinct keys.
+    "q83_incr_linededup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || CASE WHEN doc_id % 2 = 0
+        |      THEN 'Share on FACEBOOK - 1,234 Likes!!!'
+        |      ELSE 'share   on facebook 0000 likes' END AS text
+        |  FROM documents
+        |), ln AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM u
+        |), lines AS (
+        |  SELECT doc_id, i AS line_no, ls[i] AS line,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(ls[i]), '[0-9]', '0', 'g'),
+        |      '[^a-z0-9 \t]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm
+        |  FROM ln, UNNEST(range(1, len(ls) + 1)) AS t(i)
+        |), keyed AS (
+        |  SELECT doc_id, line_no, line,
+        |    ('0x'||substr(md5(norm),1,15))::UBIGINT AS key
+        |  FROM lines
+        |), hist AS (
+        |  SELECT DISTINCT key FROM keyed WHERE doc_id % 2 = 0
+        |), kept AS (
+        |  SELECT doc_id, line_no, line FROM keyed
+        |  WHERE doc_id % 2 = 1 AND key NOT IN (SELECT key FROM hist)
+        |)
+        |SELECT doc_id AS id, COUNT(*) AS n_lines_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS dedup_md5
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     // Digit-by-digit Luhn in SQL: double every second digit from the right
     // ((16-i)%2=1 for left-index i), fold >9 by -9, sum ≡ 0 (mod 10).
     "q82_card_luhn" ->

@@ -319,6 +319,32 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(plain == 6L)
   }
 
+  test("incremental line dedup drops batch lines whose normalized key is in history") {
+    val hist = Seq((1L, "alpha\nShare on FACEBOOK - 1,234 Likes!!!")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh prose\nshare   on facebook 0000 likes"), // variant of known footer
+      (11L, "SHARE ON FACEBOOK — 5,678 likes")               // every line known → doc drops out
+    ).toDF("doc_id", "text")
+    val histD = IncrementalDedup.lineDigests(hist, "doc_id", "text").select("line_digest")
+    val out = IncrementalDedup.newLinesOnly(batch, histD, "doc_id", "text",
+        expectedItems = 1024, shards = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text_dedup")).toMap
+    assert(out == Map(10L -> "fresh prose"))
+  }
+
+  test("lineDedupBatches: batch 2 dedups against history plus batch-1 survivors") {
+    val h = Seq((1L, "base line")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "new in b1\nbase line")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "new in b1\nfresh b2"), (21L, "base line")).toDF("doc_id", "text")
+    val Seq(s1, s2) = IncrementalDedup.lineDedupBatches(
+      Seq(b1, b2), h, "doc_id", "text", expectedItems = 1024)
+    assert(s1.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text_dedup")).toMap
+      == Map(10L -> "new in b1")) // "base line" was in history
+    // doc 20: "new in b1" survived batch 1 → now history → dropped; doc 21 all-known → gone
+    assert(s2.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text_dedup")).toMap
+      == Map(20L -> "fresh b2"))
+  }
+
   test("span dedup keeps first occurrence of a duplicated 3-sentence window") {
     val c = Seq(
       (1L, "One a. Two b. Three c. Tail a."),

@@ -77,4 +77,27 @@ class IncrementalCurationSpec extends SparkSpecBase {
     assert(state2.bands.count() > state1.bands.count())
     assert(state1.semantic.get.cells.count() >= state0.semantic.get.cells.count())
   }
+
+  test("optional paragraph stage: history boilerplate dies line-level across surface variants") {
+    val history = base.filter($"doc_id" < 50)
+      .select($"doc_id", concat($"text", lit("\nShare on FACEBOOK - 1,234 Likes!!!")).as("text"))
+    val state0 = IncrementalCuration.init(history, None, withLineDedup = true)
+    // the batch carries a DIFFERENT surface form of the same footer — only
+    // the ccnet-normalized line key can connect them
+    val batch = base.filter($"doc_id" >= 100 && $"doc_id" < 130)
+      .select($"doc_id", concat($"text", lit("\nshare   on facebook 0000 likes")).as("text"))
+    val (s1, state1) = IncrementalCuration.step(state0, batch, None)
+    val surv = s1.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val orig = base.filter($"doc_id" >= 100 && $"doc_id" < 130)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(surv.nonEmpty, "fresh docs must survive the chain")
+    // the footer line is gone from every survivor, body lines are its own
+    surv.foreach { case (id, t) =>
+      assert(!t.toLowerCase.contains("facebook"), s"doc $id kept the footer")
+      assert(t.split("\n").toSet.subsetOf(orig(id).split("\n").toSet),
+        s"doc $id carries lines not in its original body")
+    }
+    // the survivors' fresh line digests accumulated into state
+    assert(state1.lines.get.count() > state0.lines.get.count())
+  }
 }
