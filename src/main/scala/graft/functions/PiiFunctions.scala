@@ -78,10 +78,62 @@ case class PiiProcessExpression(child: Expression) extends UnaryExpression with 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** scrub_pii_strict(text): like scrub_pii, but a card / RRN span whose value
+  * is checksum-ELIGIBLE (a full numeric candidate: 13-19 card digits with
+  * separators, or the complete 13-digit RRN shape) yet FAILS its checksum
+  * ([[LuhnValid]]; [[RrnValid.check]] or the ARC +2 variant
+  * [[RrnValid.checkArc]]) is left unredacted — these are precisely the
+  * regex layer's random-number false positives (invoice/tracking/order
+  * ids). Values that are NOT checksum-eligible — masked cards, crypto
+  * wallets (in the card category by reference contract), partial or
+  * OCR-damaged RRNs — are always scrubbed: recall over precision wherever
+  * a checksum can't rule.
+  *
+  * Net-new semantics; the reference-parity scrub is [[PiiScrubExpression]]. */
+case class PiiScrubStrictExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "scrub_pii_strict"
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val spans = PiiDetector.detectWithSpans(text)._2
+    UTF8String.fromString(
+      PiiDetector.scrubSpans(text, spans.filter(PiiChecksums.redact)))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** The checksum gate shared by the strict scrub (and available to bespoke
+  * span post-filters). */
+object PiiChecksums {
+  /** true → the span should still be redacted. */
+  def redact(s: graft.core.PiiSpan): Boolean = s.cat match {
+    case PiiCategories.Card =>
+      !cardEligible(s.value) || LuhnValid.check(s.value)
+    case PiiCategories.Rrn =>
+      !RrnValid.eligible(s.value) || RrnValid.check(s.value) || RrnValid.checkArc(s.value)
+    case _ => true
+  }
+
+  /** Purely numeric up to card separators, 13-19 digits — the shapes the
+    * Luhn verdict applies to. */
+  def cardEligible(v: String): Boolean = {
+    var digits = 0
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c >= '0' && c <= '9') digits += 1
+      else if (c != '-' && c != '.' && c != ' ' && c != '\t') return false
+      i += 1
+    }
+    digits >= 13 && digits <= 19
+  }
+}
+
 object PiiFunctions {
   /** Column API: detect_pii($"text") */
   def detect_pii(c: Column): Column = ColumnBridge.column(PiiDetectExpression(ColumnBridge.expression(c)))
   def scrub_pii(c: Column): Column = ColumnBridge.column(PiiScrubExpression(ColumnBridge.expression(c)))
+  def scrub_pii_strict(c: Column): Column = ColumnBridge.column(PiiScrubStrictExpression(ColumnBridge.expression(c)))
   def process_pii(c: Column): Column = ColumnBridge.column(PiiProcessExpression(ColumnBridge.expression(c)))
 
   /** SQL registration: SELECT detect_pii(text), scrub_pii(text) ... */

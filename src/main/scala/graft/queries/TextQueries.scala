@@ -1017,6 +1017,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Checksum-gated strict scrub end-to-end: each doc's text carries one
+    // q82-style card candidate AND one q84-style RRN candidate with
+    // independent validity; scrub_pii_strict must redact exactly the
+    // checksum-passing ones and leave the failures in the clear. The oracle
+    // REBUILDS the expected output string in SQL (card: Luhn; RRN: citizen
+    // mod-11 OR the ARC +2 variant for g 5-8) — by construction it also
+    // proves no other detector category claims the kept digits.
+    "q85_strict_scrub" -> ((s, dir) => {
+      val cardRaw = concat(lit("4"),
+        lpad(((col("doc_id") * 7919 + 13) % 100000000000000L).cast("string"), 14, "0"),
+        (col("doc_id") % 10).cast("string"))
+      val card = concat_ws("-",
+        substring(cardRaw, 1, 4), substring(cardRaw, 5, 4),
+        substring(cardRaw, 9, 4), substring(cardRaw, 13, 4))
+      val rrn = concat(lit("900101-"), (col("doc_id") % 10).cast("string"),
+        lpad(((col("doc_id") * 101) % 100000).cast("string"), 5, "0"),
+        ((col("doc_id") * 7) % 10).cast("string"))
+      rawDocs(s, dir).select(col("doc_id"),
+          concat(lit("결제 카드번호 "), card, lit(" 주민등록번호 "), rrn,
+            lit(" 확인")).as("text"))
+        .withColumn("text_strict",
+          graft.functions.PiiFunctions.scrub_pii_strict(col("text")))
+        .select("doc_id", "text_strict").orderBy("doc_id")
+    }),
+
+    // Korean RRN checksum gate: the reference's 주민등록번호 regex is
+    // shape-only; the weighted mod-11 check (weights 2..9,2..5 over d1-d12)
+    // plus the g∈[1,8] gender-digit rule rejects ~92% of random candidates.
+    // Candidates synthesized with independent gender/serial/check digits so
+    // both rejection paths (bad gender digit, bad checksum) are exercised.
+    "q84_rrn_check" -> ((s, dir) => {
+      val rrn = concat(lit("900101-"), (col("doc_id") % 10).cast("string"),
+        lpad(((col("doc_id") * 101) % 100000).cast("string"), 5, "0"),
+        ((col("doc_id") * 7) % 10).cast("string"))
+      rawDocs(s, dir).select(col("doc_id"), rrn.as("rrn"))
+        .withColumn("rrn_ok", graft.functions.RrnValid.rrn_valid(col("rrn")))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup over
     // embeddings ∪ planted scaled copies (cosine-identical, so each copy
     // MUST be dropped against its earlier original). Golden-pinned (k-means
@@ -2063,6 +2102,56 @@ object TextQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_lines_kept,
         |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS dedup_md5
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Expected strict-scrub output rebuilt in SQL: the card clause uses the
+    // q82 Luhn formula, the RRN clause the q84 citizen rule OR'd with the
+    // ARC +2 variant (gender digit 5-8).
+    "q85_strict_scrub" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    '4' || lpad(CAST((doc_id * 7919 + 13) % 100000000000000 AS VARCHAR), 14, '0')
+        |        || CAST(doc_id % 10 AS VARCHAR) AS cardraw,
+        |    '900101' || CAST(doc_id % 10 AS VARCHAR)
+        |      || lpad(CAST((doc_id * 101) % 100000 AS VARCHAR), 5, '0')
+        |      || CAST((doc_id * 7) % 10 AS VARCHAR) AS rrnraw
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id,
+        |    substr(cardraw,1,4)||'-'||substr(cardraw,5,4)||'-'||substr(cardraw,9,4)||'-'||substr(cardraw,13,4) AS card,
+        |    substr(rrnraw,1,6) || '-' || substr(rrnraw,7,7) AS rrn,
+        |    list_sum(list_transform(range(1,17), i ->
+        |      CASE WHEN (16 - i) % 2 = 1 THEN
+        |        CASE WHEN 2*CAST(substr(cardraw,i,1) AS INT) > 9
+        |             THEN 2*CAST(substr(cardraw,i,1) AS INT) - 9
+        |             ELSE 2*CAST(substr(cardraw,i,1) AS INT) END
+        |      ELSE CAST(substr(cardraw,i,1) AS INT) END)) % 10 = 0 AS card_ok,
+        |    CAST(substr(rrnraw,7,1) AS INT) AS g,
+        |    (11 - (list_sum(list_transform(range(1,13), i ->
+        |       ((i - 1) % 8 + 2) * CAST(substr(rrnraw,i,1) AS INT))) % 11)) % 10 AS chk,
+        |    CAST(substr(rrnraw,13,1) AS INT) AS d13
+        |  FROM c)
+        |SELECT doc_id,
+        |  '결제 카드번호 ' || CASE WHEN card_ok THEN '[카드번호]' ELSE card END ||
+        |  ' 주민등록번호 ' ||
+        |  CASE WHEN (g BETWEEN 1 AND 8 AND chk = d13)
+        |         OR (g BETWEEN 5 AND 8 AND (chk + 2) % 10 = d13)
+        |       THEN '[주민등록번호]' ELSE rrn END || ' 확인' AS text_strict
+        |FROM v ORDER BY doc_id""".stripMargin,
+    // Weighted mod-11 RRN checksum in SQL: weights (i-1)%8+2 over d1-d12,
+    // gender digit d7 must be 1-8.
+    "q84_rrn_check" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    '900101' || CAST(doc_id % 10 AS VARCHAR)
+        |      || lpad(CAST((doc_id * 101) % 100000 AS VARCHAR), 5, '0')
+        |      || CAST((doc_id * 7) % 10 AS VARCHAR) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(raw,1,6) || '-' || substr(raw,7,7) AS rrn,
+        |  (CAST(substr(raw,7,1) AS INT) BETWEEN 1 AND 8) AND
+        |  ((11 - (list_sum(list_transform(range(1,13), i ->
+        |     ((i - 1) % 8 + 2) * CAST(substr(raw,i,1) AS INT))) % 11)) % 10
+        |    = CAST(substr(raw,13,1) AS INT)) AS rrn_ok
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Digit-by-digit Luhn in SQL: double every second digit from the right
     // ((16-i)%2=1 for left-index i), fold >9 by -9, sum ≡ 0 (mod 10).
     "q82_card_luhn" ->

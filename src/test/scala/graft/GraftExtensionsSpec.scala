@@ -36,6 +36,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(ccnet == "share on facebook 0000 likes")
       assert(spark.sql("SELECT luhn_valid('4111-1111-1111-1111') AS v").head().getBoolean(0))
       assert(!spark.sql("SELECT luhn_valid('4111-1111-1111-1112') AS v").head().getBoolean(0))
+      assert(spark.sql("SELECT rrn_valid('900101-1234568') AS v").head().getBoolean(0))
+      assert(!spark.sql("SELECT rrn_valid('900101-1234567') AS v").head().getBoolean(0))
       assert(spark.sql("SELECT winnow_fingerprint('some reasonably long text for fingerprinting') AS f")
         .head().getSeq[Long](0).nonEmpty)
       // redundancy detector: looped boilerplate compresses far below prose
