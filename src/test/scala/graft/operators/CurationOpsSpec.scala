@@ -345,6 +345,15 @@ class CurationOpsSpec extends SparkSpecBase {
       == Map(20L -> "fresh b2"))
   }
 
+  test("lineDedupBatches: replaying a batch contributes nothing (crash-replay safe)") {
+    val h = Seq((1L, "seed line")).toDF("doc_id", "text")
+    val b = Seq((10L, "fresh a\nfresh b")).toDF("doc_id", "text")
+    val Seq(s1, s2) = IncrementalDedup.lineDedupBatches(
+      Seq(b, b), h, "doc_id", "text", expectedItems = 1024)
+    assert(s1.count() == 1)
+    assert(s2.count() == 0, "every replayed line is history now — doc must drop out")
+  }
+
   test("span dedup keeps first occurrence of a duplicated 3-sentence window") {
     val c = Seq(
       (1L, "One a. Two b. Three c. Tail a."),

@@ -100,4 +100,16 @@ class IncrementalCurationSpec extends SparkSpecBase {
     // the survivors' fresh line digests accumulated into state
     assert(state1.lines.get.count() > state0.lines.get.count())
   }
+
+  test("replaying an already-applied batch yields zero survivors (crash-replay safe)") {
+    val history = base.filter($"doc_id" < 100)
+    val state0 = IncrementalCuration.init(history, None)
+    val batch = base.filter($"doc_id" >= 200 && $"doc_id" < 240)
+    val (s1, state1) = IncrementalCuration.step(state0, batch, None)
+    assert(s1.count() > 0, "first application must admit fresh docs")
+    // a crashed orchestrator re-submits the same batch: every doc's digest
+    // is now in state, so the exact stage kills the whole replay
+    val (s2, _) = IncrementalCuration.step(state1, batch, None)
+    assert(s2.count() == 0, "replay must be a no-op against updated state")
+  }
 }
