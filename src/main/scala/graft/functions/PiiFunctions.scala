@@ -58,22 +58,32 @@ case class PiiScrubExpression(child: Expression) extends UnaryExpression with Co
 /** process_pii(text) → struct(text_scrubbed string, n_pii int): detection and
   * redaction from ONE detector pass (detect_pii + scrub_pii as separate
   * columns would each run the full pattern battery). The pipeline's hot path. */
-case class PiiProcessExpression(child: Expression) extends UnaryExpression with CodegenFallback {
+case class PiiProcessExpression(child: Expression, strict: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
     StructField("text_scrubbed", StringType, nullable = false),
     StructField("n_pii", IntegerType, nullable = false)))
-  override def prettyName: String = "process_pii"
+  override def prettyName: String = if (strict) "process_pii_strict" else "process_pii"
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val (res, spans) = PiiDetector.detectWithSpans(text)
-    var n = 0
-    var i = 0
-    while (i < PiiCategories.size) {
-      if (res.cats(i) != null) n += res.cats(i).length
-      i += 1
+    if (strict) {
+      // checksum-gated fused path: one detector pass, spans filtered by the
+      // Luhn/RRN gates; n_pii = spans actually redacted (post-gate), the
+      // count downstream keep/report logic should act on
+      val kept = spans.filter(PiiChecksums.redact)
+      val scrubbed = if (kept.isEmpty) text else PiiDetector.scrubSpans(text, kept)
+      InternalRow(UTF8String.fromString(scrubbed), kept.length)
+    } else {
+      var n = 0
+      var i = 0
+      while (i < PiiCategories.size) {
+        if (res.cats(i) != null) n += res.cats(i).length
+        i += 1
+      }
+      val scrubbed = if (spans.isEmpty) text else PiiDetector.scrubSpans(text, spans)
+      InternalRow(UTF8String.fromString(scrubbed), n)
     }
-    val scrubbed = if (spans.isEmpty) text else PiiDetector.scrubSpans(text, spans)
-    InternalRow(UTF8String.fromString(scrubbed), n)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
@@ -135,6 +145,7 @@ object PiiFunctions {
   def scrub_pii(c: Column): Column = ColumnBridge.column(PiiScrubExpression(ColumnBridge.expression(c)))
   def scrub_pii_strict(c: Column): Column = ColumnBridge.column(PiiScrubStrictExpression(ColumnBridge.expression(c)))
   def process_pii(c: Column): Column = ColumnBridge.column(PiiProcessExpression(ColumnBridge.expression(c)))
+  def process_pii_strict(c: Column): Column = ColumnBridge.column(PiiProcessExpression(ColumnBridge.expression(c), strict = true))
 
   /** SQL registration: SELECT detect_pii(text), scrub_pii(text) ... */
   def register(spark: SparkSession): Unit = {

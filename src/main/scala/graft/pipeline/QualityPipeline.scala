@@ -47,7 +47,13 @@ object QualityPipeline {
       maxDupLineFrac: Double = 0.30,
       maxDupParaFrac: Double = 0.30,
       maxDupLineCharFrac: Double = 0.20,
-      maxDupParaCharFrac: Double = 0.20)
+      maxDupParaCharFrac: Double = 0.20,
+      // Checksum-gated scrub (Luhn for cards, mod-11 for RRNs): card/RRN
+      // regex hits failing their checksum are NOT redacted (the regex
+      // layer's random-number false positives) and don't count in n_pii.
+      // OFF by default — it changes text_scrubbed/n_pii for exactly those
+      // rows, which the reference-parity goldens pin.
+      strictScrub: Boolean = false)
 
   /** Optional stage 0a: populate `text` from the raw `html` payload for
     * pages that arrive without a pre-extracted text column — jusText
@@ -227,9 +233,13 @@ object QualityPipeline {
       .drop("_ms")
 
   /** Stage 4: PII detection + redaction in ONE detector pass per row
-    * (process_pii expression; patterns are executor singletons). */
-  def piiStage(df: DataFrame): DataFrame =
-    df.withColumn("pp", PiiFunctions.process_pii(col("text")))
+    * (process_pii expression; patterns are executor singletons). With
+    * `strict`, the same single pass additionally gates card/RRN spans on
+    * their checksums before redacting. */
+  def piiStage(df: DataFrame, strict: Boolean = false): DataFrame =
+    df.withColumn("pp",
+        if (strict) PiiFunctions.process_pii_strict(col("text"))
+        else PiiFunctions.process_pii(col("text")))
       .withColumn("n_pii", col("pp.n_pii"))
       .withColumn("text_scrubbed", col("pp.text_scrubbed"))
       .drop("pp")
@@ -239,7 +249,7 @@ object QualityPipeline {
           model: LangIdModel = LangIdModel.default): DataFrame = {
     val base = extract(pages)
     val lf = if (cfg.c4LineFilter) lineFilterStage(base, cfg) else base
-    piiStage(qualityStage(langIdStage(lf, model), cfg))
+    piiStage(qualityStage(langIdStage(lf, model), cfg), cfg.strictScrub)
   }
 
   /** Zero-extra-pass metrics: `observe` accumulates named aggregates while

@@ -1017,6 +1017,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Syndication / mirror detection: byte-identical text republished on
+    // MULTIPLE hosts (press-wire copy, mirrors, scraper farms — at crawl
+    // scale a large fraction of exact dups). Mirror copies are planted
+    // (doc_id%25 re-published under a shifted id → different host per the
+    // host formula). One uniform shuffle on the content digest; the
+    // count-distinct over hosts expands within digest groups whose size is
+    // the dup-group size, not corpus scale. Canonical = min doc_id.
+    "q86_syndication" -> ((s, dir) => {
+      val caps = rawDocs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(rawDocs(s, dir).filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pages = caps.select(col("doc_id"), md5(col("text")).as("digest"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("hot"), (col("doc_id") % 13).cast("string"), lit(".com")))
+          .otherwise(concat(lit("h"), (col("doc_id") % 211).cast("string"), lit(".org")))
+          .as("host"))
+      pages.groupBy("digest")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("host")).as("n_hosts"),
+          min(col("doc_id")).as("canonical_id"))
+        .filter(col("n_hosts") >= 2)
+        .orderBy("digest")
+    }),
+
     // Checksum-gated strict scrub end-to-end: each doc's text carries one
     // q82-style card candidate AND one q84-style RRN candidate with
     // independent validity; scrub_pii_strict must redact exactly the
@@ -2102,6 +2126,21 @@ object TextQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_lines_kept,
         |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS dedup_md5
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_syndication" ->
+      """WITH caps AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+        |), pages AS (
+        |  SELECT doc_id, md5(text) AS digest,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'hot' || CAST(doc_id % 13 AS VARCHAR) || '.com'
+        |      ELSE 'h' || CAST(doc_id % 211 AS VARCHAR) || '.org' END AS host
+        |  FROM caps)
+        |SELECT digest, COUNT(*) AS n_copies, COUNT(DISTINCT host) AS n_hosts,
+        |  MIN(doc_id) AS canonical_id
+        |FROM pages GROUP BY 1 HAVING COUNT(DISTINCT host) >= 2
+        |ORDER BY digest""".stripMargin,
     // Expected strict-scrub output rebuilt in SQL: the card clause uses the
     // q82 Luhn formula, the RRN clause the q84 citizen rule OR'd with the
     // ARC +2 variant (gender digit 5-8).

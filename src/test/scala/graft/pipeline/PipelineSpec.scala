@@ -169,6 +169,32 @@ class PipelineSpec extends SparkSpecBase {
     assert(off("https://a.example.org/ok").contains("Home | About | Contact"))
   }
 
+  test("strictScrub config: failed-checksum numbers survive, real PII still dies") {
+    import spark.implicits._
+    val body = "A full prose sentence to carry the page through the quality gates. " +
+      "Another sentence with enough ordinary words to stay above every threshold. "
+    val pages = Seq(
+      ("https://a.example.org/valid", body + "결제 카드번호 4111-1111-1111-1111 입니다"),
+      ("https://b.example.org/invalid", body + "주문번호 4111-1111-1111-1112 입니다"))
+      .toDF("url", "text")
+      .withColumn("warc_ts", timestamp_seconds(lit(1704067200L)))
+      .withColumn("html", encode(col("text"), "UTF-8"))
+      .withColumn("lang", lit("en"))
+    val strict = QualityPipeline.run(pages, QualityPipeline.Config(strictScrub = true))
+      .select("url", "text_scrubbed", "n_pii").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val (sv, nv) = strict("https://a.example.org/valid")
+    assert(sv.contains("[카드번호]") && nv >= 1, "Luhn-valid card must still scrub")
+    val (si, ni) = strict("https://b.example.org/invalid")
+    assert(si.contains("4111-1111-1111-1112") && ni == 0,
+      "failed-checksum number must stay in the clear with n_pii 0")
+    // default config: both redact (reference-parity scrub) — the goldens' contract
+    val plain = QualityPipeline.run(pages)
+      .select("url", "text_scrubbed").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plain.values.forall(_.contains("[카드번호]")))
+  }
+
   test("pipeline: non-PII pages keep text verbatim; PII pages are scrubbed") {
     val result = QualityPipeline.run(SyntheticPages.fromDocuments(spark, sfDir)).cache()
     val clean = result.filter(col("n_pii") === 0)
