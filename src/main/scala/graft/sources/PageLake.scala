@@ -250,6 +250,11 @@ object PageLake {
             s"also failed (suppressed): ${e.getMessage}")
       }
     }
+    // Rewrites DELETE the replaced data files, so snapshots older than the
+    // manifest refresh above can no longer be served — expire them instead
+    // of leaving dangling time-travel entries (Iceberg's maintenance
+    // pairing: rewrite_data_files then expire_snapshots).
+    if (rewritten > 0) expireSnapshots(spark, path, keepLast = 1): Unit
     (rewritten, before, after)
   }
 
@@ -326,6 +331,8 @@ object PageLake {
                             maxTs: Long = Long.MaxValue)
 
   private val ManifestName = "_graft_manifest.json"
+  private val SnapshotLogDir = "_graft_manifest_log"
+  private val VersionHintName = "version-hint.text"
 
   /** Rebuild the lake's manifest: one footer read per data file, recording
     * each file's url_bucket min/max (and its date partition) — the
@@ -349,8 +356,28 @@ object PageLake {
       n.put("rows", s.rows)
       n.put("min_ts", s.minTs); n.put("max_ts", s.maxTs): Unit
     }
+    val bytes = om.writeValueAsBytes(arr)
     val out = fs.create(new org.apache.hadoop.fs.Path(root, ManifestName), true)
-    try out.write(om.writeValueAsBytes(arr)) finally out.close()
+    try out.write(bytes) finally out.close()
+    // Snapshot log (the Iceberg HadoopTables protocol shape: numbered
+    // manifest versions + a version-hint file): every manifest write
+    // APPENDS version N+1 and then atomically repoints the hint via a tmp
+    // rename — a reader that resolved version N keeps a consistent view
+    // for as long as N's data files live (appends never delete files, so
+    // append-only histories are fully time-travelable; compaction is the
+    // expiry boundary, see [[compact]]/[[expireSnapshots]]).
+    val logDir = new org.apache.hadoop.fs.Path(root, SnapshotLogDir)
+    fs.mkdirs(logDir)
+    val v = currentVersion(spark, path) + 1
+    val vOut = fs.create(new org.apache.hadoop.fs.Path(logDir, f"v$v%05d.json"), true)
+    try vOut.write(bytes) finally vOut.close()
+    val hintTmp = new org.apache.hadoop.fs.Path(logDir, ".version-hint.tmp")
+    val hOut = fs.create(hintTmp, true)
+    try hOut.write(v.toString.getBytes("UTF-8")) finally hOut.close()
+    val hint = new org.apache.hadoop.fs.Path(logDir, VersionHintName)
+    if (fs.exists(hint)) fs.delete(hint, false)
+    if (!fs.rename(hintTmp, hint))
+      throw new java.io.IOException(s"version-hint update failed for $path")
     stats.length
   }
 
@@ -432,33 +459,115 @@ object PageLake {
   }
 
   /** The manifest, if the lake has one. */
-  def readManifest(spark: SparkSession, path: String): Option[Seq[FileStat]] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path, ManifestName)
-    val fs = p.getFileSystem(conf)
+  def readManifest(spark: SparkSession, path: String): Option[Seq[FileStat]] =
+    readFileBytes(spark, new org.apache.hadoop.fs.Path(path, ManifestName))
+      .flatMap(parseManifest)
+
+  private def readFileBytes(spark: SparkSession,
+                            p: org.apache.hadoop.fs.Path): Option[Array[Byte]] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val bytes = try {
+      Some(try {
         val bos = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
         bos.toByteArray
-      } finally in.close()
-      // a torn/corrupt manifest reads as absent (callers rebuild), never as
-      // an exception on the read path
-      scala.util.Try {
-        val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-        import scala.jdk.CollectionConverters._
-        arr.elements().asScala.map(n => FileStat(n.get("path").asText(),
-          n.get("date").asText(), n.get("min_bucket").asInt(),
-          n.get("max_bucket").asInt(),
-          // legacy manifests lack these fields → unknown sentinels
-          // (full-range reads, row count unavailable)
-          if (n.has("rows")) n.get("rows").asLong() else -1L,
-          if (n.has("min_ts")) n.get("min_ts").asLong() else Long.MinValue,
-          if (n.has("max_ts")) n.get("max_ts").asLong() else Long.MaxValue)).toSeq
-      }.toOption
+      } finally in.close())
     }
+  }
+
+  /** A torn/corrupt manifest parses as absent (callers rebuild), never as
+    * an exception on the read path. */
+  private def parseManifest(bytes: Array[Byte]): Option[Seq[FileStat]] =
+    scala.util.Try {
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      import scala.jdk.CollectionConverters._
+      arr.elements().asScala.map(n => FileStat(n.get("path").asText(),
+        n.get("date").asText(), n.get("min_bucket").asInt(),
+        n.get("max_bucket").asInt(),
+        // legacy manifests lack these fields → unknown sentinels
+        // (full-range reads, row count unavailable)
+        if (n.has("rows")) n.get("rows").asLong() else -1L,
+        if (n.has("min_ts")) n.get("min_ts").asLong() else Long.MinValue,
+        if (n.has("max_ts")) n.get("max_ts").asLong() else Long.MaxValue)).toSeq
+    }.toOption
+
+  // --- Snapshots / time travel (append-only histories) -------------------
+
+  /** Latest snapshot version; 0 when the lake predates the snapshot log.
+    * Hint-file first, directory-scan fallback (a crash between the version
+    * write and the hint rename leaves the new version discoverable). */
+  def currentVersion(spark: SparkSession, path: String): Int = {
+    val logDir = new org.apache.hadoop.fs.Path(path, SnapshotLogDir)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hinted = readFileBytes(spark,
+        new org.apache.hadoop.fs.Path(logDir, VersionHintName))
+      .flatMap(b => scala.util.Try(new String(b, "UTF-8").trim.toInt).toOption)
+    val scanned =
+      if (!fs.exists(logDir)) None
+      else fs.listStatus(logDir).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toInt).toOption }
+        .flatten.maxOption
+    (hinted.toSeq ++ scanned.toSeq).maxOption.getOrElse(0)
+  }
+
+  /** (version, nFiles, totalRows) per retained snapshot, ascending. */
+  def snapshots(spark: SparkSession, path: String): Seq[(Int, Int, Long)] = {
+    val logDir = new org.apache.hadoop.fs.Path(path, SnapshotLogDir)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) Nil
+    else fs.listStatus(logDir).toSeq.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (!(n.startsWith("v") && n.endsWith(".json"))) None
+      else for {
+        v <- scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toInt).toOption
+        stats <- readFileBytes(spark, p).flatMap(parseManifest)
+      } yield (v, stats.length, stats.map(s => math.max(0L, s.rows)).sum)
+    }.sortBy(_._1)
+  }
+
+  /** Time-travel read: exactly the data files snapshot `version` listed —
+    * the view a reader that resolved that version saw. Valid for as long
+    * as those files live: appends never delete, so append-only histories
+    * travel freely; COMPACTION rewrites files and expires older snapshots
+    * ([[compact]] → [[expireSnapshots]]), after which this throws naming
+    * the vanished files (Iceberg's expired-snapshot contract, not a
+    * silent partial read). */
+  def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path,
+      s"$SnapshotLogDir/" + f"v$version%05d.json")
+    val stats = readFileBytes(spark, p).flatMap(parseManifest).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot v$version of $path does not exist or was expired " +
+          s"(retained: ${snapshots(spark, path).map(_._1).mkString(",")})"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = stats.map(_.path)
+      .filterNot(f => fs.exists(new org.apache.hadoop.fs.Path(f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot v$version of $path references files removed by a later " +
+          s"compaction: ${missing.take(3).mkString(", ")}" +
+          (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
+    if (stats.isEmpty) read(spark, path).limit(0)
+    else spark.read.option("basePath", path).parquet(stats.map(_.path): _*)
+  }
+
+  /** Drop snapshot-log entries older than the newest `keepLast` (the
+    * `expire_snapshots` maintenance action). The CURRENT manifest and the
+    * data files are untouched — only time-travel history is released. */
+  def expireSnapshots(spark: SparkSession, path: String, keepLast: Int = 1): Int = {
+    val logDir = new org.apache.hadoop.fs.Path(path, SnapshotLogDir)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = snapshots(spark, path).map(_._1)
+    val drop = vs.dropRight(math.max(0, keepLast))
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(logDir, f"v$v%05d.json"), false): Unit
+    }
+    drop.length
   }
 
   /** Bucket-pruned scan: read ONLY the files whose stat range can contain a

@@ -298,6 +298,51 @@ class PageLakeSpec extends SparkSpecBase {
     assert(PageLake.writeManifest(spark, d) == stats.size) // build survives drift
   }
 
+  test("snapshot log: appends create versions; time travel reads each as-of view") {
+    val d = java.nio.file.Files.createTempDirectory("pagelake_snap").toString
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    val a = pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 0)
+    val b = pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 1)
+    PageLake.write(a, d)
+    val v1 = PageLake.currentVersion(spark, d)
+    assert(v1 >= 1)
+    val n1 = PageLake.read(spark, d).count()
+    PageLake.append(b, d)
+    val v2 = PageLake.currentVersion(spark, d)
+    assert(v2 == v1 + 1)
+    val full = PageLake.read(spark, d).count()
+    assert(full > n1)
+    // the as-of views: v1 sees only the first write, v2 the whole lake
+    assert(PageLake.readVersion(spark, d, v1).count() == n1)
+    assert(PageLake.readVersion(spark, d, v2).count() == full)
+    // the time-travel frame keeps the partition column
+    assert(PageLake.readVersion(spark, d, v1).columns.contains("crawl_date"))
+    val snaps = PageLake.snapshots(spark, d)
+    assert(snaps.map(_._1) == Seq(v1, v2), s"snapshot list: $snaps")
+    assert(snaps.last._3 == full, s"row accounting per snapshot: $snaps")
+  }
+
+  test("compaction expires older snapshots; expired time travel fails loudly") {
+    val d = java.nio.file.Files.createTempDirectory("pagelake_exp").toString
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    val a = pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 0)
+    val b = pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 1)
+    PageLake.write(a, d)
+    val v1 = PageLake.currentVersion(spark, d)
+    PageLake.append(b, d) // second batch → every partition now has ≥2 files
+    val full = PageLake.read(spark, d).count()
+    val (rewritten, _, _) = PageLake.compact(spark, d)
+    assert(rewritten >= 1, "fixture must actually compact")
+    // only the post-compaction snapshot remains readable
+    val snaps = PageLake.snapshots(spark, d).map(_._1)
+    assert(snaps.size == 1 && snaps.head > v1, s"older snapshots must expire: $snaps")
+    val ex = intercept[Exception](PageLake.readVersion(spark, d, v1))
+    assert(ex.getMessage.contains("expired") || ex.getMessage.contains("does not exist"),
+      s"unexpected message: ${ex.getMessage}")
+    assert(PageLake.read(spark, d).count() == full)
+    assert(PageLake.readVersion(spark, d, snaps.head).count() == full)
+  }
+
   test("date filter prunes partitions at the scan") {
     val day = PageLake.read(spark, lakeDir)
       .select(col("crawl_date").cast("string")).distinct().orderBy("crawl_date")
