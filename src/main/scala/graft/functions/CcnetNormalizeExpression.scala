@@ -22,10 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * both become "share on facebook 0000 likes".
   *
   * On ASCII input every step is mirrored exactly by portable SQL
-  * (`lower` + three `regexp_replace`), which is how the q78 DuckDB oracle
-  * checks the dedup built on this key end-to-end; the non-ASCII behavior
-  * (accent folding, Unicode digit classes) is pinned by CcnetNormalizeSpec
-  * on the JVM side.
+  * (`lower` + three `regexp_replace`, with the whitespace class spelled
+  * out as `[ \t\x0b-\x0d\x1c-\x1f]` — every ASCII code point
+  * `Character.isWhitespace` accepts, since the JVM treats a stray `\r` or
+  * `\f` as a word separator while a naive `[ \t]` mirror would DELETE it
+  * and fuse the neighboring words); that is how the q78/q83 DuckDB
+  * oracles check the dedup built on this key end-to-end. The non-ASCII
+  * behavior (accent folding, Unicode digit classes) is pinned by
+  * CcnetNormalizeSpec and CcnetFuzzSpec on the JVM side.
   *
   * Narrow per-row work with an ASCII fast path (no NFD pass when the input
   * has no high code point) — fits the scan stage; the produced key feeds a

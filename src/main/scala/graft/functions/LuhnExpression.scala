@@ -9,15 +9,21 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Luhn (mod-10) checksum validation for card-number candidates (ISO/IEC
   * 7812-1). The regex layer (reference `regex_pii_detector.py:137-145`
-  * semantics, `PiiPatterns.cardPattern`) accepts any 13–19-digit shape, so a
-  * random invoice/tracking number scrubs as a "card"; production PII
-  * pipelines gate the regex hit on the checksum — 90% of random digit
-  * strings fail it, while every real PAN passes.
+  * semantics, `PiiPatterns.cardPattern`) checks only the 4-4-4-4 surface
+  * shape, so a random 16-digit invoice/tracking number scrubs as a
+  * "card"; production PII pipelines gate the regex hit on the checksum —
+  * 90% of random digit strings fail it, while every real PAN passes.
   *
-  * Accepts `-`, `.`, space and tab as group separators (the same separator
-  * class the card regex matches); any OTHER non-digit, or a digit count
-  * outside [13,19], → false. Narrow per-row work, no allocation beyond the
-  * input scan — fits the scan stage next to the detector expressions.
+  * Accepts `-`, `.`, space and tab as group separators; any OTHER
+  * non-digit — including the newlines `cardPattern`'s `\s*` can match
+  * across, which this function deliberately treats as NOT
+  * checksum-eligible (the strict scrub then redacts such spans
+  * unconditionally: recall over precision for odd shapes) — or a digit
+  * count outside [13,19] → false. The range is wider than the detector's
+  * 16-digit spans on purpose: `luhn_valid` is also a standalone SQL
+  * function for callers validating Amex-15 / Maestro-13..19 candidates.
+  * Narrow per-row work, no allocation beyond the input scan — fits the
+  * scan stage next to the detector expressions.
   */
 case class LuhnValid(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -69,11 +69,16 @@ case class PiiProcessExpression(child: Expression, strict: Boolean = false)
     val (res, spans) = PiiDetector.detectWithSpans(text)
     if (strict) {
       // checksum-gated fused path: one detector pass, spans filtered by the
-      // Luhn/RRN gates; n_pii = spans actually redacted (post-gate), the
-      // count downstream keep/report logic should act on
+      // Luhn/RRN gates. n_pii keeps the SAME counting rule as plain mode —
+      // distinct (category, value) pairs — restricted to surviving spans,
+      // so toggling strict changes n_pii ONLY on rows where a gate actually
+      // dropped a value (a repeated email still counts once in both modes).
       val kept = spans.filter(PiiChecksums.redact)
+      val seen = scala.collection.mutable.HashSet.empty[(Int, String)]
+      var n = 0
+      kept.foreach(s => if (seen.add((s.cat, s.value))) n += 1)
       val scrubbed = if (kept.isEmpty) text else PiiDetector.scrubSpans(text, kept)
-      InternalRow(UTF8String.fromString(scrubbed), kept.length)
+      InternalRow(UTF8String.fromString(scrubbed), n)
     } else {
       var n = 0
       var i = 0

@@ -46,6 +46,7 @@ object RrnValid {
   private def parse(s: String): Array[Int] = {
     val digits = new Array[Int](13)
     var n = 0
+    var seenSep = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -54,7 +55,9 @@ object RrnValid {
         digits(n) = c - '0'
         n += 1
       } else if (c == '-') {
-        if (n != 6) return null // separator only between date and suffix
+        // at most ONE separator, only between date and suffix
+        if (n != 6 || seenSep) return null
+        seenSep = true
       } else {
         return null
       }

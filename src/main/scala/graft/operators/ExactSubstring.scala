@@ -113,22 +113,35 @@ object ExactSubstring {
     dedupLinesBy(df, idCol, textCol,
       l => TF.hash60(graft.functions.CcnetNormalize.ccnet_normalize(l)), maxDf)
 
-  /** Shared skeleton: line dedup under a caller-chosen key function. */
-  def dedupLinesBy(df: DataFrame, idCol: String, textCol: String,
-                   keyOf: Column => Column, maxDf: Long): DataFrame = {
-    val wk = Window.partitionBy("key")
+  /** (id, line_no, line) rows of each document's newline-split lines — the
+    * ONE definition of what a "line" is, shared by every line-grain
+    * operator (within-corpus dedup here, cross-batch dedup in
+    * IncrementalDedup) so their keys can never drift apart. */
+  private[graft] def explodeLines(df: DataFrame, idCol: String,
+                                  textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         posexplode(split(col(textCol), "\n")))
       .select(col("id"), (col("pos") + 1).as("line_no"), col("col").as("line"))
-      .withColumn("key", keyOf(col("line")))
-      .withColumn("n_occ", count(lit(1)).over(wk))
-      .withColumn("rn", row_number().over(wk.orderBy("id", "line_no")))
-      .filter(col("n_occ") === 1 || (col("n_occ") <= lit(maxDf) && col("rn") === 1))
-      .groupBy("id")
+
+  /** Rebuild (id, n_lines_kept, text_dedup) from surviving
+    * (id, line_no, line) rows — the inverse of [[explodeLines]], likewise
+    * shared. A document with zero surviving lines drops out. */
+  private[graft] def rebuildDocs(lines: DataFrame): DataFrame =
+    lines.groupBy("id")
       .agg(count(lit(1)).as("n_lines_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("line_no"), col("line")))),
           x => x("line")), "\n").as("text_dedup"))
+
+  /** Shared skeleton: line dedup under a caller-chosen key function. */
+  def dedupLinesBy(df: DataFrame, idCol: String, textCol: String,
+                   keyOf: Column => Column, maxDf: Long): DataFrame = {
+    val wk = Window.partitionBy("key")
+    rebuildDocs(explodeLines(df, idCol, textCol)
+      .withColumn("key", keyOf(col("line")))
+      .withColumn("n_occ", count(lit(1)).over(wk))
+      .withColumn("rn", row_number().over(wk.orderBy("id", "line_no")))
+      .filter(col("n_occ") === 1 || (col("n_occ") <= lit(maxDf) && col("rn") === 1)))
   }
 
   /** C4 line filter (Raffel et al. 2020 §2.2): keep only lines that end in

@@ -243,9 +243,7 @@ object IncrementalDedup {
     * its persisted seen-paragraphs digest table after each batch. */
   def lineDigests(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import graft.functions.{CcnetNormalize, TextFunctions => TF}
-    docs.select(col(idCol).cast("long").as("id"),
-        posexplode(split(col(textCol), "\n")))
-      .select(col("id"), (col("pos") + 1).as("line_no"), col("col").as("line"))
+    ExactSubstring.explodeLines(docs, idCol, textCol)
       .withColumn("line_digest",
         TF.hash60(CcnetNormalize.ccnet_normalize(col("line"))).cast("string"))
   }
@@ -272,12 +270,7 @@ object IncrementalDedup {
                           shards: Int = 1): Prefiltered = {
     val pf = newOnlyManaged(lineDigests(batch, idCol, textCol),
       historyDigests, "line_digest", expectedItems, fpp, shards)
-    val rebuilt = pf.df.groupBy("id")
-      .agg(count(lit(1)).as("n_lines_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("line_no"), col("line")))),
-          x => x("line")), "\n").as("text_dedup"))
-    Prefiltered(rebuilt, pf.release)
+    Prefiltered(ExactSubstring.rebuildDocs(pf.df), pf.release)
   }
 
   /** One-shot form of [[newLinesOnlyManaged]] (filter left to GC). */
@@ -305,9 +298,13 @@ object IncrementalDedup {
       val survivors = pf.df.localCheckpoint() // eager: probe tasks run now
       pf.release()
       out += survivors
+      // distinct per appended piece: a boilerplate line surviving in 10k
+      // batch docs must append ONE digest, not 10k — history size (and
+      // every later filter build) should grow with distinct lines, not
+      // line occurrences
       history = history.unionByName(
         lineDigests(survivors.withColumnRenamed("text_dedup", "t"), "id", "t")
-          .select("line_digest")).localCheckpoint()
+          .select("line_digest").distinct()).localCheckpoint()
     }
     out.result()
   }

@@ -82,7 +82,15 @@ object IncrementalCuration {
            batchEmbeddings: Option[DataFrame] = None,
            cfg: Curation.Config = Curation.Config(),
            expectedHistoryDigests: Long = 1 << 20,
-           bloomShards: Int = 1): (DataFrame, State) = {
+           bloomShards: Int = 1,
+           // line-grain history is ~30x the doc count — sizing its filter
+           // with the doc-grain hint would saturate it (fpp → 1, every
+           // line a suspect); default 32x the doc hint, override when the
+           // real line count is known
+           expectedHistoryLines: Long = -1L): (DataFrame, State) = {
+    val lineItems =
+      if (expectedHistoryLines > 0) expectedHistoryLines
+      else 32L * expectedHistoryDigests
     // 0. collapse within-batch exact dups, digest the rest
     val b0 = Curation.exactStage(
         batch.select(col("doc_id").cast("long").as("doc_id"), col("text")))
@@ -106,7 +114,7 @@ object IncrementalCuration {
           .ccnetDedupLines(b1, "doc_id", "text")
           .select(col("id").as("doc_id"), col("text_dedup").as("text"))
         val pfL = IncrementalDedup.newLinesOnlyManaged(within, ld,
-          "doc_id", "text", expectedHistoryDigests, shards = bloomShards)
+          "doc_id", "text", lineItems, shards = bloomShards)
         val out = pfL.df.select(col("id").as("doc_id"),
           col("text_dedup").as("text")).localCheckpoint()
         pfL.release()

@@ -2043,7 +2043,8 @@ object TextQueries {
         |  SELECT doc_id, i AS line_no, ls[i] AS line,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
         |      lower(ls[i]), '[0-9]', '0', 'g'),
-        |      '[^a-z0-9 \t]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm
+        |      '[^a-z0-9 \t\x0b-\x0d\x1c-\x1f]', '', 'g'),
+        |      '[ \t\x0b-\x0d\x1c-\x1f]+', ' ', 'g')) AS norm
         |  FROM ln, UNNEST(range(1, len(ls) + 1)) AS t(i)
         |), keyed AS (
         |  SELECT doc_id, line_no, line,
@@ -2111,7 +2112,8 @@ object TextQueries {
         |  SELECT doc_id, i AS line_no, ls[i] AS line,
         |    trim(regexp_replace(regexp_replace(regexp_replace(
         |      lower(ls[i]), '[0-9]', '0', 'g'),
-        |      '[^a-z0-9 \t]', '', 'g'), '[ \t]+', ' ', 'g')) AS norm
+        |      '[^a-z0-9 \t\x0b-\x0d\x1c-\x1f]', '', 'g'),
+        |      '[ \t\x0b-\x0d\x1c-\x1f]+', ' ', 'g')) AS norm
         |  FROM ln, UNNEST(range(1, len(ls) + 1)) AS t(i)
         |), keyed AS (
         |  SELECT doc_id, line_no, line,

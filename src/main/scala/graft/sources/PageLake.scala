@@ -253,8 +253,11 @@ object PageLake {
     // Rewrites DELETE the replaced data files, so snapshots older than the
     // manifest refresh above can no longer be served — expire them instead
     // of leaving dangling time-travel entries (Iceberg's maintenance
-    // pairing: rewrite_data_files then expire_snapshots).
+    // pairing: rewrite_data_files then expire_snapshots). A run that
+    // rewrote nothing still sweeps snapshots a CRASHED earlier compaction
+    // left unservable (its swap deleted files; its expiry never ran).
     if (rewritten > 0) expireSnapshots(spark, path, keepLast = 1): Unit
+    else expireUnservable(spark, path): Unit
     (rewritten, before, after)
   }
 
@@ -568,6 +571,26 @@ object PageLake {
       fs.delete(new org.apache.hadoop.fs.Path(logDir, f"v$v%05d.json"), false): Unit
     }
     drop.length
+  }
+
+  /** Expire every snapshot (except the newest) that references a data file
+    * no longer on disk — the cleanup for histories whose files were
+    * deleted OUTSIDE a completed compaction (a compaction that crashed
+    * after its swap, a foreign delete). Snapshots whose files all still
+    * live are kept: file ADDITIONS by later writers never invalidate an
+    * older as-of view. Metadata-only (per-snapshot existence checks). */
+  def expireUnservable(spark: SparkSession, path: String): Int = {
+    val logDir = new org.apache.hadoop.fs.Path(path, SnapshotLogDir)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = snapshots(spark, path)
+    var dropped = 0
+    for ((v, _, _) <- snaps.dropRight(1)) {
+      val p = new org.apache.hadoop.fs.Path(logDir, f"v$v%05d.json")
+      val servable = readFileBytes(spark, p).flatMap(parseManifest)
+        .forall(_.forall(s => fs.exists(new org.apache.hadoop.fs.Path(s.path))))
+      if (!servable) { fs.delete(p, false); dropped += 1 }
+    }
+    dropped
   }
 
   /** Bucket-pruned scan: read ONLY the files whose stat range can contain a

@@ -22,7 +22,7 @@ class CcnetFuzzSpec extends AnyFunSuite {
   }
 
   private val alphabet: Array[String] = Array(
-    "a", "B", "z", "7", "0", "٣", "３", " ", "\t", "\n", "",
+    "a", "B", "z", "7", "0", "٣", "３", " ", "\t", "\n", "\r", "\f", "\u000b", "\u001c", "",
     ".", ",", "!", "-", "—", "'", "\"", "(", "…",
     "é", "À", "ü", "ñ", "Š", "ß", "œ",
     "한", "글", "中", "文", "日", "カ", "ナ",

@@ -43,6 +43,16 @@ class PiiStrictScrubSpec extends SparkSpecBase {
     assert(p1 == s1 && p1.contains("[카드번호]"))
   }
 
+  test("n_pii counting rule is identical across modes on gate-free rows") {
+    // repeated value: both modes count distinct (category, value) pairs
+    val r = Seq("이메일 kim.cs@corp.co.kr 재전송 kim.cs@corp.co.kr 확인")
+      .toDF("t").select(
+        PiiFunctions.process_pii(col("t")).as("p"),
+        PiiFunctions.process_pii_strict(col("t")).as("s")).head()
+    val (np, ns) = (r.getStruct(0).getInt(1), r.getStruct(1).getInt(1))
+    assert(np == 1 && ns == 1, s"plain=$np strict=$ns — repeated email must count once in BOTH")
+  }
+
   test("other categories are untouched by the gate") {
     val (p, s) = both("연락처 010-1234-5678 이메일 kim.cs@corp.co.kr")
     assert(p == s)

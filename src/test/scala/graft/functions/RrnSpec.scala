@@ -40,6 +40,9 @@ class RrnSpec extends SparkSpecBase {
     assert(!RrnValid.eligible("900101-1******"))
     assert(!RrnValid.eligible("900101-123456"))
     assert(!RrnValid.eligible("900101 1234568"))
+    // at most ONE separator: stacked dashes at the boundary are malformed
+    assert(!RrnValid.eligible("900101---1234568"))
+    assert(!v("900101---1234568"))
   }
 
   test("ARC +2 variant: foreigner gender digit with the shifted check value") {

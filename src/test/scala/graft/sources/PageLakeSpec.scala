@@ -343,6 +343,34 @@ class PageLakeSpec extends SparkSpecBase {
     assert(PageLake.readVersion(spark, d, snaps.head).count() == full)
   }
 
+  test("unservable snapshots left by external deletes are swept on the next compact") {
+    val d = java.nio.file.Files.createTempDirectory("pagelake_sweep").toString
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    PageLake.write(pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 0), d)
+    // a v1 file specifically: deleting an append-only file would (rightly)
+    // leave v1 servable — additions never invalidate an older as-of view
+    val victim = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst()
+      it.get()
+    }
+    PageLake.append(pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 1), d)
+    val before = PageLake.snapshots(spark, d).map(_._1)
+    assert(before.size == 2)
+    // simulate a crashed compaction's aftermath: a data file vanished
+    // outside any completed manifest write
+    java.nio.file.Files.delete(victim)
+    // a compact with nothing to rewrite (huge per-file target → no
+    // partition qualifies) still refreshes the stale manifest and sweeps
+    val (rewritten, _, _) = PageLake.compact(spark, d, targetFileBytes = 1L)
+    assert(rewritten == 0, "fixture must exercise the no-rewrite sweep path")
+    val after = PageLake.snapshots(spark, d).map(_._1)
+    assert(after.size == 1 && !before.contains(after.head),
+      s"both stale snapshots swept, fresh one kept: before=$before after=$after")
+    assert(PageLake.readVersion(spark, d, after.head).count() ==
+      PageLake.read(spark, d).count())
+  }
+
   test("date filter prunes partitions at the scan") {
     val day = PageLake.read(spark, lakeDir)
       .select(col("crawl_date").cast("string")).distinct().orderBy("crawl_date")
