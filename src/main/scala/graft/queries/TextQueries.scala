@@ -623,6 +623,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-budget packing with REAL tokenizer lengths: the q52 packing
+    // machinery fed by size(bpe_encode(text)) under the corpus-fit merge
+    // table — what an LLM pretraining pipeline actually packs by
+    // (whitespace counts under-estimate subword lengths and overflow
+    // sequences). Golden-pinned (BPE is not SQL-expressible); the packer
+    // itself is q52-oracled and the prefix-sum invariant is spec-asserted
+    // over the BPE lengths in CurationOpsSpec.
+    "q87_pack_bpe" -> ((s, dir) => {
+      import graft.functions.BpeEncodeExpression.bpe_encode
+      import graft.operators.{BpeVocab, Packing}
+      val model = BpeVocab.fit(rawDocs(s, dir), "text", nMerges = 64, maxWords = 4096)
+      val toks = docs(s, dir).select(col("doc_id"),
+        size(bpe_encode(col("text"), model)).as("n_bpe"))
+      Packing.packSequences(toks, col("doc_id"), col("n_bpe"),
+          budget = 512, nShards = 8)
+        .select("doc_id", "shard", "n_bpe", "start_off", "seq_id")
+        .orderBy("doc_id")
+    }),
+
     // C4 terminal-punctuation line filter (Raffel et al. 2020): every doc is
     // planted with nav-menu / button / cookie-banner noise lines plus one
     // proper sentence; even docs additionally get a terminal '.' on the body

@@ -21,7 +21,8 @@ object QueryGoldens {
     "q19_ann_lsh", "q22_langid", "q23_pipeline_hosts", "q24_pipeline_pages",
     "q27_media_pipeline", "q31_ann_ivf", "q45_deflate",
     "q49_sketch_stats", "q55_quality_classifier", "q57_bpe_vocab",
-    "q60_bpe_encode", "q61_semdedup", "q66_incr_semdedup", "q69_dsir_select")
+    "q60_bpe_encode", "q61_semdedup", "q66_incr_semdedup", "q69_dsir_select",
+    "q87_pack_bpe")
 
   val sfDir = "/root/testdata/sf0.001"
   val goldenDir = "src/test/resources/goldens/queries"

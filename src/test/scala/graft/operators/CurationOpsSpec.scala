@@ -345,6 +345,32 @@ class CurationOpsSpec extends SparkSpecBase {
       == Map(20L -> "fresh b2"))
   }
 
+  test("BPE-budget packing: offsets are exact prefix sums of subword lengths per shard") {
+    import graft.functions.BpeEncodeExpression.bpe_encode
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val model = BpeVocab.fit(docs, "text", nMerges = 64, maxWords = 4096)
+    val packed = Packing.packSequences(
+        docs.select($"doc_id", size(bpe_encode($"text", model)).as("n_bpe")),
+        $"doc_id", $"n_bpe", budget = 512, nShards = 8)
+      .select("doc_id", "shard", "n_bpe", "start_off", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // recompute the prefix sums independently per shard in plain Scala
+    for ((_, rows) <- packed.groupBy(_._2)) {
+      var off = 0L
+      for ((id, _, n, start, seq) <- rows.sortBy(_._1)) {
+        assert(start == off, s"doc $id: start_off $start, expected prefix sum $off")
+        assert(seq == start / 512, s"doc $id: seq_id $seq for offset $start")
+        off += n
+      }
+    }
+    // subword lengths differ from whitespace counts (the reason to pack by BPE)
+    val diverges = docs.select($"doc_id",
+        size(bpe_encode($"text", model)).as("n_bpe"),
+        graft.functions.TextFunctions.tokenCount($"text").as("n_words"))
+      .filter($"n_bpe" =!= $"n_words").count()
+    assert(diverges > 0, "fixture must exercise subword != word counts")
+  }
+
   test("lineDedupBatches: replaying a batch contributes nothing (crash-replay safe)") {
     val h = Seq((1L, "seed line")).toDF("doc_id", "text")
     val b = Seq((10L, "fresh a\nfresh b")).toDF("doc_id", "text")
