@@ -24,6 +24,27 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Embedding-level benchmark decontamination: flag each corpus vector
+    * whose cosine similarity to ANY benchmark vector reaches `threshold` —
+    * the semantic analogue of shingle decontamination (q38): it catches
+    * paraphrased eval items that share no 8-gram with the training page.
+    * Benchmark sets are eval-scale → broadcast; the corpus scan stays
+    * narrow and the only shuffle moves one map-side-combined (id, max_sim)
+    * row per corpus vector. The verdict thresholds the 6-dp-ROUNDED max so
+    * it is a decimal-stable quantity both engines compute identically
+    * (q88's DuckDB oracle mirrors it with list_cosine_similarity). */
+  def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col("vec_id").as("bench_id"),
+      col("embedding").as("b_emb")))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(b)
+      .withColumn("sim", cosine(col("b_emb"), col("embedding")))
+      .groupBy("vec_id")
+      .agg(round(max(col("sim")), 6).as("max_sim"))
+      .withColumn("contaminated", col("max_sim") >= threshold)
+  }
+
   /** Brute-force top-k: queries are broadcast (small side); the corpus scan
     * stays narrow; one shuffle on query_id for the per-query ranking. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -189,6 +189,20 @@ object TextQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Embedding-level benchmark decontamination: the benchmark is a scaled
+    // copy of vec_id<10 (float ×2 is exact, so cosine vs the source is 1.0
+    // up to association order — rounded at 6 dp both engines agree), and
+    // every other vector's organic max-sim falls well under the 0.999 bar.
+    // Catches paraphrased eval contamination no 8-gram overlap would see.
+    "q88_semantic_decontam" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val bench = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 5000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      graft.operators.Similarity.decontaminateSemantic(e, bench, 0.999)
+        .orderBy("vec_id")
+    }),
+
     // LSH-bucketed ANN (recall<1 by design; deterministic planes).
     "q19_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -2315,6 +2329,16 @@ object TextQueries {
         |    THEN CAST(dup_para_chars AS DOUBLE) / para_chars ELSE 0.0 END AS dup_para_char_frac
         |FROM u LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
         |ORDER BY u.doc_id""".stripMargin,
+    "q88_semantic_decontam" ->
+      """WITH b AS (
+        |  SELECT CAST(list_transform(embedding, x -> x * 2) AS DOUBLE[]) AS be
+        |  FROM embeddings WHERE vec_id < 10),
+        | s AS (
+        |  SELECT e.vec_id,
+        |    MAX(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.be)) AS m
+        |  FROM embeddings e, b GROUP BY 1)
+        |SELECT vec_id, ROUND(m, 6) AS max_sim, ROUND(m, 6) >= 0.999 AS contaminated
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q18_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),

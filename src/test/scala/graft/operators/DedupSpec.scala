@@ -258,6 +258,21 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh.forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6))
   }
 
+  test("semantic decontamination flags exactly the planted benchmark sources") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val bench = e.filter($"vec_id" < 10)
+      .select(($"vec_id" + 5000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val out = Similarity.decontaminateSemantic(e, bench, 0.999)
+    val flagged = out.filter($"contaminated").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == (0L until 10L).toSet, s"flagged: $flagged")
+    // the scaled copies register as exact semantic matches
+    val sims = out.filter($"vec_id" < 10).select("max_sim")
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(_ == 1.0), s"planted sims must round to 1.0: ${sims.toSeq}")
+  }
+
   test("latestCapture keeps max-ts capture per url, ts ties break on min id") {
     val caps = Seq(
       (1L, "u/a", 10L), (2L, "u/a", 30L), (3L, "u/a", 20L), // plain: max ts wins
