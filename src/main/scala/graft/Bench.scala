@@ -71,7 +71,8 @@ object Bench {
       "q38_decontaminate", "q39_dup_components", "q40_dup_ngram_ratio",
       "q47_skew_join", "q48_range_join", "q53_substring_dedup",
       "q65_incr_neardup", "q68_html_extract",
-      "q78_ccnet_paradedup", "q79_host_cap", "q81_url_latest")
+      "q78_ccnet_paradedup", "q79_host_cap", "q81_url_latest",
+      "q83_incr_linededup", "q86_syndication", "q88_semantic_decontam")
 
     var spark = session(cpus)
     // Two passes per headline query: the cold pass carries session/plan/

@@ -95,6 +95,25 @@ object Sampling {
     light.unionByName(capped)
   }
 
+  /** Domain-level quality prior with per-document rescue (FineWeb-style
+    * domain curation: a domain whose AVERAGE quality fails the bar drops
+    * wholesale — spam farms are site-shaped, not page-shaped — but an
+    * individually excellent page on a bad domain is rescued): keep iff
+    * `avg(score) over host >= domainBar` OR own `score >= docBar`.
+    *
+    * Scale: the per-host average is a map-side-combined two-column
+    * aggregate (dimension-scale output) broadcast back onto the scan; the
+    * corpus itself never shuffles. Exactness across engines: feed an
+    * INTEGER score (e.g. `(n_chars * 1000000) div n_words`) — the host
+    * average is then one exact integer sum divided once, so Spark and a
+    * SQL oracle agree bitwise with no float-sum order sensitivity. */
+  def domainPriorKeep(df: DataFrame, hostCol: String, scoreCol: String,
+                      domainBar: Double, docBar: Long): DataFrame = {
+    val prior = df.groupBy(hostCol).agg(avg(col(scoreCol)).as("domain_avg"))
+    df.join(broadcast(prior), Seq(hostCol))
+      .filter(col("domain_avg") >= domainBar || col(scoreCol) >= docBar)
+  }
+
   /** Temperature-flattened multilingual sampling (the mixture rebalance of
     * XLM-R / mT5: raise each language's mass to a sub-linear exponent so
     * head languages shrink and tail languages keep everything). Keep rate

@@ -990,6 +990,27 @@ object TextQueries {
           "lang", col("doc_id"), c = 8.0, salt = "t1")
         .select("doc_id", "lang", "n_lang").orderBy("doc_id")),
 
+    // Domain quality prior with per-doc rescue (FineWeb-style): hosts whose
+    // AVERAGE chars-per-word score fails 5.5 drop wholesale; pages scoring
+    // ≥5.8 individually are rescued off bad domains (both branches fire at
+    // every SF — verified empirically when the thresholds were chosen).
+    // Score is integer (n_chars·10⁶ div n_words) so the host average is an
+    // exact integer sum with ONE final division — no float-sum order
+    // sensitivity between engines.
+    "q89_domain_prior" -> ((s, dir) => {
+      val d = rawDocs(s, dir).select(col("doc_id"), col("n_chars"),
+          when(col("doc_id") % 3 === 0,
+              concat(lit("hot"), (col("doc_id") % 13).cast("string"), lit(".com")))
+            .otherwise(concat(lit("h"), (col("doc_id") % 211).cast("string"), lit(".org")))
+            .as("host"),
+          TF.tokenCount(col("text")).as("n_words"))
+        .withColumn("score", expr("(n_chars * 1000000) div n_words"))
+        .select("doc_id", "host", "score")
+      Sampling.domainPriorKeep(d, "host", "score",
+          domainBar = 5500000.0, docBar = 5800000L)
+        .select("doc_id", "host", "score", "domain_avg").orderBy("doc_id")
+    }),
+
     // Latest-capture-per-URL dedup (Common-Crawl recrawl semantics): urls
     // repeat across synthetic snapshots (~3-4 captures each), keep max ts,
     // ties → min doc_id (planted: doc_id%50 mutants duplicate their
@@ -2113,6 +2134,19 @@ object TextQueries {
         |SELECT d.doc_id, d.lang, r.n_lang
         |FROM documents d JOIN r USING (lang)
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR) || '|t1'),1,15))::UBIGINT % 1000000 < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
+    "q89_domain_prior" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'hot' || CAST(doc_id % 13 AS VARCHAR) || '.com'
+        |      ELSE 'h' || CAST(doc_id % 211 AS VARCHAR) || '.org' END AS host,
+        |    (n_chars * 1000000) // len(regexp_split_to_array(trim(text), '\s+')) AS score
+        |  FROM documents),
+        | a AS (SELECT host, AVG(score) AS domain_avg FROM d GROUP BY 1)
+        |SELECT d.doc_id, d.host, d.score, a.domain_avg
+        |FROM d JOIN a USING (host)
+        |WHERE a.domain_avg >= 5500000 OR d.score >= 5800000
         |ORDER BY d.doc_id""".stripMargin,
     "q81_url_latest" ->
       """WITH caps AS (

@@ -70,6 +70,18 @@ class SamplingSpec extends SparkSpecBase {
     assert(ids(pages) == ids(pages.repartition(13)))
   }
 
+  test("domainPriorKeep: bad domains drop wholesale, excellent pages are rescued") {
+    val d = Seq(
+      (1L, "good.com", 900L), (2L, "good.com", 100L), // avg 500 ≥ 400 → kept even at 100
+      (3L, "bad.com", 100L), (4L, "bad.com", 100L),   // avg 333 < 400 → dropped
+      (5L, "bad.com", 800L)                            // rescued: own 800 ≥ 700
+    ).toDF("id", "host", "score")
+    val kept = Sampling.domainPriorKeep(d, "host", "score",
+        domainBar = 400.0, docBar = 700L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L), s"kept: $kept")
+  }
+
   test("temperatureSample: head language shrinks toward c·sqrt(n), tail kept whole") {
     val docs = spark.range(0, 11000).toDF("id")
       .withColumn("lang", when($"id" < 10000, "en").otherwise(
