@@ -59,6 +59,33 @@ object UrlFunctions {
       i => array_join(slice(parts, n - i + 1, lit(maxLabels)), "."))
   }
 
+  /** URL-shape quality signals (the RefinedWeb URL-filter family: spam
+    * URLs are URL-shaped before they are content-shaped — digit/hyphen-
+    * stuffed hosts, deep auto-generated paths, tracking-parameter tails):
+    * struct(path_depth, n_params, host_digit_permille, host_hyphens).
+    * Integer-valued everywhere (permille uses integer div), so a SQL
+    * oracle matches exactly; pure string ops — narrow, codegen'd, no
+    * shuffle. Policy thresholds stay with the caller. */
+  def urlShapeSignals(url: Column): Column = {
+    val noFrag = stripFragment(url)
+    val host = hostOf(url)
+    val path = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(/[^?#]*)?", 1)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val depth = length(path) - length(regexp_replace(path, "/", ""))
+    val nParams = when(length(query) === 0, lit(0))
+      .otherwise(length(query) - length(regexp_replace(query, "&", "")) + lit(1))
+    val hostDigits = length(host) - length(regexp_replace(host, "[0-9]", ""))
+    // floor of a correctly-rounded double quotient of small ints == integer
+    // division (operands ≤ 6·10⁴; a non-integer quotient sits ≥ 1/len(host)
+    // from any integer, far beyond one ulp) — same value as the oracle's //
+    val permille = floor((hostDigits * lit(1000)).cast("double") / length(host))
+    struct(
+      depth.cast("int").as("path_depth"),
+      nParams.cast("int").as("n_params"),
+      permille.cast("int").as("host_digit_permille"),
+      (length(host) - length(regexp_replace(host, "-", ""))).cast("int").as("host_hyphens"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = stripFragment(url)
     val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))

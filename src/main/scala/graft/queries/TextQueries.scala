@@ -990,6 +990,28 @@ object TextQueries {
           "lang", col("doc_id"), c = 8.0, salt = "t1")
         .select("doc_id", "lang", "n_lang").orderBy("doc_id")),
 
+    // URL-shape quality signals (RefinedWeb URL-filter family): spam URLs
+    // are URL-shaped before they are content-shaped. Synthesized shapes
+    // exercise every signal: digit/hyphen-stuffed hosts (doc_id%5=0),
+    // depth-0..4 paths, 3-param query tails (%3=0). All integer-valued →
+    // the oracle mirrors the extraction regexes and counts exactly.
+    "q90_url_shape" -> ((s, dir) => {
+      import graft.functions.UrlFunctions
+      val host = when(col("doc_id") % 5 === 0,
+          concat(lit("dl-0000-"), (col("doc_id") % 9).cast("string"), lit(".biz")))
+        .otherwise(concat(lit("s"), (col("doc_id") % 97).cast("string"), lit(".org")))
+      val url = concat(lit("https://"), host,
+        expr("repeat('/seg', CAST(doc_id % 5 AS INT))"),
+        when(col("doc_id") % 3 === 0, lit("?a=1&b=2&c=3")).otherwise(lit("")))
+      rawDocs(s, dir).select(col("doc_id"), url.as("url"))
+        .withColumn("sig", UrlFunctions.urlShapeSignals(col("url")))
+        .select(col("doc_id"), col("url"), col("sig.path_depth"),
+          col("sig.n_params"), col("sig.host_digit_permille"), col("sig.host_hyphens"))
+        .withColumn("url_suspect", col("path_depth") >= 4 ||
+          col("n_params") >= 3 || col("host_digit_permille") >= 350)
+        .orderBy("doc_id")
+    }),
+
     // Domain quality prior with per-doc rescue (FineWeb-style): hosts whose
     // AVERAGE chars-per-word score fails 5.5 drop wholesale; pages scoring
     // ≥5.8 individually are rescued off bad domains (both branches fire at
@@ -2135,6 +2157,32 @@ object TextQueries {
         |FROM documents d JOIN r USING (lang)
         |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR) || '|t1'),1,15))::UBIGINT % 1000000 < r.thr
         |ORDER BY d.doc_id""".stripMargin,
+    "q90_url_shape" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 5 = 0
+        |        THEN 'dl-0000-' || CAST(doc_id % 9 AS VARCHAR) || '.biz'
+        |        ELSE 's' || CAST(doc_id % 97 AS VARCHAR) || '.org' END
+        |      || repeat('/seg', CAST(doc_id % 5 AS INT))
+        |      || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2&c=3' ELSE '' END AS url
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host,
+        |    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)?', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        | g AS (
+        |  SELECT doc_id, url,
+        |    CAST(len(path) - len(replace(path, '/', '')) AS INT) AS path_depth,
+        |    CAST(CASE WHEN len(query) = 0 THEN 0
+        |         ELSE len(query) - len(replace(query, '&', '')) + 1 END AS INT) AS n_params,
+        |    CAST((len(host) - len(regexp_replace(host, '[0-9]', '', 'g'))) * 1000 // len(host) AS INT) AS host_digit_permille,
+        |    CAST(len(host) - len(replace(host, '-', '')) AS INT) AS host_hyphens
+        |  FROM s)
+        |SELECT doc_id, url, path_depth, n_params, host_digit_permille, host_hyphens,
+        |  path_depth >= 4 OR n_params >= 3 OR host_digit_permille >= 350 AS url_suspect
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q89_domain_prior" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,

@@ -81,4 +81,20 @@ class UrlFunctionsSpec extends SparkSpecBase {
     assert(!sfx("nottracker.net").contains("tracker.net"))
     assert(sfx("ads.tracker.net").contains("tracker.net"))
   }
+
+  test("urlShapeSignals: depth, params, host digit/hyphen shape") {
+    def sig(u: String): (Int, Int, Int, Int) = {
+      val r = Seq(u).toDF("u")
+        .select(UrlFunctions.urlShapeSignals(col("u")).as("s"))
+        .select("s.path_depth", "s.n_params", "s.host_digit_permille", "s.host_hyphens")
+        .head()
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    }
+    assert(sig("https://example.org") == ((0, 0, 0, 0)))
+    assert(sig("https://example.org/a/b/c?x=1&y=2") == ((3, 2, 0, 0)))
+    // fragment never counts as path or params
+    assert(sig("https://example.org/a#frag?fake=1") == ((1, 0, 0, 0)))
+    // digit/hyphen-stuffed host: 5 digits of 13 chars → 384 permille
+    assert(sig("https://dl-0000-3.biz/x") == ((1, 0, 384, 2)))
+  }
 }
