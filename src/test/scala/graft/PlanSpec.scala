@@ -232,6 +232,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"no join expected:\n$p")
   }
 
+  test("q89: domain prior broadcasts host averages; corpus never sort-merges") {
+    val p = executedPlan("q89_domain_prior")
+    assert(p.contains("BroadcastHashJoin"), s"host averages must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    assert(p.contains("partial_avg") || p.contains("partial_sum"),
+      "map-side partial aggregation missing from the host average")
+  }
+
+  test("q90: url-shape signals are fully narrow — no shuffle, no join before the sort") {
+    val p = executedPlan("q90_url_shape")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(!f.contains("Exchange hashpartitioning"), s"signals must not shuffle:\n$f")
+    assert(!f.contains("Join"), s"signals must not join:\n$f")
+  }
+
   test("q82: luhn gate is fully narrow — no shuffle, no join before the sort") {
     val p = executedPlan("q82_card_luhn")
     val idx = p.indexOf("== Initial Plan ==")
