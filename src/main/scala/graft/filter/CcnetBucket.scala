@@ -25,9 +25,12 @@ object CcnetBucket {
     val cuts = df.groupBy(col(langCol)).agg(
       percentile(col(scoreCol), lit(loCut)).as("__lo"),
       percentile(col(scoreCol), lit(hiCut)).as("__hi"))
-    df.join(broadcast(cuts), Seq(langCol))
+    // left join: a NULL langCol never equi-matches, and a labeling operator
+    // must not silently drop documents — pre-langid pages fall to "tail"
+    df.join(broadcast(cuts), Seq(langCol), "left")
       .withColumn("bucket",
-        when(col(scoreCol) <= col("__lo"), "head")
+        when(col("__lo").isNull, "tail")
+          .when(col(scoreCol) <= col("__lo"), "head")
           .when(col(scoreCol) <= col("__hi"), "middle")
           .otherwise("tail"))
       .drop("__lo", "__hi")

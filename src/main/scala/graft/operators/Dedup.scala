@@ -215,15 +215,18 @@ object Dedup {
     * the members. */
   def keepBestPerComponent(docs: DataFrame, idCol: String, scoreCol: String,
                            pairs: DataFrame): DataFrame = {
+    // reserved names keep this safe when the caller's idCol is literally
+    // "id" (an unqualified drop("id") would remove BOTH columns)
     val comps = connectedComponents(pairs) // (id, comp) — dup members only
-    val members = docs.join(comps, docs(idCol) === comps("id"), "inner")
-      .drop("id")
-    val w = Window.partitionBy("comp")
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
+    val members = docs.join(comps, docs(idCol) === col("__cc_id"), "inner")
+      .drop("__cc_id")
+    val w = Window.partitionBy("__cc_comp")
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     val best = members.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "comp")
-    val singles = docs.join(comps.select("id"),
-      docs(idCol) === col("id"), "left_anti")
+      .filter(col("__rn") === 1).drop("__rn", "__cc_comp")
+    val singles = docs.join(comps.select("__cc_id"),
+      docs(idCol) === col("__cc_id"), "left_anti")
     singles.unionByName(best)
   }
 

@@ -470,13 +470,18 @@ object PageLake {
                             p: org.apache.hadoop.fs.Path): Option[Array[Byte]] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else {
+    else try {
       val in = fs.open(p)
       Some(try {
         val bos = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
         bos.toByteArray
       } finally in.close())
+    } catch {
+      // a file that cannot even be read (torn write, checksum mismatch) is
+      // indistinguishable from absent on this metadata path: callers treat
+      // None as corrupt/unservable and rebuild or sweep
+      case _: java.io.IOException => None
     }
   }
 
@@ -582,12 +587,24 @@ object PageLake {
   def expireUnservable(spark: SparkSession, path: String): Int = {
     val logDir = new org.apache.hadoop.fs.Path(path, SnapshotLogDir)
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snaps = snapshots(spark, path)
+    // enumerate the on-disk log, not snapshots(): a torn/corrupt v*.json is
+    // hidden by snapshots() (and readVersion fails on it), but it is still
+    // unservable and must be swept rather than linger forever
+    val onDisk =
+      if (!fs.exists(logDir)) Seq.empty[Int]
+      else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toInt).toOption }
+        .flatten.sorted
+    val newestParsable = snapshots(spark, path).lastOption.map(_._1)
     var dropped = 0
-    for ((v, _, _) <- snaps.dropRight(1)) {
+    for (v <- onDisk if !newestParsable.contains(v)) {
       val p = new org.apache.hadoop.fs.Path(logDir, f"v$v%05d.json")
-      val servable = readFileBytes(spark, p).flatMap(parseManifest)
-        .forall(_.forall(s => fs.exists(new org.apache.hadoop.fs.Path(s.path))))
+      val servable = readFileBytes(spark, p).flatMap(parseManifest) match {
+        case Some(stats) =>
+          stats.forall(s => fs.exists(new org.apache.hadoop.fs.Path(s.path)))
+        case None => false // exists but fails to parse ⇒ unservable
+      }
       if (!servable) { fs.delete(p, false); dropped += 1 }
     }
     dropped

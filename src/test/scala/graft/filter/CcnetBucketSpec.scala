@@ -76,6 +76,17 @@ class CcnetBucketSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"corpus must not shuffle:\n$p")
   }
 
+  test("NULL-language rows are bucketed to tail, never dropped") {
+    // regression: an inner join against the per-language cutoffs silently
+    // dropped pre-langid pages; a labeling operator must label all rows
+    val d = Seq((1L, "aa", 1.0), (2L, "aa", 2.0), (3L, "aa", 3.0),
+                (4L, null.asInstanceOf[String], 1.5)).toDF("doc_id", "lang", "score")
+    val b = CcnetBucket.bucketByScore(d, "lang", "score")
+    assert(b.count() == 4)
+    val nullRow = b.filter(col("lang").isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.getAs[String]("bucket") == "tail")
+  }
+
   test("bucketing real KN-perplexity scores") {
     val texts = docs.select("text").as[String]
     val lm = BigramLM.fit(texts, maxVocab = 4096, maxBigrams = 1 << 14)

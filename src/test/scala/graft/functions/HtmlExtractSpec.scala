@@ -59,6 +59,18 @@ class HtmlExtractSpec extends SparkSpecBase {
     assert(!got.contains("alert") && !got.contains("hidden"), got)
   }
 
+  test("control-character numeric references are rejected, not injected into clean text") {
+    // &#0;/&#8; would put raw NUL/backspace bytes into the text that dedup
+    // and scrubbing consume downstream; they pass through like unknown
+    // entities. Printable refs (and tab/newline) still decode.
+    val html = s"<p>$prose1 null&#0;byte back&#x8;space dash&#8212;here.</p>"
+    val got = extract(html)
+    assert(!got.exists(c => c < ' ' && c != '\n'),
+      s"control char leaked: ${got.map(_.toInt).filter(_ < 32)}")
+    assert(got.contains("null&#0;byte") && got.contains("back&#x8;space"), got)
+    assert(got.contains("dash—here"), got)
+  }
+
   test("whitespace collapses to single spaces across inline tags") {
     val padded = s"<p>  ${prose1.replace(" ", "\n  ")}  <b>  </b></p>"
     assert(extract(padded) == prose1)

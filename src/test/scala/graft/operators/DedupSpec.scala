@@ -245,6 +245,16 @@ class DedupSpec extends SparkSpecBase {
     assert(kept(d.repartition(13)) == Set(2L, 10L, 42L))
   }
 
+  test("keepBestPerComponent works when the caller's id column is literally \"id\"") {
+    // regression: the component frame's own (id, comp) columns must not
+    // collide with a caller idCol named "id" (drop/ambiguity hazards)
+    val d = Seq((1L, 5), (2L, 9), (42L, 0)).toDF("id", "score")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerComponent(d, "id", "score", pairs)
+    assert(out.columns.toSeq == Seq("id", "score"))
+    assert(out.collect().map(_.getAs[Long]("id")).toSet == Set(2L, 42L))
+  }
+
   test("LSH ANN: cosine-identical queries land in the source's bucket and rank it first") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // scaling preserves cosine and all hyperplane signs ⇒ the source vector

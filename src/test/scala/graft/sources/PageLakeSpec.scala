@@ -371,6 +371,47 @@ class PageLakeSpec extends SparkSpecBase {
       PageLake.read(spark, d).count())
   }
 
+  test("a torn/corrupt snapshot-log file is swept as unservable, not kept forever") {
+    val d = java.nio.file.Files.createTempDirectory("pagelake_torn").toString
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    PageLake.write(pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 0), d)
+    PageLake.append(pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 1), d)
+    val Seq(v1, v2) = PageLake.snapshots(spark, d).map(_._1)
+    // tear the OLDER snapshot file (a crash mid-write leaves half a JSON);
+    // snapshots() hides it and readVersion fails on it — it is unservable
+    val torn = java.nio.file.Paths.get(d, "_graft_manifest_log", f"v$v1%05d.json")
+    java.nio.file.Files.write(torn, "{\"files\":[{\"pa".getBytes("UTF-8"))
+    assert(PageLake.snapshots(spark, d).map(_._1) == Seq(v2))
+    assert(PageLake.expireUnservable(spark, d) == 1, "torn file must be swept")
+    assert(!java.nio.file.Files.exists(torn), "v1 file must be deleted from disk")
+    // idempotent, and the servable current snapshot is untouched
+    assert(PageLake.expireUnservable(spark, d) == 0)
+    assert(PageLake.readVersion(spark, d, v2).count() == PageLake.read(spark, d).count())
+  }
+
+  test("a reader holding a resolved as-of view fails cleanly once compaction expires it") {
+    // snapshot isolation under concurrent compaction: the reader resolved
+    // version N BEFORE compact ran; afterwards the read must fail loudly
+    // (vanished files), never return silent partial data
+    val d = java.nio.file.Files.createTempDirectory("pagelake_iso").toString
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    PageLake.write(pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 0), d)
+    val v1 = PageLake.currentVersion(spark, d)
+    PageLake.append(pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 1), d)
+    val asOf = PageLake.readVersion(spark, d, v1) // resolved pre-compaction
+    val n1 = asOf.count()
+    assert(n1 > 0)
+    val (rewritten, _, _) = PageLake.compact(spark, d)
+    assert(rewritten >= 1, "fixture must actually compact")
+    // the already-resolved frame enumerated v1's concrete files; those were
+    // rewritten+deleted, so any action now throws (FileNotFound / vanished)
+    val ex = intercept[Exception](asOf.count())
+    val msg = Option(ex.getMessage).getOrElse("") + Option(ex.getCause)
+      .flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.toLowerCase.matches("(?s).*(does not exist|filenotfound|no such file|deleted|vanished).*"),
+      s"expected a vanished-file failure, got: $ex")
+  }
+
   test("date filter prunes partitions at the scan") {
     val day = PageLake.read(spark, lakeDir)
       .select(col("crawl_date").cast("string")).distinct().orderBy("crawl_date")
