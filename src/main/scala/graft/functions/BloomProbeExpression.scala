@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Sharded-Bloom membership probe as a native codegen'd expression:
+  * `might_contain_sharded(digest)` against a broadcast array of B Bloom
+  * filters, the hash-sharded form of Spark's built-in `might_contain`
+  * ([[graft.operators.IncrementalDedup]] builds the array; one filter per
+  * `MurmurHash3(digest) mod B` shard keeps each bit array under JVM
+  * array / task-serialization limits at 10¹²-key scale).
+  *
+  * This sits on EVERY row of every incremental batch (the exact / line /
+  * span dedup prefilters), which is why it is an expression rather than a
+  * Scala UDF: a UDF pays the InternalRow→Row encoder round-trip per row
+  * and surfaces as a codegen barrier; this compiles to one static JVM call
+  * inside the scan's WholeStageCodegen (PlanSpec pins the absence of
+  * ScalaUDF nodes in the q51/q83 plans).
+  *
+  * NULL digests probe to FALSE (not NULL) — the prefilter splits a batch
+  * into `filter(probe)` / `filter(!probe)` branches and a NULL verdict
+  * would silently drop the row from both.
+  *
+  * The expression holds only the lightweight [[Broadcast]] handle; the
+  * filter array ships once per executor via the broadcast machinery, never
+  * with the task binary.
+  */
+case class BloomMightContainSharded(child: Expression,
+                                    bf: Broadcast[Array[BloomFilter]])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "might_contain_sharded"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else BloomMightContainSharded.probe(bf.value, v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloomBroadcast", bf,
+      classOf[Broadcast[Array[BloomFilter]]].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        boolean ${ev.value} = !${c.isNull} &&
+          graft.functions.BloomMightContainSharded.probe(
+            (org.apache.spark.util.sketch.BloomFilter[]) $bfRef.value(), ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomMightContainSharded {
+
+  /** Shard-route + probe. Static so generated code is one call; the string
+    * materialization matches the build side's `putString` exactly (same
+    * UTF-8 bytes, same MurmurHash3 shard router as
+    * [[graft.operators.IncrementalDedup.shardOf]]). */
+  def probe(filters: Array[BloomFilter], d: UTF8String): Boolean = {
+    val s = d.toString
+    val b = filters.length
+    val shard =
+      if (b == 1) 0
+      else java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s), b)
+    filters(shard).mightContainString(s)
+  }
+
+  def might_contain_sharded(digest: Column,
+                            bf: Broadcast[Array[BloomFilter]]): Column =
+    ColumnBridge.column(
+      BloomMightContainSharded(ColumnBridge.expression(digest), bf))
+}

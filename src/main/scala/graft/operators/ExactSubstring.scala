@@ -38,8 +38,8 @@ object ExactSubstring {
     * in principle mark a unique span duplicated; at 2⁻⁶⁰ per pair this is
     * the same trade Lee et al.'s hash-bucketed variants make.)
     * Documents shorter than `k` tokens emit nothing. */
-  private def occurrences(df: DataFrame, idCol: String, textCol: String,
-                          k: Int): DataFrame =
+  private[graft] def occurrences(df: DataFrame, idCol: String, textCol: String,
+                                 k: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         posexplode(TF.ngrams(col(textCol), k, distinct = false)))
       .select(col("id"), (col("pos") + 1).as("pos"), TF.hash60(col("col")).as("g"))
@@ -70,9 +70,18 @@ object ExactSubstring {
     * the number of tokens covered by the union of the cut [pos, pos+k)
     * intervals (cut_ratio = covered / n_tokens). */
   def stats(df: DataFrame, idCol: String, textCol: String,
-            k: Int = 8, maxDf: Long = 64): DataFrame = {
+            k: Int = 8, maxDf: Long = 64): DataFrame =
+    statsFromCuts(df, idCol, textCol, cutSpans(df, idCol, textCol, k, maxDf), k)
+
+  /** Per-document coverage statistics for an arbitrary (id, pos) cut list —
+    * the [[stats]] aggregation factored out so cross-batch cut lists
+    * ([[IncrementalDedup.incrSpanCuts]]) report through the identical
+    * interval-union arithmetic (lead-window overlap clamp, 4-dp ratio). */
+  private[graft] def statsFromCuts(df: DataFrame, idCol: String,
+                                   textCol: String, cuts: DataFrame,
+                                   k: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy("pos")
-    val covered = cutSpans(df, idCol, textCol, k, maxDf)
+    val covered = cuts
       .withColumn("c", least(lit(k), coalesce(lead("pos", 1).over(w) - col("pos"), lit(k))))
       .groupBy("id")
       .agg(count(lit(1)).as("n_spans"), sum("c").as("n_cut"))

@@ -66,26 +66,19 @@ object IncrementalDedup {
   def newOnlyManaged(batch: DataFrame, history: DataFrame, digestCol: String,
                      expectedItems: Long, fpp: Double = 0.01,
                      shards: Int = 1): Prefiltered = {
-    require(shards >= 1, s"shards must be >= 1, got $shards")
-    val b = shards
-    val perShard = math.max(1L, expectedItems / b)
-    import batch.sparkSession.implicits._
-    // One distributed pass builds all B filters: merge is associative +
-    // commutative, so treeAggregate keeps driver merge work O(log parts).
-    val filters: Array[BloomFilter] = history.select(col(digestCol)).as[String]
-      .rdd.treeAggregate(Array.fill(b)(BloomFilter.create(perShard, fpp)))(
-        (fs, d) => { if (d != null) fs(shardOf(d, b)).putString(d); fs },
-        (a, x) => { a.indices.foreach(i => a(i).mergeInPlace(x(i))); a })
-    val bfB = batch.sparkSession.sparkContext.broadcast(filters)
-    val mightContain = udf((d: String) =>
-      d != null && bfB.value(shardOf(d, b)).mightContainString(d))
+    val bfB = buildShardedFilters(history, digestCol, expectedItems, fpp, shards)
+    // codegen'd probe, not a Scala UDF: it runs on every row of every
+    // incoming batch, and the UDF's per-row encoder round-trip is a real
+    // tax at 10⁹-row batches (PlanSpec pins zero ScalaUDF nodes here)
+    val mightContain = graft.functions.BloomMightContainSharded
+      .might_contain_sharded(col(digestCol), bfB)
 
     // No distinct() on the history side: LEFT ANTI semantics are unaffected
     // by right-side duplicates, and a distinct would shuffle the ENTIRE
     // history every batch. At 10¹²-key scale the history digest table is
     // stored bucketed by digest, so the verify join moves only the suspects.
-    val definitelyNew = batch.filter(!mightContain(col(digestCol)))
-    val suspects = batch.filter(mightContain(col(digestCol)))
+    val definitelyNew = batch.filter(!mightContain)
+    val suspects = batch.filter(mightContain)
       .join(history.select(digestCol), Seq(digestCol), "left_anti")
     Prefiltered(definitelyNew.unionByName(suspects),
       () => { bfB.destroy(); () })
@@ -308,6 +301,112 @@ object IncrementalDedup {
     }
     out.result()
   }
+
+  // --- Incremental EXACT-SUBSTRING (span) dedup --------------------------
+
+  /** Membership dual of [[newOnlyManaged]]: rows of `probe` whose
+    * `digestCol` value DOES occur in `history(digestCol)`. Bloom-negative
+    * rows are definitely unseen (no false negatives) and never reach the
+    * join; only Bloom-positive suspects pay the exact verify, here a
+    * LEFT SEMI against the digest-bucketed history table (false positives
+    * die there). Result exactly equals `probe SEMI JOIN history` — the
+    * Bloom pass changes cost, not the answer, the same contract as
+    * [[newOnlyManaged]]. */
+  def seenOnlyManaged(probe: DataFrame, history: DataFrame, digestCol: String,
+                      expectedItems: Long, fpp: Double = 0.01,
+                      shards: Int = 1): Prefiltered = {
+    val bfB = buildShardedFilters(history, digestCol, expectedItems, fpp, shards)
+    val mightContain = graft.functions.BloomMightContainSharded
+      .might_contain_sharded(col(digestCol), bfB)
+    val seen = probe.filter(mightContain)
+      .join(history.select(digestCol), Seq(digestCol), "left_semi")
+    Prefiltered(seen, () => { bfB.destroy(); () })
+  }
+
+  /** One distributed pass builds all B filters: merge is associative +
+    * commutative, so treeAggregate keeps driver merge work O(log parts);
+    * the broadcast ships the array once per executor. */
+  private def buildShardedFilters(
+      history: DataFrame, digestCol: String, expectedItems: Long,
+      fpp: Double, shards: Int): org.apache.spark.broadcast.Broadcast[Array[BloomFilter]] = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val b = shards
+    val perShard = math.max(1L, expectedItems / b)
+    import history.sparkSession.implicits._
+    val filters: Array[BloomFilter] = history.select(col(digestCol)).as[String]
+      .rdd.treeAggregate(Array.fill(b)(BloomFilter.create(perShard, fpp)))(
+        (fs, d) => { if (d != null) fs(shardOf(d, b)).putString(d); fs },
+        (a, x) => { a.indices.foreach(i => a(i).mergeInPlace(x(i))); a })
+    history.sparkSession.sparkContext.broadcast(filters)
+  }
+
+  /** The persisted gram-history table for incremental substring-span dedup:
+    * one row per DISTINCT k-token gram of the curated corpus with its
+    * canonical first occurrence — (g, first_id, first_pos), `g` the
+    * portable 60-bit gram hash ([[ExactSubstring.occurrences]]' key). A
+    * production pipeline stores it BUCKETED BY g
+    * ([[graft.sources.PageLake.writeBucketedTable]] discipline) and appends
+    * each batch's surviving grams, so the per-batch verify join below
+    * shuffles only the incoming batch's suspect grams — the history (≈30×
+    * the corpus' token count at k=8 before distinct) never moves again.
+    * One map-side-combined min-struct aggregation per build/append. */
+  def spanGramTable(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame =
+    ExactSubstring.occurrences(docs, idCol, textCol, k)
+      .groupBy("g")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+      .select(col("g"), col("f.id").as("first_id"), col("f.pos").as("first_pos"))
+
+  /** Cross-boundary span cuts: every (id, pos) occurrence in `batch` of a
+    * gram already present in the gram history — the spans last month's
+    * corpus holds the canonical copy of. Bloom-prefiltered membership
+    * ([[seenOnlyManaged]]): the overwhelming majority of a fresh crawl's
+    * grams are new and never shuffle; only suspects pay the semi join. */
+  def crossSpanCutsManaged(batch: DataFrame, historyGrams: DataFrame,
+                           idCol: String, textCol: String, k: Int = 8,
+                           expectedItems: Long = 1 << 20, fpp: Double = 0.01,
+                           shards: Int = 1): Prefiltered = {
+    val occ = ExactSubstring.occurrences(batch, idCol, textCol, k)
+      .withColumn("g_digest", col("g").cast("string"))
+    val pf = seenOnlyManaged(occ,
+      historyGrams.select(col("g").cast("string").as("g_digest")),
+      "g_digest", expectedItems, fpp, shards)
+    Prefiltered(pf.df.select("id", "pos"), pf.release)
+  }
+
+  /** Incremental exact-substring statistics — the daily-crawl analogue of
+    * [[ExactSubstring.stats]]: per batch document, the coverage of the
+    * union of (a) within-batch duplicated spans (the full-corpus rule over
+    * the batch alone — [[ExactSubstring.cutSpans]]) and (b) cross-boundary
+    * spans whose gram the history already holds ([[crossSpanCutsManaged]]).
+    *
+    * EXACTLY equals [[ExactSubstring.stats]] over (history ∪ batch)
+    * restricted to batch documents, provided batch ids exceed every
+    * history id (the monotone-crawl-id contract all incremental operators
+    * here share): a batch occurrence of a history gram always ranks rn > 1
+    * in the union, so membership IS the union verdict — which is what the
+    * q91 DuckDB oracle checks. Output: (id, n_tokens, n_spans, n_cut,
+    * cut_ratio), one row per batch doc. */
+  def incrSpanStatsManaged(batch: DataFrame, historyGrams: DataFrame,
+                           idCol: String, textCol: String, k: Int = 8,
+                           maxDf: Long = 64, expectedItems: Long = 1 << 20,
+                           fpp: Double = 0.01, shards: Int = 1): Prefiltered = {
+    val cross = crossSpanCutsManaged(batch, historyGrams, idCol, textCol, k,
+      expectedItems, fpp, shards)
+    val cuts = ExactSubstring.cutSpans(batch, idCol, textCol, k, maxDf)
+      .unionByName(cross.df).distinct()
+    Prefiltered(
+      ExactSubstring.statsFromCuts(batch, idCol, textCol, cuts, k),
+      cross.release)
+  }
+
+  /** One-shot form of [[incrSpanStatsManaged]] (filter left to GC). */
+  def incrSpanStats(batch: DataFrame, historyGrams: DataFrame,
+                    idCol: String, textCol: String, k: Int = 8,
+                    maxDf: Long = 64, expectedItems: Long = 1 << 20,
+                    fpp: Double = 0.01, shards: Int = 1): DataFrame =
+    incrSpanStatsManaged(batch, historyGrams, idCol, textCol, k, maxDf,
+      expectedItems, fpp, shards).df
 
   /** Shard router — a plain JVM hash is fine: build and probe both run this
     * exact function (no SQL-side mirror needed; result equality with the

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *                  history ([[IncrementalDedup.newLinesOnly]]);
   *   2. near-dup  — MinHash bands vs the persisted band table
   *                  ([[IncrementalDedup.nearNewOnly]]);
+  *   2b. substring spans (optional, `init(withSpanDedup = true)`) — batch
+  *                  docs mostly covered by spans the persisted gram table
+  *                  already holds are dropped
+  *                  ([[IncrementalDedup.incrSpanStatsManaged]]);
   *   3. quality   — the langid + Gopher/C4 gate chain
   *                  ([[Curation.qualityStage]]);
   *   4. semantic  — frozen-centroid cells vs the persisted assignment
@@ -46,7 +50,8 @@ object IncrementalCuration {
       docs: DataFrame,
       bands: DataFrame,
       semantic: Option[SemState],
-      lines: Option[DataFrame] = None)
+      lines: Option[DataFrame] = None,
+      grams: Option[DataFrame] = None)
 
   final case class SemState(centroids: Array[Array[Double]],
                             cells: DataFrame)
@@ -56,7 +61,9 @@ object IncrementalCuration {
   def init(corpus: DataFrame,
            embeddings: Option[DataFrame],
            nCells: Int = 16,
-           withLineDedup: Boolean = false): State = {
+           withLineDedup: Boolean = false,
+           withSpanDedup: Boolean = false,
+           spanK: Int = 8): State = {
     val docs = corpus.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .withColumn("digest", md5(col("text")))
     // state tables are materialized once at birth (at scale: written to the
@@ -70,7 +77,11 @@ object IncrementalCuration {
       if (!withLineDedup) None
       else Some(IncrementalDedup.lineDigests(docs, "doc_id", "text")
         .select("line_digest").distinct().localCheckpoint())
-    State(docs, bands, sem, lines)
+    val grams =
+      if (!withSpanDedup) None
+      else Some(IncrementalDedup.spanGramTable(docs, "doc_id", "text", spanK)
+        .localCheckpoint())
+    State(docs, bands, sem, lines, grams)
   }
 
   /** One daily step: returns (survivors of the batch, next state).
@@ -87,10 +98,17 @@ object IncrementalCuration {
            // with the doc-grain hint would saturate it (fpp → 1, every
            // line a suspect); default 32x the doc hint, override when the
            // real line count is known
-           expectedHistoryLines: Long = -1L): (DataFrame, State) = {
+           expectedHistoryLines: Long = -1L,
+           // gram-grain history is larger still (one k-gram per token
+           // before distinct); default 512x the doc hint — at real scale
+           // pass the persisted gram table's row count
+           expectedHistoryGrams: Long = -1L): (DataFrame, State) = {
     val lineItems =
       if (expectedHistoryLines > 0) expectedHistoryLines
       else 32L * expectedHistoryDigests
+    val gramItems =
+      if (expectedHistoryGrams > 0) expectedHistoryGrams
+      else 512L * expectedHistoryDigests
     // 0. collapse within-batch exact dups, digest the rest
     val b0 = Curation.exactStage(
         batch.select(col("doc_id").cast("long").as("doc_id"), col("text")))
@@ -131,12 +149,33 @@ object IncrementalCuration {
       state.docs, "doc_id", "text",
       threshold = cfg.neardupThreshold, historyBands = Some(state.bands))
 
+    // 2b. substring-span gate (optional, `init(withSpanDedup = true)`):
+    //     drop batch docs whose coverage by duplicated spans — within-batch
+    //     OR already held by the persisted gram history — exceeds the q53
+    //     ratio, the cross-batch form of Curation.substringStage. Catches
+    //     the mirror that arrives a day late with light edits: near-dup
+    //     misses it once enough fresh text is appended, but its token
+    //     spans still match last month's corpus gram for gram. Same slot
+    //     as the full run (after near-dup, before quality).
+    val b2s = state.grams match {
+      case Some(g) =>
+        val pfS = IncrementalDedup.incrSpanStatsManaged(b2, g,
+          "doc_id", "text", k = cfg.substringK, maxDf = cfg.substringMaxDf,
+          expectedItems = gramItems, shards = bloomShards)
+        val keep = pfS.df.filter(col("cut_ratio") <= cfg.maxCutRatio)
+          .select(col("id").as("doc_id"))
+        val out = b2.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+        pfS.release()
+        out
+      case None => b2
+    }
+
     // 3. quality gates BEFORE the semantic stage — the same order the
     //    full-corpus runner uses (Curation.runCheckpointed): a low-quality
     //    batch doc must not kill its high-quality semantic neighbor and
     //    then die itself at quality (verdicts would become
     //    batch-composition dependent)
-    val b3 = Curation.qualityStage(b2.select("doc_id", "text"), cfg)
+    val b3 = Curation.qualityStage(b2s.select("doc_id", "text"), cfg)
 
     // 4. semantic vs history (frozen cells), when both sides have vectors
     val b4 = (state.semantic, batchEmbeddings) match {
@@ -167,13 +206,20 @@ object IncrementalCuration {
       case (s, _) => s
     }
     val next = State(
-      docs = state.docs.unionByName(survivors.select("doc_id", "text", "digest")),
+      // the docs piece is checkpointed like every other state append: the
+      // N-batch state stays a union of materialized leaves, never a chain
+      // of projections the next step's verify join re-derives
+      docs = state.docs.unionByName(
+        survivors.select("doc_id", "text", "digest").localCheckpoint()),
       bands = state.bands.unionByName(
         IncrementalDedup.bandTable(survivors, "doc_id", "text").localCheckpoint()),
       semantic = nextSem,
       lines = state.lines.map(_.unionByName(
         IncrementalDedup.lineDigests(survivors, "doc_id", "text")
-          .select("line_digest").distinct().localCheckpoint())))
+          .select("line_digest").distinct().localCheckpoint())),
+      grams = state.grams.map(_.unionByName(
+        IncrementalDedup.spanGramTable(survivors, "doc_id", "text", cfg.substringK)
+          .localCheckpoint())))
     (survivors.select("doc_id", "text"), next)
   }
 }

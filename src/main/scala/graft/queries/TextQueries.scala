@@ -1074,6 +1074,33 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // Incremental (cross-batch) exact-substring span dedup: the whole corpus
+    // is history (its distinct 8-gram table persisted — spanGramTable);
+    // the batch is suffix mutants of two overlapping strides (+1M drop-2,
+    // +2M drop-4 — cross-boundary span shares with history AND with each
+    // other) plus a within-batch-only duplicated footer on every other +1M
+    // doc. Per batch doc: coverage stats of within-batch duplicated spans ∪
+    // spans whose gram history already holds (Bloom-prefiltered membership,
+    // B=2 sharded; answer exactly equals the full q53 rule over
+    // history ∪ batch restricted to batch ids — the oracle computes that).
+    "q91_incr_spandedup" -> ((s, dir) => {
+      import graft.operators.IncrementalDedup
+      val hist = docs(s, dir).select("doc_id", "text")
+      val b1 = hist.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(array_join(slice(TF.tokens(col("text")), 3, 1000000), " "),
+            when(col("doc_id") % 50 === 0,
+                lit(" fresh mirror footer alpha beta gamma delta epsilon zeta eta theta"))
+              .otherwise(lit(""))).as("text"))
+      val b2 = hist.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(TF.tokens(col("text")), 5, 1000000), " ").as("text"))
+      val grams = IncrementalDedup.spanGramTable(hist, "doc_id", "text")
+      IncrementalDedup.incrSpanStats(b1.unionByName(b2), grams, "doc_id", "text",
+          k = 8, maxDf = 64, expectedItems = 1 << 20, shards = 2)
+        .orderBy("id")
+    }),
+
     // Luhn-gated card validation (ISO/IEC 7812-1): the regex layer accepts
     // any 13-19-digit shape, so production scrubbers gate the hit on the
     // mod-10 checksum to kill invoice/tracking-number false positives.
@@ -2243,6 +2270,52 @@ object TextQueries {
         |SELECT doc_id AS id, COUNT(*) AS n_lines_kept,
         |  md5(string_agg(line, chr(10) ORDER BY line_no)) AS dedup_md5
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Incremental span dedup: the q53 rule over history ∪ batch, restricted
+    // to batch doc_ids (>= 1000000). Batch ids exceed every history id, so
+    // a batch occurrence of a history gram always ranks rn > 1 — membership
+    // in the persisted gram table IS the union verdict (the Spark side's
+    // Bloom-prefiltered form; the Bloom pass changes cost, not the answer).
+    "q91_incr_spandedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ')
+        |         || CASE WHEN doc_id % 50 = 0
+        |              THEN ' fresh mirror footer alpha beta gamma delta epsilon zeta eta theta'
+        |              ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[5:], ' ') AS text
+        |  FROM documents WHERE doc_id % 40 = 0
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u
+        |), occ AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15))::UBIGINT AS g
+        |  FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+        |  WHERE len(w) >= 8
+        |), ranked AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY g) AS n_occ,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM occ
+        |), cuts AS (
+        |  SELECT doc_id, pos FROM ranked WHERE n_occ > 1 AND (n_occ > 64 OR rn > 1)
+        |), cov AS (
+        |  SELECT doc_id, pos,
+        |    LEAST(8, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS c
+        |  FROM cuts WHERE doc_id >= 1000000
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(c) AS BIGINT) AS n_cut
+        |  FROM cov GROUP BY 1)
+        |SELECT t.doc_id AS id, len(t.w) AS n_tokens,
+        |  COALESCE(a.n_spans, 0) AS n_spans, COALESCE(a.n_cut, 0) AS n_cut,
+        |  ROUND(CAST(COALESCE(a.n_cut, 0) AS DOUBLE)/len(t.w), 4) AS cut_ratio
+        |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        |WHERE t.doc_id >= 1000000
+        |ORDER BY t.doc_id""".stripMargin,
     "q86_syndication" ->
       """WITH caps AS (
         |  SELECT doc_id, text FROM documents

@@ -149,6 +149,21 @@ class PlanSpec extends SparkSpecBase {
     assert(nUdf == 1, s"scoreOf must appear exactly once in the optimized plan, found $nUdf")
   }
 
+  test("q51/q83/q91: the Bloom probe is a codegen'd expression, zero ScalaUDF nodes") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    // the probe sits on every row of every incremental batch; a Scala UDF
+    // there pays a per-row encoder round-trip and breaks WholeStageCodegen
+    for (q <- Seq("q51_bloom_dedup", "q83_incr_linededup", "q91_incr_spandedup")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val nUdf = df.queryExecution.optimizedPlan.collect {
+        case node => node.expressions.map(_.collect { case u: ScalaUDF => u }.size).sum
+      }.sum
+      assert(nUdf == 0, s"$q: expected zero ScalaUDF nodes, found $nUdf")
+      assert(df.queryExecution.optimizedPlan.toString.contains("might_contain_sharded"),
+        s"$q: the native probe expression is missing from the plan")
+    }
+  }
+
   test("q62: C4 line filter is fully narrow — array ops, no shuffle, no explode") {
     val p = executedPlan("q62_c4_line_filter")
     val idx = p.indexOf("== Initial Plan ==")

@@ -494,4 +494,63 @@ class CurationOpsSpec extends SparkSpecBase {
     // appears 6 > maxDf times ⇒ all 6 docs cut it, canonical included
     assert((1L to 6L).forall(i => st(i) == 9L), st.toString)
   }
+
+  // --- Incremental exact-substring (span) dedup ---------------------------
+
+  test("incremental span stats equal the full-corpus stats over union, restricted to the batch") {
+    // history: every doc; batch: suffix mutants (cross-boundary span shares)
+    // plus a within-batch duplicated footer — both cut classes exercised,
+    // for B=1 and the sharded Bloom path
+    val hist = docs.limit(200)
+    val batch = hist.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat(array_join(slice(split(lower(trim($"text")), "\\s+"), 3, 1000000), " "),
+          when($"doc_id" % 10 === 0,
+              lit(" batch only footer span repeated across several fresh pages today"))
+            .otherwise(lit(""))).as("text"))
+    val want = ExactSubstring.stats(hist.unionByName(batch), "doc_id", "text",
+        k = 8, maxDf = 64)
+      .filter($"id" >= 1000000L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_cut"))).sortBy(_._1).toSeq
+    val grams = IncrementalDedup.spanGramTable(hist, "doc_id", "text")
+    for (b <- Seq(1, 2)) {
+      val got = IncrementalDedup.incrSpanStats(batch, grams, "doc_id", "text",
+          k = 8, maxDf = 64, expectedItems = 1 << 16, shards = b)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("n_cut"))).sortBy(_._1).toSeq
+      assert(got == want, s"shards=$b")
+    }
+    // the fixture really exercises both classes: some batch doc has cuts,
+    // and the batch-only footer produced within-batch (non-history) cuts
+    assert(want.exists(_._4 > 0))
+  }
+
+  test("spanGramTable is distinct-gram grain with the min (id, pos) canonical") {
+    val d = Seq(
+      (1L, "a b c d e f g h i"),       // grams at pos 1,2
+      (2L, "a b c d e f g h tail")     // pos-1 gram duplicates doc 1's
+    ).toDF("doc_id", "text")
+    val g = IncrementalDedup.spanGramTable(d, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("first_id"),
+        r.getAs[Int]("first_pos").toLong))
+    assert(g.length == 3, g.mkString(", ")) // abc..h, bcd..i, bcd..tail — distinct
+    assert(g.map(_._1).distinct.length == 3)
+    // the shared pos-1 gram canonicalizes to doc 1 (min id); doc 2 owns
+    // only its unique tail gram
+    assert(g.count { case (_, id, pos) => id == 1L && pos == 1L } == 1)
+    assert(g.count(_._2 == 1L) == 2 && g.count(_._2 == 2L) == 1, g.mkString(", "))
+  }
+
+  test("incremental span stats: a fresh batch doc with no shared grams reports zero cuts") {
+    val hist = docs.limit(50)
+    val batch = Seq((5000000L,
+      "entirely fresh prose never crawled before with its own distinct vocabulary " +
+      "spanning more than eight unique tokens easily")).toDF("doc_id", "text")
+    val grams = IncrementalDedup.spanGramTable(hist, "doc_id", "text")
+    val row = IncrementalDedup.incrSpanStats(batch, grams, "doc_id", "text",
+        expectedItems = 1 << 16).collect()
+    assert(row.length == 1 && row.head.getAs[Long]("n_cut") == 0L)
+    assert(row.head.getAs[Double]("cut_ratio") == 0.0)
+  }
 }

@@ -101,6 +101,69 @@ class IncrementalCurationSpec extends SparkSpecBase {
     assert(state1.lines.get.count() > state0.lines.get.count())
   }
 
+  test("optional span stage: a late mirror with enough fresh text to beat near-dup dies on spans") {
+    val history = base.filter($"doc_id" < 120)
+    val stateOff = IncrementalCuration.init(history, None)
+    val stateOn = IncrementalCuration.init(history, None, withSpanDedup = true)
+
+    // the mirror republishes history doc 60 verbatim PLUS ~1.2x its length
+    // of unrelated-but-real prose (doc 300's tokens, shuffled with a fixed
+    // seed — natural word stats, no 8-gram survives the shuffle):
+    // 3-shingle Jaccard vs doc 60 ≈ 0.45 < 0.5 → near-dup passes it, but
+    // duplicated-span coverage ≈ 0.45 of its tokens... so the spec gates at
+    // maxCutRatio = 0.3 (a deployment guarding late mirrors tunes exactly
+    // this knob — coverage stays high while Jaccard dilutes)
+    val src = base.filter($"doc_id" === 60).select("text").head().getString(0)
+    val fillerToks = base.filter($"doc_id" === 300).select("text").head()
+      .getString(0).trim.split("\\s+")
+    val n = src.trim.split("\\s+").length
+    val m = math.min(fillerToks.length, math.max(9, (1.2 * n).toInt))
+    val filler = new scala.util.Random(42L).shuffle(fillerToks.toSeq).take(m).mkString(" ")
+    val mirror = spark.range(1).select(lit(9000060L).as("doc_id"),
+      lit(src.trim + " " + filler).as("text"))
+    val fresh = base.filter($"doc_id" >= 200 && $"doc_id" < 230)
+    val batch = fresh.unionByName(mirror)
+
+    val cfg = Curation.Config(maxCutRatio = 0.3)
+    val (sOff, _) = IncrementalCuration.step(stateOff, batch, None, cfg = cfg,
+      expectedHistoryDigests = 1 << 14)
+    val (sOn, stateOn1) = IncrementalCuration.step(stateOn, batch, None, cfg = cfg,
+      expectedHistoryDigests = 1 << 14)
+    val idsOff = sOff.select("doc_id").as[Long].collect().toSet
+    val idsOn = sOn.select("doc_id").as[Long].collect().toSet
+    assert(idsOff.contains(9000060L),
+      "control: without the span stage the diluted mirror must survive the chain")
+    assert(!idsOn.contains(9000060L),
+      "the span stage must catch the mirror by its gram coverage")
+    // fresh docs pass the gate in both modes; gram state accumulated
+    assert(idsOn.exists(id => id >= 200 && id < 230))
+    assert((idsOff - 9000060L) == idsOn, "span gate must only remove the mirror")
+    assert(stateOn1.grams.get.count() > stateOn.grams.get.count())
+  }
+
+  test("five batches: every state append is a materialized leaf (no re-derivation)") {
+    val history = base.filter($"doc_id" < 100)
+    var state = IncrementalCuration.init(history, None, withSpanDedup = true)
+    for (i <- 0 until 5) {
+      val lo = 200 + i * 40
+      val batch = base.filter($"doc_id" >= lo && $"doc_id" < lo + 40)
+      state = IncrementalCuration.step(state, batch, None,
+        expectedHistoryDigests = 1 << 14)._2
+    }
+    // the N-batch docs/bands/grams state must be a UNION OF LEAVES: any
+    // Join/Aggregate/Generate/Window in its plan means some append was left
+    // lazy and the next step's history joins would re-derive N batches deep
+    for ((name, df) <- Seq("docs" -> state.docs, "bands" -> state.bands,
+                           "grams" -> state.grams.get)) {
+      val plan = df.queryExecution.optimizedPlan
+      val heavy = plan.collect {
+        case n if n.nodeName.matches("(?i).*(Join|Aggregate|Generate|Window).*") => n.nodeName
+      }
+      assert(heavy.isEmpty, s"$name state re-derives per step: $heavy\n$plan")
+      assert(plan.collectLeaves().size == 6, s"$name: expected 6 leaves\n$plan")
+    }
+  }
+
   test("replaying an already-applied batch yields zero survivors (crash-replay safe)") {
     val history = base.filter($"doc_id" < 100)
     val state0 = IncrementalCuration.init(history, None)
