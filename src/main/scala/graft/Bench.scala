@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{QualityPipeline, SyntheticPages}
+import graft.pipeline.{Curation, QualityPipeline, SyntheticPages}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,14 @@ object Bench {
   private def session(cores: Int): SparkSession = GraftSession.local(cores, "graft-bench")
 
   private def nprocs: Int = Runtime.getRuntime.availableProcessors()
+
+  private def rmDir(path: String): Unit = {
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm)
+      p.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
 
   /** Single-thread detector throughput on the real Korean corpus — the direct
     * comparison with the reference's single-process run (~3k docs/sec). Plain
@@ -105,6 +113,30 @@ object Bench {
     val pagesDir = java.nio.file.Files.createTempDirectory("graft_bench_pages").toString
     SyntheticPages.fromDocuments(spark, sfDir).repartition(64)
       .write.mode("overwrite").parquet(pagesDir)
+    // Raw-HTML variant of the same corpus for the extraction bench: the body
+    // text sandwiched between two known-prose paragraphs (so jusText's
+    // context resolution keeps it regardless of body length), wrapped in the
+    // nav/tracking/footer boilerplate a real crawl page carries; `text`
+    // arrives EMPTY so htmlExtractStage has to produce it.
+    val htmlPagesDir = java.nio.file.Files.createTempDirectory("graft_bench_html").toString
+    val prose1 = "The measurement methodology records wall-clock time across the " +
+      "whole job, including scan, extraction, classification and the final " +
+      "write, so the reported figure reflects what a production run would pay."
+    val prose2 = "Each paragraph of genuine prose carries enough characters and " +
+      "few enough links that the classifier marks it good on its own merits, " +
+      "which anchors the context resolution for the shorter body blocks."
+    SyntheticPages.fromDocuments(spark, sfDir).repartition(64)
+      .select(col("url"), col("warc_ts"), col("lang"),
+        encode(concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style></head>" +
+            "<body><nav><a href='/'>Home</a> <a href='/shop'>Shop</a> " +
+            s"<a href='/cart'>Cart</a></nav><p>$prose1</p><p>"),
+          col("text"),
+          lit(s"</p><p>$prose2</p><div><a href='/more'>Read more</a></div>" +
+            "<!-- tracking --><script>var a=1;</script>" +
+            "<footer>© 2026 Example Corp</footer></body></html>")), "UTF-8").as("html"),
+        lit("").as("text"))
+      .write.mode("overwrite").parquet(htmlPagesDir)
     def pipelineDf(s: SparkSession) = {
       val pages = s.read.parquet(pagesDir)
         .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
@@ -199,8 +231,49 @@ object Bench {
       val c4 = math.min(time(force(fullDf(c4 = true))), time(force(fullDf(c4 = true))))
       (plain, c4)
     }
-    spark.stop()
 
+    // --- full chain FROM RAW HTML: jusText extraction + mojibake repair in
+    // front of the same heuristic pipeline — the delta against `pipeline`'s
+    // per-level numbers at the same core count prices extraction, the most
+    // expensive narrow stage a real crawl pipeline runs.
+    def extractDf(s: SparkSession) = {
+      val pages = s.read.parquet(htmlPagesDir)
+        .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
+        .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
+        .drop("rep")
+      QualityPipeline.run(
+        QualityPipeline.mojibakeStage(QualityPipeline.htmlExtractStage(pages)))
+        .select("url", "keep", "n_pii", "text_scrubbed")
+    }
+    force(extractDf(spark)) // warm-up
+    val extractSec = math.min(time(force(extractDf(spark))), time(force(extractDf(spark))))
+
+    // --- composed curation run: docs/sec THROUGH runCheckpointed's whole
+    // chain (exact → lines → neardup → substring → quality → scrub → pack),
+    // checkpoint parquet I/O included, with the per-stage wall-time profile
+    // — which stage dominates is measured, not reasoned. Input is the same
+    // ×repFactor url-replicated corpus as `pipeline`: a recrawl-heavy shape
+    // where exact dedup carries the full input width (and, being a map-side-
+    // combining min_by agg, reduces it before the shuffle) and every later
+    // stage works the unique survivors. Each rep gets a FRESH checkpoint
+    // dir — a reused one would resume at zero cost and measure nothing.
+    def curationRep(): (Double, Seq[(String, Double)]) = {
+      val outDir = java.nio.file.Files.createTempDirectory("graft_bench_curation").toString
+      val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val pages = spark.read.parquet(pagesDir)
+        .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
+        .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
+        .select("url", "text")
+      val sec = time {
+        Curation.runCheckpointed(spark, Curation.fromLake(pages), None, outDir,
+          inputFp = "bench-" + outDir,
+          onStage = (n, s) => stages += ((n, s)))
+      }
+      rmDir(outDir)
+      (sec, stages.toSeq)
+    }
+    val (curSec, curStages) = Seq(curationRep(), curationRep()).minBy(_._1)
+    spark.stop()
 
     def f(d: Double) = f"$d%.3f"
     val qJson = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
@@ -213,12 +286,14 @@ object Bench {
       s"""{"docs":$nDocs,"cores":$bigCpus,"sec":${f(fullSec)},"docs_sec":${f(nDocs / fullSec)}}"""
     val fullC4Json =
       s"""{"docs":$nDocs,"cores":$bigCpus,"sec":${f(fullC4Sec)},"docs_sec":${f(nDocs / fullC4Sec)}}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson,"pipeline_full":$fullJson,"pipeline_full_c4":$fullC4Json$detectorJson}""")
+    val extractJson =
+      s"""{"docs":$nDocs,"cores":$bigCpus,"sec":${f(extractSec)},"docs_sec":${f(nDocs / extractSec)}}"""
+    val curStagesJson = curStages.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val curationJson =
+      s"""{"docs":$nDocs,"cores":$bigCpus,"sec":${f(curSec)},"docs_sec":${f(nDocs / curSec)},"stages":$curStagesJson}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson,"pipeline_full":$fullJson,"pipeline_full_c4":$fullC4Json,"pipeline_full_extract":$extractJson,"pipeline_curation":$curationJson$detectorJson}""")
 
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(rm)
-      p.delete(): Unit
-    }
-    rm(new java.io.File(pagesDir))
+    rmDir(pagesDir)
+    rmDir(htmlPagesDir)
   }
 }

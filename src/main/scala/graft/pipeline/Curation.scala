@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.operators.{Dedup, ExactSubstring, Packing, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed training-data curation run: every dedup/filter operator in
@@ -55,14 +54,17 @@ object Curation {
       col("text"))
 
   /** Exact dedup: keep the minimum doc_id per content digest. ONE shuffle
-    * (window over the digest), no join-back. */
-  def exactStage(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("digest")
+    * (hash agg on the digest) with MAP-SIDE COMBINING — `min_by` partial-
+    * aggregates, so a recrawl-heavy corpus (hundreds of captures of the
+    * same page per map partition) reduces to one row per digest per map
+    * task BEFORE it moves. The window formulation this replaces shuffled
+    * every input row: at 200× duplication that is 200× the shuffle bytes
+    * for the identical survivor set. */
+  def exactStage(df: DataFrame): DataFrame =
     df.withColumn("digest", md5(col("text")))
-      .withColumn("_min", min("doc_id").over(w))
-      .filter(col("doc_id") === col("_min"))
-      .select("doc_id", "text")
-  }
+      .groupBy("digest")
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("best"))
+      .select(col("best.doc_id").as("doc_id"), col("best.text").as("text"))
 
   /** C4-style line dedup: documents rebuilt from surviving lines; pages
     * reduced to pure boilerplate drop out entirely. */
@@ -166,7 +168,12 @@ object Curation {
                       // Callers fingerprint their input directory
                       // (QualityPipeline.inputFingerprint) or pass any
                       // string that changes when the input does.
-                      inputFp: String): Seq[(String, String)] = {
+                      inputFp: String,
+                      // per-stage wall-time hook (stage name, seconds spent
+                      // computing+writing it — 0-cost resumes included):
+                      // the bench's stage profile and a production run's
+                      // dashboard feed. No-op by default.
+                      onStage: (String, Double) => Unit = (_, _) => ()): Seq[(String, String)] = {
     require(inputFp.nonEmpty,
       "inputFp must identify the input content — an empty fingerprint would serve stale checkpoints on input change")
     val out = Seq.newBuilder[(String, String)]
@@ -174,7 +181,9 @@ object Curation {
     var cur = docs.select(col("doc_id").cast("long"), col("text"))
 
     def step(name: String)(body: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
       cur = QualityPipeline.checkpointStage(spark, body, outDir, name, fp)
+      onStage(name, (System.nanoTime() - t0) / 1e9)
       val path = s"$outDir/stage=$name"
       fp = QualityPipeline.inputFingerprint(path)
       out += ((name, path))

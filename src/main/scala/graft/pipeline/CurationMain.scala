@@ -36,7 +36,8 @@ object CurationMain {
         Some(spark.read.parquet(embPath.toString).select("vec_id", "embedding"))
       else None
     val stages = Curation.runCheckpointed(spark, docs, embeddings, outDir,
-      inputFp = QualityPipeline.inputFingerprint(inDir))
+      inputFp = QualityPipeline.inputFingerprint(inDir),
+      onStage = (n, s) => println(f"stage=$n%-10s ${s}%8.1fs wall"))
     import spark.implicits._
     val counts = stages.zipWithIndex.map { case ((name, path), i) =>
       val n = spark.read.parquet(path).count()

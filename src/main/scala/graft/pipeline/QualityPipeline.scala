@@ -53,7 +53,19 @@ object QualityPipeline {
       // layer's random-number false positives) and don't count in n_pii.
       // OFF by default — it changes text_scrubbed/n_pii for exactly those
       // rows, which the reference-parity goldens pin.
-      strictScrub: Boolean = false)
+      strictScrub: Boolean = false,
+      // Per-language jusText (runFromHtml only): after language ID on the
+      // language-independent draft extraction, pages whose language has a
+      // stopword list get a SECOND extraction pass sharpened by stopword
+      // density (jusText's full mode — kills keyword-stuffed link-free
+      // boilerplate the length/link signals can't see). OFF by default:
+      // it rewrites extracted text for listed-language pages.
+      justextByLang: Boolean = false,
+      // Host-rank gate ([[hostRankStage]], active only when `run` is given
+      // a rank table): pages on hosts whose link-graph PageRank
+      // ([[graft.operators.LinkGraph.hostRank]] fixed-point Longs) falls
+      // below this bar get a drop reason. 0 = no gate.
+      minHostRank: Long = 0L)
 
   /** Optional stage 0a: populate `text` from the raw `html` payload for
     * pages that arrive without a pre-extracted text column — jusText
@@ -72,6 +84,35 @@ object QualityPipeline {
           // page degrades to replacement chars instead of killing the job.
           expr("make_valid_utf8(cast(html as string))")))
         .otherwise(col("text")))
+
+  /** Optional stage 0a, per-language mode (jusText's full algorithm): the
+    * language-independent extraction first — the only mode available before
+    * the language is known — then language ID on that draft, then for
+    * textless-arriving pages whose predicted language has a stopword list a
+    * SECOND extraction pass with the paper's stopword-density thresholds
+    * (0.30/0.32). Two O(|html|) scans for listed languages, one for the
+    * rest; still narrow per-row work, no shuffle — the two-pass shape is
+    * exactly CCNet's "process, identify, reprocess per language" discipline.
+    * Pages that arrived WITH text keep it verbatim, as in
+    * [[htmlExtractStage]]. */
+  def htmlExtractByLangStage(pages: DataFrame,
+      lists: Map[String, Set[String]] = graft.functions.JusTextStopwords.lists,
+      model: LangIdModel = LangIdModel.default): DataFrame = {
+    val htmlStr = expr("make_valid_utf8(cast(html as string))")
+    val textless = col("text").isNull || col("text") === ""
+    val draft = pages.withColumn("_jt_draft",
+      when(textless, graft.functions.HtmlFunctions.justext_extract(htmlStr))
+        .otherwise(col("text")))
+      .withColumn("_jt_lang",
+        QualityFunctions.langid(col("_jt_draft"), model).getField("lang"))
+    // deterministic when-chain over the (small, driver-side) language list
+    val sharpened = lists.toSeq.sortBy(_._1).foldLeft(col("_jt_draft")) {
+      case (acc, (lang, sw)) =>
+        when(textless && col("_jt_lang") === lang,
+          graft.functions.HtmlFunctions.justext_extract(htmlStr, sw)).otherwise(acc)
+    }
+    draft.withColumn("text", sharpened).drop("_jt_draft", "_jt_lang")
+  }
 
   /** Optional stage 0b: mojibake repair (UTF-8-as-cp1252 damage) before any
     * hashing, token counting or dedup sees the text. Correct text is a
@@ -232,6 +273,25 @@ object QualityPipeline {
       .withColumn("keep", size(col("drop_reasons")) === 0)
       .drop("_ms")
 
+  /** Optional stage 3d: host-trust gate from the link graph — the stated
+    * consumer of [[graft.operators.LinkGraph.hostRank]]. Pages on hosts
+    * ranked below `minRank` get a drop reason; hosts ABSENT from the rank
+    * table (outside the crawl's link graph) are treated as exactly
+    * `minRank` — unknown is neutral, never auto-dropped. The rank table is
+    * host-grain — orders of magnitude smaller than the corpus, and gating
+    * tables are threshold-pruned in practice — so it ships BROADCAST: the
+    * corpus never shuffles (a plain host join would shuffle the corpus on
+    * its most skewed key). */
+  def hostRankStage(df: DataFrame, hostRanks: DataFrame, minRank: Long): DataFrame =
+    df.join(broadcast(hostRanks.select(col("host"), col("rank").as("host_rank"))),
+        Seq("host"), "left")
+      .withColumn("host_rank", coalesce(col("host_rank"), lit(minRank)))
+      .withColumn("drop_reasons",
+        when(col("host_rank") < minRank,
+          array_union(col("drop_reasons"), array(lit("low_host_rank"))))
+          .otherwise(col("drop_reasons")))
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+
   /** Stage 4: PII detection + redaction in ONE detector pass per row
     * (process_pii expression; patterns are executor singletons). With
     * `strict`, the same single pass additionally gates card/RRN spans on
@@ -244,12 +304,30 @@ object QualityPipeline {
       .withColumn("text_scrubbed", col("pp.text_scrubbed"))
       .drop("pp")
 
-  /** Full chain (the C4 line-filter stage joins when `cfg.c4LineFilter`). */
+  /** Full chain (the C4 line-filter stage joins when `cfg.c4LineFilter`;
+    * the host-rank gate joins when a rank table is passed). */
   def run(pages: DataFrame, cfg: Config = Config(),
-          model: LangIdModel = LangIdModel.default): DataFrame = {
+          model: LangIdModel = LangIdModel.default,
+          hostRanks: Option[DataFrame] = None): DataFrame = {
     val base = extract(pages)
     val lf = if (cfg.c4LineFilter) lineFilterStage(base, cfg) else base
-    piiStage(qualityStage(langIdStage(lf, model), cfg), cfg.strictScrub)
+    val quality = qualityStage(langIdStage(lf, model), cfg)
+    val ranked = hostRanks.fold(quality)(hostRankStage(quality, _, cfg.minHostRank))
+    piiStage(ranked, cfg.strictScrub)
+  }
+
+  /** Full chain from RAW HTML pages (url, warc_ts, html, lang [, text]):
+    * extraction (per-language when `cfg.justextByLang`) + mojibake repair in
+    * front of [[run]]. Pages may arrive without a text column at all. */
+  def runFromHtml(pages: DataFrame, cfg: Config = Config(),
+                  model: LangIdModel = LangIdModel.default): DataFrame = {
+    val withText =
+      if (pages.columns.contains("text")) pages
+      else pages.withColumn("text", lit(""))
+    val extracted =
+      if (cfg.justextByLang) htmlExtractByLangStage(withText, model = model)
+      else htmlExtractStage(withText)
+    run(mojibakeStage(extracted), cfg, model)
   }
 
   /** Zero-extra-pass metrics: `observe` accumulates named aggregates while

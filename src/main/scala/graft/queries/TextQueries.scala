@@ -831,6 +831,36 @@ object TextQueries {
         .orderBy("host")
     }),
 
+    // Host-rank quality gate end-to-end (the stated consumer of q72's
+    // PageRank, wired as QualityPipeline.hostRankStage): pages on hosts
+    // ranked below the bar drop with a reason; hosts OUTSIDE the link
+    // graph (every 11th doc's off-graph host) coalesce to exactly the bar
+    // — unknown is neutral, never auto-dropped. The bar is a host's own
+    // rank (site-0's), deterministic at every scale factor. The oracle
+    // recomputes the ENTIRE composition — recursive-CTE fixed-point
+    // PageRank, broadcast left join, coalesce, keep rule — in one SQL.
+    "q92_host_rank_gate" -> ((s, dir) => {
+      val d = rawDocs(s, dir)
+      def hostOf(mult: Int, add: Int) =
+        concat(lit("site-"), pmod(col("doc_id") * mult + add, lit(40)).cast("int").cast("string"))
+      val src = concat(lit("site-"), pmod(col("doc_id"), lit(40)).cast("int").cast("string"))
+      val edges = Seq((7, 1), (13, 2), (3, 5)).map { case (m, a) =>
+        d.select(src.as("src"), hostOf(m, a).as("dst"))
+      }.reduce(_ unionByName _).distinct()
+      val ranks = graft.operators.LinkGraph.hostRank(edges, iterations = 10)
+      // the gate bar as a driver scalar off the HOST-grain rank table (40
+      // rows here, ~10⁸ at crawl scale — metadata-grain either way)
+      val bar = ranks.filter(col("host") === "site-0").head().getLong(1)
+      val pages = d.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("offgraph-"), (col("doc_id") % 7).cast("string")))
+          .otherwise(src).as("host"),
+        array().cast("array<string>").as("drop_reasons"))
+      graft.pipeline.QualityPipeline.hostRankStage(pages, ranks, minRank = bar)
+        .select(col("doc_id"), col("host"), col("host_rank"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // robots.txt crawl filtering (RFC 9309), oracled BY CONSTRUCTION: one
     // planted policy, five URL classes per doc_id%5 whose allow/deny
     // decisions are known from the construction — wildcard+$ anchoring,
@@ -2432,6 +2462,44 @@ object TextQueries {
         |  GROUP BY iter, tgt
         |)
         |SELECT host, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10 ORDER BY host""".stripMargin,
+    "q92_host_rank_gate" ->
+      """WITH RECURSIVE
+        |links AS (
+        |  SELECT CAST(doc_id % 40 AS INT) AS s, CAST((doc_id * m + a) % 40 AS INT) AS t
+        |  FROM documents, (VALUES (7, 1), (13, 2), (3, 5)) AS f(m, a)
+        |),
+        |edges AS (SELECT DISTINCT 'site-' || CAST(s AS VARCHAR) AS src,
+        |                          'site-' || CAST(t AS VARCHAR) AS dst FROM links),
+        |hosts AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst AS host FROM edges) u),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |fan AS (
+        |  SELECT e.src AS src, e.dst AS tgt, d.deg AS deg FROM edges e JOIN deg d USING (src)
+        |  UNION ALL
+        |  SELECT host, host, CAST(0 AS BIGINT) FROM hosts
+        |),
+        |pr AS (
+        |  SELECT 0 AS iter, host, CAST(1000000000000 AS BIGINT) AS rank FROM hosts
+        |  UNION ALL
+        |  SELECT iter + 1, tgt AS host,
+        |    CAST(150000000000 AS BIGINT) +
+        |      (85 * SUM(CASE WHEN deg > 0 THEN rank // deg ELSE CAST(0 AS BIGINT) END)) // 100
+        |  FROM (SELECT p.iter, f.tgt, f.deg, p.rank
+        |        FROM pr p JOIN fan f ON f.src = p.host WHERE p.iter < 10) step
+        |  GROUP BY iter, tgt
+        |),
+        |ranks AS (SELECT host, CAST(rank AS BIGINT) AS rank FROM pr WHERE iter = 10),
+        |bar AS (SELECT rank AS bar FROM ranks WHERE host = 'site-0'),
+        |pages AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'offgraph-' || CAST(doc_id % 7 AS VARCHAR)
+        |         ELSE 'site-' || CAST(CAST(doc_id % 40 AS INT) AS VARCHAR) END AS host
+        |  FROM documents)
+        |SELECT p.doc_id, p.host,
+        |  COALESCE(r.rank, b.bar) AS host_rank,
+        |  COALESCE(r.rank, b.bar) >= b.bar AS keep
+        |FROM pages p LEFT JOIN ranks r ON r.host = p.host CROSS JOIN bar b
+        |ORDER BY p.doc_id""".stripMargin,
     "q68_html_extract" ->
       (s"""SELECT doc_id,
         |  CAST(length('$ExtractProse1' || chr(10) || text || chr(10) || '$ExtractProse2') AS INT) AS n_chars,

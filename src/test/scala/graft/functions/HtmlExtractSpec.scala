@@ -104,6 +104,50 @@ class HtmlExtractSpec extends SparkSpecBase {
     assert(got == prose1, got)
   }
 
+  test("per-language second pass: en stopword mode kills keyword spam the language-independent pass keeps") {
+    import graft.pipeline.QualityPipeline
+    val spam = ("buy cheap pills casino poker luxury watches discount deals " * 6).trim
+    // stopword-saturated English prose, > 200 chars, no links, no ©
+    val proseEn = "It is the case that all of the people who were there at the " +
+      "time had been told about the change, and most of them said that they " +
+      "would have done the same if they had known what we know now about how " +
+      "it was going to turn out in the end."
+    val koSent = ("오늘 회의에서는 새로운 정책과 예산 계획에 대한 자세한 내용을 " +
+      "위원들과 함께 오랫동안 논의하였습니다. ") * 5
+    val htmlEn = "<html><body><nav><a href='/'>Home</a> <a href='/a'>About</a>" +
+      s"</nav><p>$proseEn</p><p>$spam</p></body></html>"
+    val htmlKo = s"<html><body><p>${koSent.trim}</p><p>$spam</p></body></html>"
+    val pages = Seq(
+      ("https://en.example.org/x", htmlEn, ""),
+      ("https://ko.example.org/x", htmlKo, ""),
+      ("https://pre.example.org/x", htmlEn, "already extracted"))
+      .toDF("url", "html_s", "text")
+      .withColumn("html", encode(col("html_s"), "UTF-8"))
+      .withColumn("warc_ts", timestamp_seconds(lit(1700000000L)))
+      .withColumn("lang", lit(""))
+      .drop("html_s")
+    def texts(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.select("url", "text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val indep = texts(QualityPipeline.htmlExtractStage(pages))
+    val byLang = texts(QualityPipeline.htmlExtractByLangStage(pages))
+    // the improvement: language-independent extraction keeps the long,
+    // link-free spam block; the en stopword pass classifies it bad
+    assert(indep("https://en.example.org/x").contains("casino"))
+    assert(!byLang("https://en.example.org/x").contains("casino"))
+    assert(byLang("https://en.example.org/x").contains("It is the case"))
+    // unlisted language (ko): falls back to the language-independent draft
+    assert(byLang("https://ko.example.org/x").contains("casino"))
+    assert(byLang("https://ko.example.org/x").contains("오늘"))
+    // pages arriving WITH text keep it verbatim in both modes
+    assert(byLang("https://pre.example.org/x") == "already extracted")
+    assert(indep("https://pre.example.org/x") == "already extracted")
+    // config-gated full chain from raw html (no text column at all)
+    val kept = QualityPipeline.runFromHtml(pages.drop("text"),
+      QualityPipeline.Config(justextByLang = true))
+    assert(kept.columns.contains("keep") && kept.count() == 3)
+  }
+
   test("corpus recovery: body text survives a boilerplate sandwich byte-exactly") {
     // the q68 construction: nav + good prose + body + good prose + footer;
     // expected output is p1\nbody\np2 for EVERY doc (short bodies inherit

@@ -37,6 +37,44 @@ class PipelineSpec extends SparkSpecBase {
       !out("https://a.example.org/3").contains("ellipsis_heavy"), out.toString)
   }
 
+  test("host-rank gate: link-graph PageRank shifts the keep decision; unknown hosts are neutral") {
+    import spark.implicits._
+    // link graph: ten hosts all endorse good.example.org; bad.example.org
+    // only links out (dangling target of nothing → base rank)
+    val edges = ((1 to 10).map(i => (s"h$i.example.org", "good.example.org")) :+
+      ("bad.example.org", "good.example.org")).toDF("src", "dst")
+    val ranks = graft.operators.LinkGraph.hostRank(edges, iterations = 5)
+      .withColumnRenamed("host", "host")
+    val byHost = ranks.as[(String, Long)].collect().toMap
+    assert(byHost("good.example.org") > byHost("bad.example.org"))
+    val bar = (byHost("good.example.org") + byHost("bad.example.org")) / 2
+    // identical clean text on a high-rank, a low-rank, and an unknown host
+    val prose = ("The quick brown fox jumps over the lazy dog and " * 5).trim
+    val pages = Seq(
+      ("https://good.example.org/a", prose),
+      ("https://bad.example.org/a", prose),
+      ("https://elsewhere.example.net/a", prose))
+      .toDF("url", "text")
+      .withColumn("warc_ts", current_timestamp()).withColumn("lang", lit("en"))
+    val cfg = QualityPipeline.Config(minHostRank = bar)
+    val gated = QualityPipeline.run(pages, cfg, hostRanks = Some(ranks))
+      .select(col("url"), col("keep"), array_join(col("drop_reasons"), ",").as("r"))
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(gated("https://good.example.org/a")._1, gated.toString)
+    assert(!gated("https://bad.example.org/a")._1 &&
+      gated("https://bad.example.org/a")._2.contains("low_host_rank"), gated.toString)
+    // host outside the link graph: neutral, not auto-dropped
+    assert(gated("https://elsewhere.example.net/a")._1, gated.toString)
+    // without a rank table the same config gates nothing (feature is opt-in)
+    val ungated = QualityPipeline.run(pages, cfg)
+    assert(ungated.filter(!col("keep")).count() == 0)
+    // the rank table must ship broadcast: the corpus never shuffles on host
+    val plan = QualityPipeline.run(pages, cfg, hostRanks = Some(ranks))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"host-rank join must broadcast:\n$plan")
+  }
+
   test("quality stage: Gopher duplicate-shape gates fire on repeated lines/paragraphs") {
     import spark.implicits._
     val prose = "The quick brown fox jumps over the lazy dog near the river bank today."

@@ -343,6 +343,41 @@ class PageLakeSpec extends SparkSpecBase {
     assert(PageLake.readVersion(spark, d, snaps.head).count() == full)
   }
 
+  test("snapshot isolation under concurrent compaction: a pre-resolved version fails loudly, never partially") {
+    val d = java.nio.file.Files.createTempDirectory("pagelake_iso").toString
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    PageLake.write(pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 0), d)
+    PageLake.append(pages.filter(pmod(abs(hash(col("url"))), lit(2)) === 1), d)
+    val v2 = PageLake.currentVersion(spark, d)
+    // a reader resolves v2 BEFORE the compaction runs: the DataFrame pins
+    // the exact data-file list that snapshot recorded
+    val resolved = PageLake.readVersion(spark, d, v2)
+    val nRows = resolved.count()
+    val (rewritten, _, _) = PageLake.compact(spark, d) // rewrites + expires
+    assert(rewritten >= 1, "fixture must actually compact")
+    // the stale pre-resolved plan must THROW on next use — compaction
+    // deleted the files it points at; silently returning partial (or
+    // empty) data would be a correctness bug, not staleness
+    val ex = intercept[Exception](resolved.count())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+      String.valueOf(c.getMessage).matches("(?is).*(file|path).*(not exist|not found|deleted).*")),
+      s"expected a missing-file failure, got: $ex")
+    // a FRESH resolve of the expired version fails with the documented
+    // explicit message (no half-readable view either way)
+    val ex2 = intercept[Exception](PageLake.readVersion(spark, d, v2))
+    assert(ex2.getMessage.contains("expired") || ex2.getMessage.contains("does not exist"),
+      s"unexpected message: ${ex2.getMessage}")
+    // the positive side: a version resolved AFTER compaction survives a
+    // subsequent no-op compact (nothing rewritten ⇒ nothing expires)
+    val v3 = PageLake.currentVersion(spark, d)
+    val resolved3 = PageLake.readVersion(spark, d, v3)
+    val (r2, _, _) = PageLake.compact(spark, d)
+    assert(r2 == 0, "second compact over a healthy lake must rewrite nothing")
+    assert(resolved3.count() == nRows, "servable snapshot view must survive a no-op compact")
+  }
+
   test("unservable snapshots left by external deletes are swept on the next compact") {
     val d = java.nio.file.Files.createTempDirectory("pagelake_sweep").toString
     val pages = SyntheticPages.fromDocuments(spark, sfDir)
