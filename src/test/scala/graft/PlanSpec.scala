@@ -263,6 +263,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!f.contains("Join"), s"signals must not join:\n$f")
   }
 
+  test("q92: host-rank gate broadcasts the rank table; the corpus never sort-merges") {
+    val p = executedPlan("q92_host_rank_gate")
+    assert(p.contains("BroadcastHashJoin"), s"rank table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge on host:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
   test("q82: luhn gate is fully narrow — no shuffle, no join before the sort") {
     val p = executedPlan("q82_card_luhn")
     val idx = p.indexOf("== Initial Plan ==")
