@@ -80,7 +80,8 @@ object Bench {
       "q47_skew_join", "q48_range_join", "q53_substring_dedup",
       "q65_incr_neardup", "q68_html_extract",
       "q78_ccnet_paradedup", "q79_host_cap", "q81_url_latest",
-      "q83_incr_linededup", "q86_syndication", "q88_semantic_decontam")
+      "q83_incr_linededup", "q86_syndication", "q88_semantic_decontam",
+      "q93_incr_hostcap", "q94_incr_latest")
 
     var spark = session(cpus)
     // Two passes per headline query: the cold pass carries session/plan/
@@ -273,6 +274,52 @@ object Bench {
       (sec, stages.toSeq)
     }
     val (curSec, curStages) = Seq(curationRep(), curationRep()).minBy(_._1)
+
+    // --- daily incremental step: the number that justifies the whole
+    // incremental surface is step_cost << full-run cost on the same
+    // history. History = the corpus made UNIQUE (per-rep disambiguated
+    // texts — the state a long run of daily steps has accumulated), batch
+    // = a 10%-scale day with a realistic recrawl mix: ~half fresh pages,
+    // ~half exact recrawls of history, plus a mutant slice so the
+    // cross-batch near-dup verify join does real work. State bootstrap is
+    // untimed (at scale it IS the persisted lake state, not a daily cost)
+    // but reported. Batch ids sit above 2^61 > every 60-bit history hash —
+    // the monotonic-id contract every incremental operator canonicalizes
+    // on.
+    val (incrInitSec, incrStepSec, incrHistDocs, incrBatchDocs) = {
+      val histBase = spark.read.parquet(pagesDir)
+        .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
+        .select(col("rep"),
+          concat(col("url"), lit("?rep="), col("rep")).as("url"),
+          concat(col("text"), lit(" variant "), col("rep")).as("text"))
+      val histDocs = Curation.fromLake(histBase.drop("rep"))
+      val idOff = 1L << 61
+      val freshReps = math.max(repFactor / 20, 1)
+      val fresh = spark.read.parquet(pagesDir)
+        .withColumn("rep", explode(sequence(lit(0), lit(freshReps - 1))))
+        .select((graft.functions.TextFunctions.hash60(
+            concat(col("url"), lit("?fresh="), col("rep"))) + idOff).as("doc_id"),
+          concat(col("text"), lit(" fresh "), col("rep")).as("text"))
+      val recrawl = histBase.filter(col("rep") < freshReps - 2)
+        .select((graft.functions.TextFunctions.hash60(
+          concat(col("url"), lit("?recrawl"))) + idOff).as("doc_id"), col("text"))
+      val mutants = histBase.filter(col("rep") >= repFactor - 2)
+        .select((graft.functions.TextFunctions.hash60(
+            concat(col("url"), lit("?mut"))) + idOff).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 3, 1000000), " ").as("text"))
+      val batch = fresh.unionByName(recrawl).unionByName(mutants).localCheckpoint()
+      val nBatch = batch.count()
+      var state: graft.pipeline.IncrementalCuration.State = null
+      val initSec = time {
+        state = graft.pipeline.IncrementalCuration.init(histDocs, None,
+          withLineDedup = true)
+      }
+      val stepSec = (1 to 2).map(_ => time {
+        graft.pipeline.IncrementalCuration.step(state, batch, None,
+          expectedHistoryDigests = nDocs)
+      }).min
+      (initSec, stepSec, nDocs, nBatch)
+    }
     spark.stop()
 
     def f(d: Double) = f"$d%.3f"
@@ -291,7 +338,11 @@ object Bench {
     val curStagesJson = curStages.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val curationJson =
       s"""{"docs":$nDocs,"cores":$bigCpus,"sec":${f(curSec)},"docs_sec":${f(nDocs / curSec)},"stages":$curStagesJson}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson,"pipeline_full":$fullJson,"pipeline_full_c4":$fullC4Json,"pipeline_full_extract":$extractJson,"pipeline_curation":$curationJson$detectorJson}""")
+    val incrJson =
+      s"""{"history_docs":$incrHistDocs,"batch_docs":$incrBatchDocs,"cores":$bigCpus,""" +
+      s""""init_sec":${f(incrInitSec)},"sec":${f(incrStepSec)},""" +
+      s""""docs_sec":${f(incrBatchDocs / incrStepSec)}}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson,"pipeline_full":$fullJson,"pipeline_full_c4":$fullC4Json,"pipeline_full_extract":$extractJson,"pipeline_curation":$curationJson,"pipeline_incremental":$incrJson$detectorJson}""")
 
     rmDir(pagesDir)
     rmDir(htmlPagesDir)

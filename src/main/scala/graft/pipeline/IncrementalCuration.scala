@@ -51,7 +51,10 @@ object IncrementalCuration {
       bands: DataFrame,
       semantic: Option[SemState],
       lines: Option[DataFrame] = None,
-      grams: Option[DataFrame] = None)
+      grams: Option[DataFrame] = None,
+      // per-host arrival counts for the admission cap (None = cap off);
+      // host-dimension scale, broadcast at step time
+      hosts: Option[DataFrame] = None)
 
   final case class SemState(centroids: Array[Array[Double]],
                             cells: DataFrame)
@@ -102,7 +105,15 @@ object IncrementalCuration {
            // gram-grain history is larger still (one k-gram per token
            // before distinct); default 512x the doc hint — at real scale
            // pass the persisted gram table's row count
-           expectedHistoryGrams: Long = -1L): (DataFrame, State) = {
+           expectedHistoryGrams: Long = -1L,
+           // per-host admission cap over the CURATED stream (None = off).
+           // Requires state.hosts (bootstrap with IncrementalSelect
+           // .hostCapInit over prior curated arrivals) and a `host` column
+           // on the batch. Rank space = docs that survive dedup + quality,
+           // admission-ordered by doc_id (the monotonic-crawl contract), so
+           // N steps equal the full first-cap window over the concatenated
+           // curated stream.
+           hostCapN: Option[Int] = None): (DataFrame, State) = {
     val lineItems =
       if (expectedHistoryLines > 0) expectedHistoryLines
       else 32L * expectedHistoryDigests
@@ -191,7 +202,22 @@ object IncrementalCuration {
       case _ => b3
     }
 
-    val survivors = b4.withColumn("digest", md5(col("text"))).localCheckpoint()
+    // 4b. per-host admission cap (optional): LAST, so only documents that
+    //     earned their place in the corpus count against their host's
+    //     budget. Dropped-by-cap docs do NOT enter dedup state — state is
+    //     the curated corpus, and a capped host's recrawls die here anyway.
+    val (b5, nextHosts) = (hostCapN, state.hosts) match {
+      case (Some(cap), Some(hs)) =>
+        val withHost = b4.join(
+          batch.select(col("doc_id").cast("long").as("doc_id"), col("host")),
+          Seq("doc_id"))
+        val r = graft.operators.IncrementalSelect.hostCapStep(
+          hs, withHost, "host", "doc_id", "doc_id", cap)
+        (r.kept.select("doc_id", "text"), Some(r.nextState.localCheckpoint()))
+      case _ => (b4, state.hosts)
+    }
+
+    val survivors = b5.withColumn("digest", md5(col("text"))).localCheckpoint()
 
     // 5. append survivors to every state table, each appended piece
     //    materialized ONCE at birth like the init tables (at scale: lake
@@ -219,7 +245,8 @@ object IncrementalCuration {
           .select("line_digest").distinct().localCheckpoint())),
       grams = state.grams.map(_.unionByName(
         IncrementalDedup.spanGramTable(survivors, "doc_id", "text", cfg.substringK)
-          .localCheckpoint())))
+          .localCheckpoint())),
+      hosts = nextHosts)
     (survivors.select("doc_id", "text"), next)
   }
 }

@@ -1131,6 +1131,62 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // Incremental per-host admission cap: history (doc_id%4 != 3) already
+    // holds per-host arrival counts; the batch (doc_id%4 = 3, strictly later
+    // warc_ts) is admitted host by host while n_seen + within-batch rank
+    // stays <= 5. Three planted host families exercise all three broadcast
+    // classes at sf>=0.01: 13 hot .com hosts arrive saturated (dropped
+    // without ranking), 29 mid .net hosts straddle the cap (the only rows
+    // windowed; saturated too by sf0.1), 997 tail .org hosts are safe
+    // (admitted without ranking at every SF).
+    // Oracle: the full first-5-arrivals window over history ∪ batch
+    // restricted to batch rows — the admission-equivalence contract.
+    "q93_incr_hostcap" -> ((s, dir) => {
+      import graft.operators.IncrementalSelect
+      val arr = rawDocs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("hot"), (col("doc_id") % 13).cast("string"), lit(".com")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("m"), (col("doc_id") % 29).cast("string"), lit(".net")))
+          .otherwise(concat(lit("t"), (col("doc_id") % 997).cast("string"), lit(".org")))
+          .as("host"),
+        when(col("doc_id") % 4 === 3, col("doc_id") + 10000000L)
+          .otherwise(col("doc_id")).as("warc_ts"))
+      val history = arr.filter(col("doc_id") % 4 =!= 3)
+      val batch = arr.filter(col("doc_id") % 4 === 3)
+      val state = IncrementalSelect.hostCapInit(history, "host")
+      IncrementalSelect.hostCapStep(state, batch, "host", "warc_ts", "doc_id", cap = 5)
+        .kept.select("doc_id", "host", "warc_ts").orderBy("doc_id")
+    }),
+
+    // Incremental latest-capture-per-URL (recrawl upsert semantics): the
+    // even-id half is persisted per-URL best-capture state; the odd-id half
+    // arrives as a recrawl batch sharing every URL (url = doc_id div 2, so
+    // the halves collide URL-for-URL — a parity-preserving modulo would
+    // silently disjoin them). Emitted rows = URLs whose best capture the
+    // batch improved under the (ts desc, id asc) rule, with the cumulative
+    // capture count. Planted ties in both directions: %50 history docs
+    // recur in the batch at id+1e6 (history defends on the tie), %70=35
+    // batch docs recur in HISTORY at id+2e6 (the batch row wins its tie).
+    // Oracle: the full q81 window over all arrivals, winners restricted to
+    // batch-contributed rows.
+    "q94_incr_latest" -> ((s, dir) => {
+      import graft.operators.IncrementalSelect
+      val base = rawDocs(s, dir).select(col("doc_id"),
+        concat(lit("https://s.com/p"),
+          expr("(doc_id div 2) % 150").cast("string")).as("url"),
+        ((col("doc_id") * 37) % 1000).as("warc_ts"))
+      val histExtra = base.filter(col("doc_id") % 70 === 35)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("url"), col("warc_ts"))
+      val history = base.filter(col("doc_id") % 2 === 0).unionByName(histExtra)
+      val batchExtra = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("url"), col("warc_ts"))
+      val batch = base.filter(col("doc_id") % 2 === 1).unionByName(batchExtra)
+      val state = IncrementalSelect.latestCaptureInit(history, "url", "warc_ts", "doc_id")
+      IncrementalSelect.latestCaptureStep(state, batch, "url", "warc_ts", "doc_id")
+        .upserts.select("url", "doc_id", "warc_ts", "n_captures").orderBy("url")
+    }),
+
     // Luhn-gated card validation (ISO/IEC 7812-1): the regex layer accepts
     // any 13-19-digit shape, so production scrubbers gate the hit on the
     // mod-10 checksum to kill invoice/tracking-number false positives.
@@ -2346,6 +2402,51 @@ object TextQueries {
         |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
         |WHERE t.doc_id >= 1000000
         |ORDER BY t.doc_id""".stripMargin,
+    // Admission-equivalence contract: the incremental step must equal the
+    // full first-cap-arrivals window over history ∪ batch restricted to
+    // batch rows (batch warc_ts strictly follows history's).
+    "q93_incr_hostcap" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'hot' || CAST(doc_id % 13 AS VARCHAR) || '.com'
+        |    WHEN doc_id % 3 = 1
+        |      THEN 'm' || CAST(doc_id % 29 AS VARCHAR) || '.net'
+        |    ELSE 't' || CAST(doc_id % 997 AS VARCHAR) || '.org' END AS host,
+        |    CASE WHEN doc_id % 4 = 3 THEN doc_id + 10000000 ELSE doc_id END AS warc_ts
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, host, warc_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY warc_ts, doc_id) AS rn
+        |  FROM arr)
+        |SELECT doc_id, host, warc_ts FROM ranked
+        |WHERE rn <= 5 AND doc_id % 4 = 3
+        |ORDER BY doc_id""".stripMargin,
+    // The q81 latest-capture window over ALL arrivals (history: even ids
+    // plus the %70=35 tie plants at id+2e6; batch: odd ids plus the %50
+    // plants at id+1e6), winners restricted to batch-contributed rows.
+    "q94_incr_latest" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'https://s.com/p' || CAST((doc_id // 2) % 150 AS VARCHAR) AS url,
+        |    (doc_id * 37) % 1000 AS warc_ts
+        |  FROM documents
+        |), caps AS (
+        |  SELECT doc_id, url, warc_ts FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, url, warc_ts FROM base WHERE doc_id % 70 = 35
+        |  UNION ALL
+        |  SELECT doc_id, url, warc_ts FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, url, warc_ts FROM base WHERE doc_id % 50 = 0
+        |), n AS (SELECT url, COUNT(*) AS n_captures FROM caps GROUP BY 1),
+        | w AS (
+        |  SELECT c.url, c.doc_id, c.warc_ts, n.n_captures,
+        |    ROW_NUMBER() OVER (PARTITION BY c.url ORDER BY c.warc_ts DESC, c.doc_id) AS rn
+        |  FROM caps c JOIN n USING (url))
+        |SELECT url, doc_id, warc_ts, n_captures FROM w
+        |WHERE rn = 1 AND (doc_id % 2 = 1 OR doc_id >= 1000000) AND doc_id < 2000000
+        |ORDER BY url""".stripMargin,
     "q86_syndication" ->
       """WITH caps AS (
         |  SELECT doc_id, text FROM documents

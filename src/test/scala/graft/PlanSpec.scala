@@ -270,6 +270,28 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
   }
 
+  test("q93: incremental host cap broadcasts the host classification onto the batch") {
+    val p = executedPlan("q93_incr_hostcap")
+    assert(p.contains("BroadcastHashJoin"), s"safe/boundary host sets must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    // the admission window must never see the whole batch — its input is the
+    // broadcast-semi-joined boundary slice, so at most one Window operator
+    // and it sits above a BroadcastHashJoin, not above the scan
+    val finalSection = {
+      val idx = p.indexOf("== Initial Plan ==")
+      if (idx >= 0) p.substring(0, idx) else p
+    }
+    assert("Window".r.findAllIn(finalSection).length <= 1,
+      s"expected a single boundary-confined window:\n$finalSection")
+  }
+
+  test("q94: latest-capture upsert pre-collapses the batch map-side") {
+    val p = executedPlan("q94_incr_latest")
+    assert(p.contains("partial_max_by") || p.contains("partial_finalmerge_max_by") ||
+      p.contains("max_by"), s"batch collapse must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
   test("q82: luhn gate is fully narrow — no shuffle, no join before the sort") {
     val p = executedPlan("q82_card_luhn")
     val idx = p.indexOf("== Initial Plan ==")

@@ -164,6 +164,30 @@ class IncrementalCurationSpec extends SparkSpecBase {
     }
   }
 
+  test("optional host cap: admission over the curated stream equals the no-cap run truncated per host") {
+    val history = base.filter($"doc_id" < 100)
+    val histHosts = history.select(
+      concat(lit("h"), ($"doc_id" % 4).cast("string")).as("host"))
+    val state0 = IncrementalCuration.init(history, None)
+    val state0c = state0.copy(hosts =
+      Some(graft.operators.IncrementalSelect.hostCapInit(histHosts, "host").localCheckpoint()))
+    // 25 prior arrivals per host; cap 28 leaves 3 admission slots each
+    val batch = base.filter($"doc_id" >= 200 && $"doc_id" < 240)
+      .withColumn("host", concat(lit("h"), ($"doc_id" % 4).cast("string")))
+    val (sOff, _) = IncrementalCuration.step(state0, batch, None)
+    val (sOn, state1) = IncrementalCuration.step(state0c, batch, None, hostCapN = Some(28))
+    // expected = the no-cap survivors, first (28 - 25) per host by doc_id
+    val expect = sOff.select("doc_id").as[Long].collect().sorted
+      .groupBy(id => id % 4).values.flatMap(_.take(3)).toSet
+    val got = sOn.select("doc_id").as[Long].collect().toSet
+    assert(got == expect, s"cap admission must truncate the curated stream per host")
+    // arrivals (admitted or not) all counted; state hosts carried forward
+    val ns = state1.hosts.get.as[(String, Long)].collect().toMap
+    assert(ns.values.sum == 100L + sOff.count())
+    // dedup state only holds ADMITTED docs
+    assert(state1.docs.count() == 100L + got.size)
+  }
+
   test("replaying an already-applied batch yields zero survivors (crash-replay safe)") {
     val history = base.filter($"doc_id" < 100)
     val state0 = IncrementalCuration.init(history, None)
