@@ -230,11 +230,15 @@ object JusTextExtract {
     if (decoded == null) ("&", i + 1) else (decoded, e + 1)
   }
 
-  /** Numeric character references below 0x20 (other than tab/newline) would
-    * inject raw control bytes into the "clean" text that dedup/scrubbing
-    * consume downstream; treat them like unknown entities (pass through). */
+  /** Numeric character references decoding to control characters — C0
+    * below 0x20 (other than tab/newline), DEL, and the C1 range 0x7F–0x9F
+    * (which per the HTML spec are Windows-1252 mojibake anyway, never
+    * intentional C1) — would inject raw control bytes into the "clean"
+    * text that dedup/scrubbing consume downstream; treat them like unknown
+    * entities (pass through verbatim). */
   private def numericRef(cp: Int): String =
     if (cp < 0x20 && cp != '\t' && cp != '\n') null
+    else if (cp >= 0x7f && cp <= 0x9f) null
     else new String(Character.toChars(cp))
 
   /** jusText classification: context-free pass then the context-sensitive

@@ -46,6 +46,14 @@ object TextFunctions {
   /** Distinct word k-shingles — the dedup/decontamination convention. */
   def shingles(text: Column, k: Int): Column = ngrams(text, k, distinct = true)
 
+  /** Distinct word-k-shingles hashed to 64-bit longs (xxhash64) — the
+    * Jaccard-verify representation: |A∩B|/|A∪B| over the hashed sets
+    * equals the string-set Jaccard up to 2⁻⁶⁴ collisions (the same trade
+    * every hash60 key makes), while the per-pair arrays shuffle ~4×
+    * smaller and intersect over primitive equality instead of strings. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+
   /** Document fingerprint: md5 of the lowercased text with all non-word
     * characters removed — robust to whitespace/punctuation reflow. */
   def fingerprint(text: Column): Column =

@@ -113,14 +113,27 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification step after LSH —
-    * only candidates pay the full set comparison). */
+    * only candidates pay the full set comparison). The shingle projection
+    * is semi-join-confined to docs that actually appear in a pair: after
+    * exact dedup most of a corpus is pair-free, and building a ~200-element
+    * shingle array per non-candidate row just to discard it at the join
+    * was measurable even within a single batch. */
   def jaccardVerify(df: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame, shingleWidth: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).cast("long").as("id"),
-      TF.shingles(col(textCol), shingleWidth).as("sh"))
-    pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    // the candidate-pair set is the natural materialization barrier: it is
+    // consumed three times below (two id semi-joins + the verify join), and
+    // left lazy each consumer would re-run the whole LSH candidate pipeline
+    // (the same reason connectedComponents checkpoints its edges; at
+    // cluster scale this is a reliable-checkpoint write)
+    val p = pairs.localCheckpoint()
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol))
+    def side(pairCol: String, shCol: String) = base
+      .join(p.select(col(pairCol).as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id").as(pairCol),
+        TF.shingleHashes(col(textCol), shingleWidth).as(shCol))
+    p
+      .join(side("id_a", "sh_a"), "id_a")
+      .join(side("id_b", "sh_b"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

@@ -157,19 +157,39 @@ object IncrementalDedup {
     import graft.functions.{TextFunctions => TF}
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "band_digest").orderBy("id")
+    val bB = bandTable(batch, idCol, textCol, shingleWidth = shingleWidth)
+    // the flood-cap window runs ONLY over buckets the batch probes: the
+    // history band table is 10-100x the batch and windowing all of it per
+    // step dominated the step's cost (at scale the semi-join is satisfied
+    // by the band table's band_digest bucketing — the history still never
+    // shuffles). The capped probe set is batch-scale, is consumed by the
+    // candidate join AND both verify-side semi-joins below, and would
+    // otherwise re-pay its window per consumer — materialize it once.
     val hB = historyBands.getOrElse(bandTable(history, idCol, textCol,
         shingleWidth = shingleWidth))
+      .join(bB.select("band", "band_digest").distinct(),
+        Seq("band", "band_digest"), "left_semi")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxBucket).drop("_rn")
-    val bB = bandTable(batch, idCol, textCol, shingleWidth = shingleWidth)
+      .localCheckpoint()
     val cand = bB.select(col("band"), col("band_digest"), col("id").as("batch_id"))
       .join(hB.select(col("band"), col("band_digest"), col("id").as("hist_id")),
         Seq("band", "band_digest"))
       .select("batch_id", "hist_id").distinct()
-    val shB = batch.select(col(idCol).cast("long").as("batch_id"),
-      TF.shingles(col(textCol), shingleWidth).as("sh_a"))
-    val shH = history.select(col(idCol).cast("long").as("hist_id"),
-      TF.shingles(col(textCol), shingleWidth).as("sh_b"))
+    // shingles ONLY for docs that reached a candidate pair: the history is
+    // 10-100x the batch, and computing (and shuffling) a ~200-element
+    // shingle array for every history doc to verify a few thousand
+    // candidates dominated the whole step's cost before this semi-join
+    // (at scale, the id-keyed semi join is satisfied by the docs table's
+    // bucketing; the non-candidate history text is never even projected)
+    val shB = batch.select(col(idCol).cast("long").as("batch_id"), col(textCol))
+      .join(cand.select("batch_id").distinct(), Seq("batch_id"), "left_semi")
+      .select(col("batch_id"),
+        TF.shingleHashes(col(textCol), shingleWidth).as("sh_a"))
+    val shH = history.select(col(idCol).cast("long").as("hist_id"), col(textCol))
+      .join(cand.select("hist_id").distinct(), Seq("hist_id"), "left_semi")
+      .select(col("hist_id"),
+        TF.shingleHashes(col(textCol), shingleWidth).as("sh_b"))
     cand.join(shB, "batch_id").join(shH, "hist_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

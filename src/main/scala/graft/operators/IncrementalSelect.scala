@@ -52,16 +52,22 @@ object IncrementalSelect {
     * is a host-dimension counter merge. */
   def hostCapStep(state: DataFrame, batch: DataFrame, hostCol: String,
                   tsCol: String, idCol: String, cap: Int): HostCapResult = {
-    val hist = batch.groupBy(hostCol).agg(count(lit(1)).as("n_batch"))
+    // NULL-host rows are exempt from the cap and kept — an unknown host is
+    // not a host budget (the same fall-through `Sampling.hostCap` gives
+    // them: its anti-join keeps NULL-host rows unconditionally). They are
+    // not counted into state either.
+    val nullHost = batch.filter(col(hostCol).isNull)
+    val b = batch.filter(col(hostCol).isNotNull)
+    val hist = b.groupBy(hostCol).agg(count(lit(1)).as("n_batch"))
     val cls = hist.join(state, Seq(hostCol), "left")
       .na.fill(0L, Seq("n_seen"))
     val safe = cls.filter(col("n_seen") + col("n_batch") <= cap).select(hostCol)
     val boundary = cls
       .filter(col("n_seen") < cap && col("n_seen") + col("n_batch") > cap)
       .select(col(hostCol), col("n_seen"))
-    val keptSafe = batch.join(broadcast(safe), Seq(hostCol), "left_semi")
+    val keptSafe = b.join(broadcast(safe), Seq(hostCol), "left_semi")
     val w = Window.partitionBy(hostCol).orderBy(col(tsCol).asc, col(idCol).asc)
-    val keptBoundary = batch.join(broadcast(boundary), Seq(hostCol))
+    val keptBoundary = b.join(broadcast(boundary), Seq(hostCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") + col("n_seen") <= cap)
       .drop("__rn", "n_seen")
@@ -69,7 +75,8 @@ object IncrementalSelect {
     val nextState = state
       .unionByName(hist.withColumnRenamed("n_batch", "n_seen"))
       .groupBy(hostCol).agg(sum(col("n_seen")).as("n_seen"))
-    HostCapResult(keptSafe.unionByName(keptBoundary), nextState)
+    HostCapResult(keptSafe.unionByName(keptBoundary).unionByName(nullHost),
+      nextState)
   }
 
   /** (URLs whose best capture the batch improved, updated state) for
@@ -105,9 +112,14 @@ object IncrementalSelect {
     val b = Dedup.latestCapture(batch.select(urlCol, tsCol, idCol),
         urlCol, tsCol, idCol)
       .withColumnRenamed("n_captures", "__n_batch")
-    val st = state.select(col(urlCol), col(tsCol).as("__st_ts"),
+    // null-safe keying throughout: full-run latestCapture groups NULL urls
+    // into ONE group, so the incremental form must match it against the
+    // state's NULL row (an equi-join would treat NULL as always-fresh —
+    // the cumulative count would reset and nextState would accrete one
+    // duplicate NULL row per step)
+    val st = state.select(col(urlCol).as("__st_url"), col(tsCol).as("__st_ts"),
       col(idCol).as("__st_id"), col("n_captures").as("__st_n"))
-    val joined = b.join(st, Seq(urlCol), "left")
+    val joined = b.join(st, b(urlCol).eqNullSafe(col("__st_url")), "left")
       .withColumn("__st_n", coalesce(col("__st_n"), lit(0L)))
       .withColumn("__batch_wins", col("__st_ts").isNull ||
         col(tsCol) > col("__st_ts") ||
@@ -119,7 +131,8 @@ object IncrementalSelect {
       when(col("__batch_wins"), col(tsCol)).otherwise(col("__st_ts")).as(tsCol),
       when(col("__batch_wins"), col(idCol)).otherwise(col("__st_id")).as(idCol),
       (col("__st_n") + col("__n_batch")).as("n_captures"))
-    val unchanged = state.join(b.select(urlCol), Seq(urlCol), "left_anti")
+    val unchanged = state.join(b.select(col(urlCol).as("__b_url")),
+      state(urlCol).eqNullSafe(col("__b_url")), "left_anti")
     LatestResult(upserts, unchanged.unionByName(merged))
   }
 }

@@ -71,6 +71,9 @@ object Sampling {
   /** Per-host document cap (corpus-balance policy: no single host may
     * contribute more than `cap` pages, the best-`orderCol` ones win; ties
     * break on `idCol` ascending so the result is layout-invariant).
+    * NULL-host rows are exempt (kept): they fall through the anti-join
+    * below — an unknown host is not a host budget. The incremental form
+    * ([[IncrementalSelect.hostCapStep]]) pins the same contract.
     *
     * Scale design: a plain `row_number` window would shuffle + sort the
     * ENTIRE corpus by host. Instead the host histogram (map-side partial

@@ -54,7 +54,12 @@ object IncrementalCuration {
       grams: Option[DataFrame] = None,
       // per-host arrival counts for the admission cap (None = cap off);
       // host-dimension scale, broadcast at step time
-      hosts: Option[DataFrame] = None)
+      hosts: Option[DataFrame] = None,
+      // the k the gram table was built with: probing or appending with a
+      // different k would silently never match (membership always false,
+      // the gate neutered) — so the step reads k from here, never from an
+      // independent knob
+      spanK: Int = 8)
 
   final case class SemState(centroids: Array[Array[Double]],
                             cells: DataFrame)
@@ -84,7 +89,7 @@ object IncrementalCuration {
       if (!withSpanDedup) None
       else Some(IncrementalDedup.spanGramTable(docs, "doc_id", "text", spanK)
         .localCheckpoint())
-    State(docs, bands, sem, lines, grams)
+    State(docs, bands, sem, lines, grams, spanK = spanK)
   }
 
   /** One daily step: returns (survivors of the batch, next state).
@@ -113,7 +118,19 @@ object IncrementalCuration {
            // admission-ordered by doc_id (the monotonic-crawl contract), so
            // N steps equal the full first-cap window over the concatenated
            // curated stream.
-           hostCapN: Option[Int] = None): (DataFrame, State) = {
+           hostCapN: Option[Int] = None,
+           // per-stage wall-time hook at the step's EXISTING materialization
+           // boundaries (exact, lines, neardup_batch [the within-batch CC
+           // fixpoint], spans, semantic, survivors [= the lazy history
+           // verify join + quality chain], state appends) — the bench's
+           // stage profile; no extra materialization is introduced for it.
+           onStage: (String, Double) => Unit = (_, _) => ()): (DataFrame, State) = {
+    var tMark = System.nanoTime()
+    def mark(name: String): Unit = {
+      val now = System.nanoTime()
+      onStage(name, (now - tMark) / 1e9)
+      tMark = now
+    }
     val lineItems =
       if (expectedHistoryLines > 0) expectedHistoryLines
       else 32L * expectedHistoryDigests
@@ -131,6 +148,7 @@ object IncrementalCuration {
       "digest", expectedHistoryDigests, shards = bloomShards)
     val b1 = pf.df.localCheckpoint()
     pf.release()
+    mark("exact")
 
     // 1b. paragraph dedup (optional): within-batch line collapse
     //     (ccnetDedupLines) then rebuild against the seen-line history —
@@ -150,15 +168,25 @@ object IncrementalCuration {
         out
       case None => b1
     }
+    mark("lines")
 
     // 2. near-dup: within the batch first (full-corpus operator over the
     //    day — smaller probe side for the history join), then vs history
     //    (persisted band table; nearNewOnly needs history text for the
     //    Jaccard verify join)
+    // both near-dup results are materialized: the within-batch survivor set
+    // feeds nearNewOnly as bands + verify-side + anti-join probe (≈5 plan
+    // consumers — left lazy, each re-runs the whole within-batch chain),
+    // and the history-filtered set is read by the span gate's two consumers
+    // and the quality chain
+    val bWithin = Curation.neardupStage(b1b, cfg.neardupThreshold)
+      .localCheckpoint()
+    mark("neardup_batch")
     val b2 = IncrementalDedup.nearNewOnly(
-      Curation.neardupStage(b1b, cfg.neardupThreshold),
-      state.docs, "doc_id", "text",
+      bWithin, state.docs, "doc_id", "text",
       threshold = cfg.neardupThreshold, historyBands = Some(state.bands))
+      .localCheckpoint()
+    mark("neardup_history")
 
     // 2b. substring-span gate (optional, `init(withSpanDedup = true)`):
     //     drop batch docs whose coverage by duplicated spans — within-batch
@@ -170,8 +198,10 @@ object IncrementalCuration {
     //     as the full run (after near-dup, before quality).
     val b2s = state.grams match {
       case Some(g) =>
+        // k comes from the STATE (what the gram table was built with) —
+        // probing with an independent cfg knob would silently never match
         val pfS = IncrementalDedup.incrSpanStatsManaged(b2, g,
-          "doc_id", "text", k = cfg.substringK, maxDf = cfg.substringMaxDf,
+          "doc_id", "text", k = state.spanK, maxDf = cfg.substringMaxDf,
           expectedItems = gramItems, shards = bloomShards)
         val keep = pfS.df.filter(col("cut_ratio") <= cfg.maxCutRatio)
           .select(col("id").as("doc_id"))
@@ -180,6 +210,7 @@ object IncrementalCuration {
         out
       case None => b2
     }
+    mark("spans")
 
     // 3. quality gates BEFORE the semantic stage — the same order the
     //    full-corpus runner uses (Curation.runCheckpointed): a low-quality
@@ -201,23 +232,43 @@ object IncrementalCuration {
         out
       case _ => b3
     }
+    mark("semantic") // neardup+quality fuse into this or the survivors boundary
 
     // 4b. per-host admission cap (optional): LAST, so only documents that
     //     earned their place in the corpus count against their host's
     //     budget. Dropped-by-cap docs do NOT enter dedup state — state is
     //     the curated corpus, and a capped host's recrawls die here anyway.
+    // the host mapping is deduped by doc_id: a duplicated input record
+    // (same doc_id twice in a day's batch — a routine WARC artifact) was
+    // collapsed by the exact stage, and the join back must not re-expand it
+    def batchHosts = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("host"))
+      .dropDuplicates("doc_id")
     val (b5, nextHosts) = (hostCapN, state.hosts) match {
       case (Some(cap), Some(hs)) =>
-        val withHost = b4.join(
-          batch.select(col("doc_id").cast("long").as("doc_id"), col("host")),
-          Seq("doc_id"))
         val r = graft.operators.IncrementalSelect.hostCapStep(
-          hs, withHost, "host", "doc_id", "doc_id", cap)
+          hs, b4.join(batchHosts, Seq("doc_id")), "host", "doc_id", "doc_id", cap)
         (r.kept.select("doc_id", "text"), Some(r.nextState.localCheckpoint()))
-      case _ => (b4, state.hosts)
+      case (Some(_), None) =>
+        throw new IllegalArgumentException(
+          "hostCapN is set but state.hosts is missing — bootstrap it with " +
+            "IncrementalSelect.hostCapInit over the prior curated arrivals " +
+            "(silently skipping the cap would over-admit)")
+      case (None, Some(hs)) =>
+        // cap off THIS step, counters still maintained: a later capped
+        // step must see every curated arrival, or it over-admits relative
+        // to the full-run-equivalence contract
+        val counts = b4.join(batchHosts, Seq("doc_id"))
+          .filter(col("host").isNotNull)
+          .groupBy("host").agg(count(lit(1)).as("n_seen"))
+        (b4, Some(hs.unionByName(counts)
+          .groupBy("host").agg(sum("n_seen").as("n_seen")).localCheckpoint()))
+      case (None, None) => (b4, None)
     }
+    mark("hostcap")
 
     val survivors = b5.withColumn("digest", md5(col("text"))).localCheckpoint()
+    mark("survivors") // the near-dup + quality chain materializes here
 
     // 5. append survivors to every state table, each appended piece
     //    materialized ONCE at birth like the init tables (at scale: lake
@@ -244,9 +295,11 @@ object IncrementalCuration {
         IncrementalDedup.lineDigests(survivors, "doc_id", "text")
           .select("line_digest").distinct().localCheckpoint())),
       grams = state.grams.map(_.unionByName(
-        IncrementalDedup.spanGramTable(survivors, "doc_id", "text", cfg.substringK)
+        IncrementalDedup.spanGramTable(survivors, "doc_id", "text", state.spanK)
           .localCheckpoint())),
-      hosts = nextHosts)
+      hosts = nextHosts,
+      spanK = state.spanK)
+    mark("appends")
     (survivors.select("doc_id", "text"), next)
   }
 }

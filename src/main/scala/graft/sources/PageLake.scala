@@ -372,8 +372,15 @@ object PageLake {
     val logDir = new org.apache.hadoop.fs.Path(root, SnapshotLogDir)
     fs.mkdirs(logDir)
     val v = currentVersion(spark, path) + 1
-    val vOut = fs.create(new org.apache.hadoop.fs.Path(logDir, f"v$v%05d.json"), true)
+    // tmp + rename, like the hint below: a version file must APPEAR
+    // complete or not at all — a reader (or expireUnservable's sweep) that
+    // lists the log mid-write must never see a half-flushed v*.json
+    val vTmp = new org.apache.hadoop.fs.Path(logDir, f".v$v%05d.json.tmp")
+    val vOut = fs.create(vTmp, true)
     try vOut.write(bytes) finally vOut.close()
+    val vPath = new org.apache.hadoop.fs.Path(logDir, f"v$v%05d.json")
+    if (!fs.rename(vTmp, vPath))
+      throw new java.io.IOException(s"snapshot version write failed for $path")
     val hintTmp = new org.apache.hadoop.fs.Path(logDir, ".version-hint.tmp")
     val hOut = fs.create(hintTmp, true)
     try hOut.write(v.toString.getBytes("UTF-8")) finally hOut.close()
@@ -600,10 +607,33 @@ object PageLake {
     var dropped = 0
     for (v <- onDisk if !newestParsable.contains(v)) {
       val p = new org.apache.hadoop.fs.Path(logDir, f"v$v%05d.json")
-      val servable = readFileBytes(spark, p).flatMap(parseManifest) match {
-        case Some(stats) =>
-          stats.forall(s => fs.exists(new org.apache.hadoop.fs.Path(s.path)))
-        case None => false // exists but fails to parse ⇒ unservable
+      val servable = try {
+        val in = fs.open(p)
+        val bytes = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+          bos.toByteArray
+        } finally in.close()
+        parseManifest(bytes) match {
+          case Some(stats) =>
+            stats.forall(s => fs.exists(new org.apache.hadoop.fs.Path(s.path)))
+          case None =>
+            // exists but fails to parse ⇒ torn/corrupt ⇒ unservable — but
+            // ONLY when a newer parsable snapshot exists: a newer-than-
+            // newest unparsable file may be a foreign writer's in-flight
+            // commit (our own writes are tmp+rename-atomic), and deleting
+            // it would hole the log mid-write
+            newestParsable.forall(v >= _)
+        }
+      } catch {
+        // a checksum mismatch IS corruption evidence (torn bytes under an
+        // intact .crc) — same unservable rule as an unparsable body
+        case _: org.apache.hadoop.fs.ChecksumException =>
+          newestParsable.forall(v >= _)
+        // any other read failure (throttling, network blip) is NOT —
+        // deleting on a transient error could destroy a healthy snapshot;
+        // leave it for the next sweep
+        case _: java.io.IOException => true
       }
       if (!servable) { fs.delete(p, false); dropped += 1 }
     }

@@ -69,6 +69,13 @@ class HtmlExtractSpec extends SparkSpecBase {
       s"control char leaked: ${got.map(_.toInt).filter(_ < 32)}")
     assert(got.contains("null&#0;byte") && got.contains("back&#x8;space"), got)
     assert(got.contains("dash—here"), got)
+    // DEL and the C1 range (0x7F–0x9F) are control injections too — per the
+    // HTML spec &#128;–&#159; are cp1252 mojibake, never intentional C1
+    val c1 = extract(s"<p>$prose1 del&#127;here c-one&#x85;ref win&#146;quote.</p>")
+    assert(!c1.exists(c => c >= 0x7f && c <= 0x9f),
+      s"C1/DEL leaked: ${c1.map(_.toInt).filter(c => c >= 0x7f && c <= 0x9f)}")
+    assert(c1.contains("del&#127;here") && c1.contains("c-one&#x85;ref") &&
+      c1.contains("win&#146;quote"), c1)
   }
 
   test("whitespace collapses to single spaces across inline tags") {

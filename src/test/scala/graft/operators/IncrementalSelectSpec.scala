@@ -57,6 +57,35 @@ class IncrementalSelectSpec extends SparkSpecBase {
     assert(ns.values.sum == 120L)
   }
 
+  test("hostCapStep: NULL-host rows are exempt from the cap and never counted") {
+    val state = IncrementalSelect.hostCapInit(
+      arrivals((1L, "a.com", 10L), (2L, "a.com", 11L), (3L, "a.com", 12L)), "host")
+    val batch = Seq((10L, Option.empty[String], 100L), (11L, Some("a.com"), 101L))
+      .toDF("doc_id", "host", "warc_ts")
+    val r = IncrementalSelect.hostCapStep(state, batch, "host", "warc_ts", "doc_id", cap = 3)
+    // a.com saturated -> 11 dropped; the unknown-host row passes through
+    assert(r.kept.select("doc_id").as[Long].collect().toSeq == Seq(10L))
+    val ns = r.nextState.as[(String, Long)].collect().toMap
+    assert(ns == Map("a.com" -> 4L), "NULL hosts must not enter the counters")
+  }
+
+  test("latestCaptureStep: NULL urls form ONE key — cumulative count, single state row") {
+    val state = IncrementalSelect.latestCaptureInit(
+      Seq((2L, Option.empty[String], 10L), (4L, Option.empty[String], 20L))
+        .toDF("doc_id", "url", "warc_ts"), "url", "warc_ts", "doc_id")
+    val batch1 = Seq((7L, Option.empty[String], 30L)).toDF("doc_id", "url", "warc_ts")
+    val r1 = IncrementalSelect.latestCaptureStep(state, batch1, "url", "warc_ts", "doc_id")
+    assert(r1.upserts.select("doc_id", "n_captures").as[(Long, Long)].collect().toSeq ==
+      Seq((7L, 3L)), "NULL-url batch winner must see the accumulated history count")
+    // a stale NULL-url capture next step: no upsert, count still accrues,
+    // and the state holds exactly ONE NULL-url row throughout
+    val batch2 = Seq((9L, Option.empty[String], 5L)).toDF("doc_id", "url", "warc_ts")
+    val r2 = IncrementalSelect.latestCaptureStep(r1.nextState, batch2, "url", "warc_ts", "doc_id")
+    assert(r2.upserts.isEmpty)
+    val rows = r2.nextState.as[(Option[String], Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((None, 30L, 7L, 4L)))
+  }
+
   private def caps(rows: (Long, String, Long)*) =
     rows.map { case (id, u, ts) => (id, u, ts) }.toDF("doc_id", "url", "warc_ts")
 

@@ -139,6 +139,13 @@ class IncrementalCurationSpec extends SparkSpecBase {
     assert(idsOn.exists(id => id >= 200 && id < 230))
     assert((idsOff - 9000060L) == idsOn, "span gate must only remove the mirror")
     assert(stateOn1.grams.get.count() > stateOn.grams.get.count())
+    // the gram k is state-recorded at init and carried through steps — the
+    // probe and the appends always use the k the table was built with
+    val st6 = IncrementalCuration.init(history, None, withSpanDedup = true, spanK = 6)
+    assert(st6.spanK == 6)
+    val (_, st6b) = IncrementalCuration.step(st6, fresh, None,
+      expectedHistoryDigests = 1 << 14)
+    assert(st6b.spanK == 6)
   }
 
   test("five batches: every state append is a materialized leaf (no re-derivation)") {
@@ -186,6 +193,26 @@ class IncrementalCurationSpec extends SparkSpecBase {
     assert(ns.values.sum == 100L + sOff.count())
     // dedup state only holds ADMITTED docs
     assert(state1.docs.count() == 100L + got.size)
+  }
+
+  test("host-cap config errors are loud; counters persist through cap-off steps") {
+    val history = base.filter($"doc_id" < 100)
+    val state0 = IncrementalCuration.init(history, None)
+    val batch = base.filter($"doc_id" >= 200 && $"doc_id" < 220)
+      .withColumn("host", concat(lit("h"), ($"doc_id" % 4).cast("string")))
+    // cap requested but hosts state never bootstrapped -> throw, not skip
+    intercept[IllegalArgumentException] {
+      IncrementalCuration.step(state0, batch, None, hostCapN = Some(5))
+    }
+    // hosts state present, cap OFF this step: arrivals still counted, so a
+    // later capped step sees the full curated stream
+    val hs = graft.operators.IncrementalSelect.hostCapInit(
+      history.select(concat(lit("h"), ($"doc_id" % 4).cast("string")).as("host")), "host")
+    val (s1, state1) = IncrementalCuration.step(
+      state0.copy(hosts = Some(hs)), batch, None)
+    val ns = state1.hosts.get.as[(String, Long)].collect().toMap
+    assert(ns.values.sum == 100L + s1.count(),
+      "cap-off step must still count curated arrivals into host state")
   }
 
   test("replaying an already-applied batch yields zero survivors (crash-replay safe)") {

@@ -424,6 +424,21 @@ class PageLakeSpec extends SparkSpecBase {
     assert(PageLake.readVersion(spark, d, v2).count() == PageLake.read(spark, d).count())
   }
 
+  test("an unparsable snapshot NEWER than the newest parsable is left alone (in-flight commit)") {
+    val d = java.nio.file.Files.createTempDirectory("pagelake_inflight").toString
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    PageLake.write(pages, d)
+    val v = PageLake.currentVersion(spark, d)
+    // a foreign writer's half-flushed NEXT version (our own writes are
+    // tmp+rename-atomic, but the sweep must not assume every writer is):
+    // deleting it would hole the log mid-commit
+    val inflight = java.nio.file.Paths.get(d, "_graft_manifest_log", f"v${v + 1}%05d.json")
+    java.nio.file.Files.write(inflight, "{\"files\":[{\"pa".getBytes("UTF-8"))
+    assert(PageLake.expireUnservable(spark, d) == 0,
+      "a newer-than-newest unparsable version file may be an in-flight commit")
+    assert(java.nio.file.Files.exists(inflight))
+  }
+
   test("a reader holding a resolved as-of view fails cleanly once compaction expires it") {
     // snapshot isolation under concurrent compaction: the reader resolved
     // version N BEFORE compact ran; afterwards the read must fail loudly
