@@ -85,6 +85,49 @@ object Bench {
   def incrementalBench(spark: SparkSession, pagesDir: String, repFactor: Int,
                        nDocs: Long, alsoFull: Boolean = false)
       : (Double, Double, Seq[(String, Double)], Long, Long, Double) = {
+    val (histDocs, batch, histDir) = incrementalFixture(spark, pagesDir, repFactor)
+    val nBatch = batch.count()
+    var state: graft.pipeline.IncrementalCuration.State = null
+    val initSec = time {
+      state = graft.pipeline.IncrementalCuration.init(histDocs, None,
+        withLineDedup = true)
+    }
+    def rep(): (Double, Seq[(String, Double)]) = {
+      val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val sec = time {
+        graft.pipeline.IncrementalCuration.step(state, batch, None,
+          expectedHistoryDigests = nDocs,
+          // the fixture corpus is one paragraph per page — size the line
+          // filter from the known line count, not the 32x safety default
+          expectedHistoryLines = 2L * nDocs,
+          onStage = (n, s) => stages += ((n, s)))
+      }
+      (sec, stages.toSeq)
+    }
+    val (stepSec, stepStages) = Seq(rep(), rep()).minBy(_._1)
+    val fullSec =
+      if (!alsoFull) -1.0
+      else {
+        val outDir = java.nio.file.Files.createTempDirectory("graft_bench_incrfull").toString
+        val union = histDocs.select(col("doc_id"), col("text"))
+          .unionByName(batch.select(col("doc_id"), col("text")))
+        val sec = time {
+          Curation.runCheckpointed(spark, union, None, outDir,
+            inputFp = "incrfull-" + outDir)
+        }
+        rmDir(outDir)
+        sec
+      }
+    rmDir(histDir)
+    (initSec, stepSec, stepStages, nDocs, nBatch, fullSec)
+  }
+
+  /** The incremental-step fixture, exposed for profiling tools: a
+    * `repFactor`-replicated third-mix history plus a ~10%-scale batch
+    * (fresh mixes, exact recrawls, drop-3-token near-dup mutants).
+    * Returns (histDocs, batch [materialized], histDir to rmDir after). */
+  def incrementalFixture(spark: SparkSession, pagesDir: String, repFactor: Int)
+      : (DataFrame, DataFrame, String) = {
     import graft.functions.{TextFunctions => TF}
     val basePages = spark.read.parquet(pagesDir).select(col("url"), col("text"))
     val nBase = basePages.count()
@@ -141,40 +184,7 @@ object Bench {
       .select((TF.hash60(concat(col("url"), lit("?mut"))) + idOff).as("doc_id"),
         array_join(slice(split(col("text"), " "), 4, 1000000), " ").as("text"))
     val batch = fresh.unionByName(recrawl).unionByName(mutants).localCheckpoint()
-    val nBatch = batch.count()
-    var state: graft.pipeline.IncrementalCuration.State = null
-    val initSec = time {
-      state = graft.pipeline.IncrementalCuration.init(histDocs, None,
-        withLineDedup = true)
-    }
-    def rep(): (Double, Seq[(String, Double)]) = {
-      val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      val sec = time {
-        graft.pipeline.IncrementalCuration.step(state, batch, None,
-          expectedHistoryDigests = nDocs,
-          // the fixture corpus is one paragraph per page — size the line
-          // filter from the known line count, not the 32x safety default
-          expectedHistoryLines = 2L * nDocs,
-          onStage = (n, s) => stages += ((n, s)))
-      }
-      (sec, stages.toSeq)
-    }
-    val (stepSec, stepStages) = Seq(rep(), rep()).minBy(_._1)
-    val fullSec =
-      if (!alsoFull) -1.0
-      else {
-        val outDir = java.nio.file.Files.createTempDirectory("graft_bench_incrfull").toString
-        val union = histDocs.select(col("doc_id"), col("text"))
-          .unionByName(batch.select(col("doc_id"), col("text")))
-        val sec = time {
-          Curation.runCheckpointed(spark, union, None, outDir,
-            inputFp = "incrfull-" + outDir)
-        }
-        rmDir(outDir)
-        sec
-      }
-    rmDir(histDir)
-    (initSec, stepSec, stepStages, nDocs, nBatch, fullSec)
+    (histDocs, batch, histDir)
   }
 
   def main(args: Array[String]): Unit = {

@@ -50,9 +50,13 @@ object TextFunctions {
     * Jaccard-verify representation: |A∩B|/|A∪B| over the hashed sets
     * equals the string-set Jaccard up to 2⁻⁶⁴ collisions (the same trade
     * every hash60 key makes), while the per-pair arrays shuffle ~4×
-    * smaller and intersect over primitive equality instead of strings. */
+    * smaller and intersect over primitive equality instead of strings.
+    * Computed by the one-pass [[ShingleHashes]] expression — value-identical
+    * to the declarative `transform(shingles(text, k), xxhash64)` it
+    * replaced (ShingleHashesSpec pins the equality), ~8× faster on the
+    * verify side of the near-dup paths. */
   def shingleHashes(text: Column, k: Int): Column =
-    transform(shingles(text, k), s => xxhash64(s))
+    ShingleHashesFunctions.shingle_hashes(text, k)
 
   /** Document fingerprint: md5 of the lowercased text with all non-word
     * characters removed — robust to whitespace/punctuation reflow. */
