@@ -37,12 +37,17 @@ object ExactSubstring {
     * of this operator's shuffle volume at crawl scale. (Hash collisions can
     * in principle mark a unique span duplicated; at 2⁻⁶⁰ per pair this is
     * the same trade Lee et al.'s hash-bucketed variants make.)
-    * Documents shorter than `k` tokens emit nothing. */
+    * Documents shorter than `k` tokens emit nothing.
+    *
+    * Hashing rides the one-pass [[graft.functions.GramHash60s]] expression —
+    * value-identical to `transform(ngrams(text, k), hash60)` (GramHash60Spec
+    * pins it) but with no intermediate gram-string array, and the explode
+    * fans out 8-byte longs instead of gram strings. */
   private[graft] def occurrences(df: DataFrame, idCol: String, textCol: String,
                                  k: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-        posexplode(TF.ngrams(col(textCol), k, distinct = false)))
-      .select(col("id"), (col("pos") + 1).as("pos"), TF.hash60(col("col")).as("g"))
+        posexplode(graft.functions.GramHash60Functions.gram_hash60s(col(textCol), k)))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
 
   /** Spans to cut: every non-canonical occurrence of a duplicated k-gram,
     * as (id, pos). Grams with more than `maxDf` total OCCURRENCES (whether
