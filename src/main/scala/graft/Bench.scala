@@ -122,6 +122,28 @@ object Bench {
     (initSec, stepSec, stepStages, nDocs, nBatch, fullSec)
   }
 
+  /** One timed rep of the composed curation run (`pipeline_curation`):
+    * docs/sec through runCheckpointed's whole chain, checkpoint parquet I/O
+    * included, with the per-stage wall-time profile. Each rep gets a FRESH
+    * checkpoint dir — a reused one would resume at zero cost and measure
+    * nothing. Exposed for standalone re-measurement (tools.CurBench). */
+  def curationRep(spark: SparkSession, pagesDir: String, repFactor: Int)
+      : (Double, Seq[(String, Double)]) = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bench_curation").toString
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val pages = spark.read.parquet(pagesDir)
+      .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
+      .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
+      .select("url", "text")
+    val sec = time {
+      Curation.runCheckpointed(spark, Curation.fromLake(pages), None, outDir,
+        inputFp = "bench-" + outDir,
+        onStage = (n, s) => stages += ((n, s)))
+    }
+    rmDir(outDir)
+    (sec, stages.toSeq)
+  }
+
   /** The incremental-step fixture, exposed for profiling tools: a
     * `repFactor`-replicated third-mix history plus a ~10%-scale batch
     * (fresh mixes, exact recrawls, drop-3-token near-dup mutants).
@@ -385,22 +407,9 @@ object Bench {
     // combining min_by agg, reduces it before the shuffle) and every later
     // stage works the unique survivors. Each rep gets a FRESH checkpoint
     // dir — a reused one would resume at zero cost and measure nothing.
-    def curationRep(): (Double, Seq[(String, Double)]) = {
-      val outDir = java.nio.file.Files.createTempDirectory("graft_bench_curation").toString
-      val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      val pages = spark.read.parquet(pagesDir)
-        .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
-        .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
-        .select("url", "text")
-      val sec = time {
-        Curation.runCheckpointed(spark, Curation.fromLake(pages), None, outDir,
-          inputFp = "bench-" + outDir,
-          onStage = (n, s) => stages += ((n, s)))
-      }
-      rmDir(outDir)
-      (sec, stages.toSeq)
-    }
-    val (curSec, curStages) = Seq(curationRep(), curationRep()).minBy(_._1)
+    val (curSec, curStages) =
+      Seq(curationRep(spark, pagesDir, repFactor),
+        curationRep(spark, pagesDir, repFactor)).minBy(_._1)
 
     // --- daily incremental step: the number that justifies the whole
     // incremental surface is step_cost << full-run cost on the same

@@ -9,14 +9,18 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** minhash_sigs(text) → array<long> of k MinHash signature values, computed
-  * in ONE pass per row: tokenize → distinct word-k-shingles → for each of k
-  * salted hashes keep the min.
+  * in ONE pass per row: tokenize → distinct word-k-shingles → ONE md5-based
+  * 60-bit base hash per shingle → k arithmetic permutations, keeping each
+  * permutation's min.
   *
   * Value-identical to the long-form explode/groupBy formulation
-  * (Dedup.minhashSignatures): hash h_i(s) = first 15 hex digits of
-  * md5(s + "#" + i) — but with no explode, no shuffle, no intermediate
-  * (id × perm × shingle) rows. At crawl scale this turns the signature stage
-  * from a multi-TB shuffle into a narrow map.
+  * (Dedup.minhashSignatures): h_i(s) = (a_i · hash60(s) + b_i) mod 2⁶¹−1,
+  * the classic universal-hash permutation family (Broder 1997) — but with
+  * no explode, no shuffle, no intermediate (id × perm × shingle) rows. At
+  * crawl scale this turns the signature stage from a multi-TB shuffle into
+  * a narrow map, and the one-digest-per-shingle form cuts the stage's CPU
+  * ~an order of magnitude vs the earlier k-digests-per-shingle convention
+  * (md5(s + "#" + i), which spent 16 md5 block computations per shingle).
   */
 case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
     extends UnaryExpression with CodegenFallback {
@@ -57,15 +61,16 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
         }
         val sh = sb.toString
         if (seen.add(sh)) {
+          md.reset()
+          val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex digits = top 60 bits of the first 8 bytes, >>> 4
+          var h = 0L
+          var b = 0
+          while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+          h = h >>> 4
           var p = 0
           while (p < k) {
-            md.reset()
-            val h = md.digest((sh + "#" + p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            // first 15 hex digits = top 60 bits of the first 8 bytes, >>> 4
-            var v = 0L
-            var b = 0
-            while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
-            v = v >>> 4
+            val v = MinHashPerms.permute(as(p), bs(p), h)
             if (v < sigs(p)) sigs(p) = v
             p += 1
           }
@@ -76,6 +81,9 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
     ArrayData.toArrayData(sigs)
   }
 
+  @transient private lazy val as: Array[Long] = Array.tabulate(k)(MinHashPerms.a)
+  @transient private lazy val bs: Array[Long] = Array.tabulate(k)(MinHashPerms.b)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -83,6 +91,44 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
 object MinHashSignatures {
   /** Same pattern Spark's split uses; compiled once per JVM. */
   private[functions] val Ws = java.util.regex.Pattern.compile("\\s+")
+}
+
+/** The MinHash permutation family h_i(s) = (a_i · hash60(s) + b_i) mod P,
+  * P = 2⁶¹−1 (Mersenne). The constants themselves derive from the same
+  * portable md5-60 primitive the DuckDB oracles share, so both engines
+  * CONSTRUCT them rather than copy a literal table:
+  *   a_i = 2 · hash60("a" + i) + 1   (odd, 0 < a_i < P)
+  *   b_i = hash60("b" + i)
+  * SQL mirror (see the q14–q16 oracles): HUGEINT arithmetic
+  * `(pa::HUGEINT * h + pb) % 2305843009213693951`. */
+object MinHashPerms {
+  val P: Long = (1L << 61) - 1
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> 4
+  }
+
+  def a(i: Int): Long = h60("a" + i) * 2 + 1
+  def b(i: Int): Long = h60("b" + i)
+
+  /** (a·h + b) mod P, exact over the full 121-bit product: the high word
+    * comes from Math.multiplyHigh (a, h both positive → equals the unsigned
+    * high word), and 2⁶⁴ ≡ 8 (mod 2⁶¹−1) folds it back in. */
+  def permute(a: Long, b: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    // a < 2⁶¹, h < 2⁶⁰ → hi < 2⁵⁷, so 8·hi + (lo >>> 61) + (lo & P) < 2⁶² — no overflow
+    var r = 8L * hi + (lo >>> 61) + (lo & P)
+    while (r >= P) r -= P
+    r += b
+    if (r >= P) r -= P
+    r
+  }
 }
 
 object MinHashFunctions {

@@ -41,20 +41,31 @@ object Dedup {
       .select(col("best.*"), col("n_captures"))
   }
 
-  /** MinHash signatures: k permutations h_i(s) = hash60(s + "#" + i) over the
-    * distinct word-3-shingle set. Emitted long-form (id, i, sig) so the band
-    * step is a single re-aggregation.
+  /** MinHash signatures: k universal-hash permutations
+    * h_i(s) = (a_i · hash60(s) + b_i) mod 2⁶¹−1 (Broder 1997) over the
+    * distinct word-3-shingle set — ONE md5 per shingle, arithmetic for the
+    * k permutations (constants from [[graft.functions.MinHashPerms]], which
+    * the SQL oracles reconstruct from the same md5-60 primitive). Emitted
+    * long-form (id, i, sig) so the band step is a single re-aggregation.
     *
     * Scale: explode is a narrow flatMap; the groupBy key (id, i) is uniform.
-    * k and shingle width bound the cost at O(k · shingles) per doc.
+    * k and shingle width bound the cost at O(shingles · md5 + k · shingles
+    * · mulmod) per doc. The 121-bit product is exact in decimal(38,0).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, shingleWidth: Int = 3): DataFrame =
+                        k: Int = 16, shingleWidth: Int = 3): DataFrame = {
+    import graft.functions.MinHashPerms
+    val aArr = array((0 until k).map(i => lit(MinHashPerms.a(i))): _*)
+    val bArr = array((0 until k).map(i => lit(MinHashPerms.b(i))): _*)
     df.select(col(idCol).cast("long").as("id"),
         explode(TF.shingles(col(textCol), shingleWidth)).as("s"))
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("s"))
+      .select(col("id"), TF.hash60(col("s")).as("h"))
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(k - 1))).as("i"))
       .groupBy("id", "i")
-      .agg(min(TF.hash60Salted(col("s"), col("i"))).as("sig"))
+      .agg(min(((element_at(aArr, col("i") + 1).cast("decimal(38,0)") * col("h")
+          + element_at(bArr, col("i") + 1)) % lit(MinHashPerms.P))
+        .cast("long")).as("sig"))
+  }
 
   /** Production signature path: one-pass per-row MinHash expression — no
     * explode, no shuffle (vs the long-form `minhashSignatures`, which is kept

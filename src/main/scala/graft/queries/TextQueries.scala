@@ -1444,8 +1444,12 @@ object TextQueries {
         |         j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]))) AS s
         |  FROM toks WHERE len(w) >= 3)
         |SELECT doc_id AS id, i,
-        |  CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
-        |FROM sh, (SELECT unnest(range(16)) AS i)
+        |  CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
+        |    % 2305843009213693951) AS BIGINT) AS sig
+        |FROM sh,
+        |  (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
+        |          ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
+        |   FROM (SELECT unnest(range(16)) AS i))
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q15_lsh_bands" ->
       """WITH toks AS (
@@ -1456,8 +1460,12 @@ object TextQueries {
         |  FROM toks WHERE len(w) >= 3
         |), sig AS (
         |  SELECT doc_id AS id, i,
-        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
-        |  FROM sh, (SELECT unnest(range(16)) AS i) GROUP BY 1,2)
+        |    CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
+        |      % 2305843009213693951) AS BIGINT) AS sig
+        |  FROM sh,
+        |    (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
+        |            ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
+        |     FROM (SELECT unnest(range(16)) AS i)) GROUP BY 1,2)
         |SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS band_digest
         |FROM sig GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // Full LSH dedup pipeline end-to-end: near-dup corpus → signatures →
@@ -1476,8 +1484,12 @@ object TextQueries {
         |  WHERE len(w) >= 3
         |), sig AS (
         |  SELECT doc_id AS id, i,
-        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |    CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
+        |      % 2305843009213693951) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |    (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
+        |            ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
+        |     FROM (SELECT unnest(range(16)) AS i))
         |  GROUP BY 1,2
         |), bands AS (
         |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
@@ -1636,8 +1648,12 @@ object TextQueries {
         |  WHERE len(w) >= 3
         |), sig AS (
         |  SELECT doc_id AS id, i,
-        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |    CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
+        |      % 2305843009213693951) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |    (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
+        |            ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
+        |     FROM (SELECT unnest(range(16)) AS i))
         |  GROUP BY 1,2
         |), bands AS (
         |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
@@ -1792,8 +1808,12 @@ object TextQueries {
         |  WHERE len(w) >= 3
         |), sig AS (
         |  SELECT doc_id AS id, i,
-        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |    CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
+        |      % 2305843009213693951) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |    (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
+        |            ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
+        |     FROM (SELECT unnest(range(16)) AS i))
         |  GROUP BY 1,2
         |), bands AS (
         |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
@@ -1909,8 +1929,12 @@ object TextQueries {
         |  WHERE len(w) >= 3
         |), sig AS (
         |  SELECT doc_id AS id, i,
-        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |    CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
+        |      % 2305843009213693951) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |    (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
+        |            ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
+        |     FROM (SELECT unnest(range(16)) AS i))
         |  GROUP BY 1,2
         |), bands AS (
         |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
@@ -2150,8 +2174,12 @@ object TextQueries {
         |  WHERE len(w) >= 3
         |), sig AS (
         |  SELECT doc_id AS id, i,
-        |    CAST(MIN(('0x'||substr(md5(s || '#' || i),1,15))::UBIGINT) AS BIGINT) AS sig
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl), (SELECT unnest(range(16)) AS i)
+        |    CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
+        |      % 2305843009213693951) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |    (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
+        |            ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
+        |     FROM (SELECT unnest(range(16)) AS i))
         |  GROUP BY 1,2
         |), bands AS (
         |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
