@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Curation, QualityPipeline, SyntheticPages}
+import graft.pipeline.{Curation, IncrementalCuration, QualityPipeline, SyntheticPages}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,49 @@ object Bench {
       }
     rmDir(histDir)
     (initSec, stepSec, stepStages, nDocs, nBatch, fullSec)
+  }
+
+  /** The LAKE-BACKED daily step (`pipeline_incremental_lake`): the same
+    * fixture and stage mix as [[incrementalBench]], but the state lives as
+    * [[graft.sources.StateLake]] tables on disk
+    * ([[IncrementalCuration.stepLake]]) — history reads are bucket-pruned
+    * parquet scans and the step's appends are atomic batch commits, so
+    * this figure prices the production state layout (file I/O included)
+    * against the in-memory harness's block-manager state. Bootstrap is
+    * untimed (one-time, reported); each rep resets the tables to version
+    * 0 by dropping the appended batch dirs so both reps step the same
+    * state. */
+  def incrementalLakeBench(spark: SparkSession, pagesDir: String,
+                           repFactor: Int, nDocs: Long)
+      : (Double, Double, Seq[(String, Double)], Long, Long) = {
+    val (histDocs, batch, histDir) = incrementalFixture(spark, pagesDir, repFactor)
+    val nBatch = batch.count()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bench_lake").toString + "/state"
+    val initSec = time {
+      IncrementalCuration.initLake(histDocs, None, root, withLineDedup = true)
+    }
+    def resetToBootstrap(): Unit =
+      for (t <- Seq("docs", "bands", "lines", "grams", "cells", "hosts");
+           d = new java.io.File(s"$root/$t") if d.isDirectory;
+           b <- d.listFiles()
+           if b.getName.startsWith("batch=") && b.getName != "batch=000000")
+        rmDir(b.toString)
+    def rep(): (Double, Seq[(String, Double)]) = {
+      val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val sec = time {
+        graft.pipeline.IncrementalCuration.stepLake(spark, root, batch,
+          expectedHistoryDigests = nDocs,
+          expectedHistoryLines = 2L * nDocs,
+          onStage = (n, s) => stages += ((n, s)))
+      }
+      resetToBootstrap()
+      (sec, stages.toSeq)
+    }
+    val (stepSec, stepStages) = Seq(rep(), rep()).minBy(_._1)
+    rmDir(root)
+    rmDir(histDir)
+    (initSec, stepSec, stepStages, nDocs, nBatch)
   }
 
   /** One timed rep of the composed curation run (`pipeline_curation`):
@@ -424,6 +467,11 @@ object Bench {
     // on.
     val (incrInitSec, incrStepSec, incrStages, incrHistDocs, incrBatchDocs, _) =
       incrementalBench(spark, pagesDir, repFactor, nDocs)
+
+    // the same step against LAKE-backed state: the production layout's
+    // price (bucket-pruned parquet reads + atomic batch-commit appends)
+    val (lakeInitSec, lakeStepSec, lakeStages, _, lakeBatchDocs) =
+      incrementalLakeBench(spark, pagesDir, repFactor, nDocs)
     spark.stop()
 
     def f(d: Double) = f"$d%.3f"
@@ -447,7 +495,12 @@ object Bench {
       s"""{"history_docs":$incrHistDocs,"batch_docs":$incrBatchDocs,"cores":$bigCpus,""" +
       s""""init_sec":${f(incrInitSec)},"sec":${f(incrStepSec)},""" +
       s""""docs_sec":${f(incrBatchDocs / incrStepSec)},"stages":$incrStagesJson}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson,"pipeline_full":$fullJson,"pipeline_full_c4":$fullC4Json,"pipeline_full_extract":$extractJson,"pipeline_curation":$curationJson,"pipeline_incremental":$incrJson$detectorJson}""")
+    val lakeStagesJson = lakeStages.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val lakeJson =
+      s"""{"history_docs":$incrHistDocs,"batch_docs":$lakeBatchDocs,"cores":$bigCpus,""" +
+      s""""init_sec":${f(lakeInitSec)},"sec":${f(lakeStepSec)},""" +
+      s""""docs_sec":${f(lakeBatchDocs / lakeStepSec)},"stages":$lakeStagesJson}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cold":$qColdJson,"sf":"$sfDir","pipeline":$pipeJson,"pipeline_full":$fullJson,"pipeline_full_c4":$fullC4Json,"pipeline_full_extract":$extractJson,"pipeline_curation":$curationJson,"pipeline_incremental":$incrJson,"pipeline_incremental_lake":$lakeJson$detectorJson}""")
 
     rmDir(pagesDir)
     rmDir(htmlPagesDir)

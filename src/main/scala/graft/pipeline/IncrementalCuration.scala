@@ -125,6 +125,63 @@ object IncrementalCuration {
            // verify join + quality chain], state appends) — the bench's
            // stage profile; no extra materialization is introduced for it.
            onStage: (String, Double) => Unit = (_, _) => ()): (DataFrame, State) = {
+    val core = stepCore(state, batch, batchEmbeddings, cfg,
+      expectedHistoryDigests, bloomShards, expectedHistoryLines,
+      expectedHistoryGrams, hostCapN, onStage)
+    val survivors = core.survivors
+    // append survivors to every state table, each appended piece
+    // materialized ONCE at birth like the init tables (at scale:
+    // [[stepLake]]'s lake appends) — lazy pieces would re-derive every
+    // prior batch's signatures/assignments on every later step
+    val ap = appendPieces(survivors, batchEmbeddings, state)
+    val next = State(
+      // the docs piece is checkpointed like every other state append: the
+      // N-batch state stays a union of materialized leaves, never a chain
+      // of projections the next step's verify join re-derives
+      docs = state.docs.unionByName(ap.docs.localCheckpoint()),
+      bands = state.bands.unionByName(ap.bands.localCheckpoint()),
+      semantic = (state.semantic, ap.cells) match {
+        case (Some(sem), Some(c)) =>
+          Some(sem.copy(cells = sem.cells.unionByName(c.localCheckpoint())))
+        case (s, _) => s
+      },
+      lines = (state.lines, ap.lines) match {
+        case (Some(ld), Some(l)) => Some(ld.unionByName(l.localCheckpoint()))
+        case (s, _) => s
+      },
+      grams = (state.grams, ap.grams) match {
+        case (Some(g), Some(a)) => Some(g.unionByName(a.localCheckpoint()))
+        case (s, _) => s
+      },
+      hosts = (state.hosts, core.hostsDelta) match {
+        case (Some(hs), Some(d)) => Some(hs.unionByName(d)
+          .groupBy("host").agg(sum("n_seen").as("n_seen")).localCheckpoint())
+        case (s, _) => s
+      },
+      spanK = state.spanK)
+    core.mark("appends")
+    (survivors.select("doc_id", "text"), next)
+  }
+
+  /** The step's computation up to (and including) the survivor set —
+    * shared by the in-memory [[step]] and the lake-backed [[stepLake]],
+    * which differ only in how the state appends are persisted.
+    * `hostsDelta` is this batch's per-host CURATED-arrival counts (the
+    * rank-space increment both the capped and uncapped counter paths
+    * merge — see [[graft.operators.IncrementalSelect.hostCapStep]]). */
+  private final case class CoreResult(survivors: DataFrame,
+                                      hostsDelta: Option[DataFrame],
+                                      mark: String => Unit)
+
+  private def stepCore(state: State, batch: DataFrame,
+                       batchEmbeddings: Option[DataFrame],
+                       cfg: Curation.Config,
+                       expectedHistoryDigests: Long,
+                       bloomShards: Int,
+                       expectedHistoryLines: Long,
+                       expectedHistoryGrams: Long,
+                       hostCapN: Option[Int],
+                       onStage: (String, Double) => Unit): CoreResult = {
     var tMark = System.nanoTime()
     def mark(name: String): Unit = {
       val now = System.nanoTime()
@@ -244,62 +301,265 @@ object IncrementalCuration {
     def batchHosts = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("host"))
       .dropDuplicates("doc_id")
-    val (b5, nextHosts) = (hostCapN, state.hosts) match {
+    // curated-arrival counts: the rank-space increment of the host-cap
+    // contract (KEPT and capped-out rows both occupy ranks) — what both
+    // counter paths below merge into the state, and what [[stepLake]]
+    // appends as this batch's hosts delta
+    def arrivalDelta = b4.join(batchHosts, Seq("doc_id"))
+      .filter(col("host").isNotNull)
+      .groupBy("host").agg(count(lit(1)).as("n_seen"))
+    val (b5, hostsDelta) = (hostCapN, state.hosts) match {
       case (Some(cap), Some(hs)) =>
         val r = graft.operators.IncrementalSelect.hostCapStep(
           hs, b4.join(batchHosts, Seq("doc_id")), "host", "doc_id", "doc_id", cap)
-        (r.kept.select("doc_id", "text"), Some(r.nextState.localCheckpoint()))
+        (r.kept.select("doc_id", "text"), Some(arrivalDelta))
       case (Some(_), None) =>
         throw new IllegalArgumentException(
           "hostCapN is set but state.hosts is missing — bootstrap it with " +
             "IncrementalSelect.hostCapInit over the prior curated arrivals " +
             "(silently skipping the cap would over-admit)")
-      case (None, Some(hs)) =>
+      case (None, Some(_)) =>
         // cap off THIS step, counters still maintained: a later capped
         // step must see every curated arrival, or it over-admits relative
         // to the full-run-equivalence contract
-        val counts = b4.join(batchHosts, Seq("doc_id"))
-          .filter(col("host").isNotNull)
-          .groupBy("host").agg(count(lit(1)).as("n_seen"))
-        (b4, Some(hs.unionByName(counts)
-          .groupBy("host").agg(sum("n_seen").as("n_seen")).localCheckpoint()))
+        (b4, Some(arrivalDelta))
       case (None, None) => (b4, None)
     }
     mark("hostcap")
 
     val survivors = b5.withColumn("digest", md5(col("text"))).localCheckpoint()
     mark("survivors") // the near-dup + quality chain materializes here
+    CoreResult(survivors, hostsDelta, mark)
+  }
 
-    // 5. append survivors to every state table, each appended piece
-    //    materialized ONCE at birth like the init tables (at scale: lake
-    //    appends) — lazy pieces would re-derive every prior batch's
-    //    signatures/assignments on every later step
-    val nextSem = (state.semantic, batchEmbeddings) match {
+  /** The rows one batch's survivors contribute to each state table — the
+    * shared derivation behind [[step]]'s in-memory unions and
+    * [[stepLake]]'s lake appends (lazy; the caller materializes by
+    * checkpointing or writing). */
+  private final case class Appends(docs: DataFrame, bands: DataFrame,
+                                   lines: Option[DataFrame],
+                                   grams: Option[DataFrame],
+                                   cells: Option[DataFrame])
+
+  private def appendPieces(survivors: DataFrame,
+                           batchEmbeddings: Option[DataFrame],
+                           state: State): Appends = {
+    val cells = (state.semantic, batchEmbeddings) match {
       case (Some(sem), Some(be)) =>
         val survEmb = be.join(
           survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        Some(sem.copy(cells = sem.cells.unionByName(
-          Similarity.assignCells(survEmb, sem.centroids).localCheckpoint())))
-      case (s, _) => s
+        Some(Similarity.assignCells(survEmb, sem.centroids))
+      case _ => None
     }
-    val next = State(
-      // the docs piece is checkpointed like every other state append: the
-      // N-batch state stays a union of materialized leaves, never a chain
-      // of projections the next step's verify join re-derives
-      docs = state.docs.unionByName(
-        survivors.select("doc_id", "text", "digest").localCheckpoint()),
-      bands = state.bands.unionByName(
-        IncrementalDedup.bandTable(survivors, "doc_id", "text").localCheckpoint()),
-      semantic = nextSem,
-      lines = state.lines.map(_.unionByName(
+    Appends(
+      docs = survivors.select("doc_id", "text", "digest"),
+      bands = IncrementalDedup.bandTable(survivors, "doc_id", "text"),
+      lines = state.lines.map(_ =>
         IncrementalDedup.lineDigests(survivors, "doc_id", "text")
-          .select("line_digest").distinct().localCheckpoint())),
-      grams = state.grams.map(_.unionByName(
-        IncrementalDedup.spanGramTable(survivors, "doc_id", "text", state.spanK)
-          .localCheckpoint())),
-      hosts = nextHosts,
-      spanK = state.spanK)
-    mark("appends")
-    (survivors.select("doc_id", "text"), next)
+          .select("line_digest").distinct()),
+      grams = state.grams.map(_ =>
+        IncrementalDedup.spanGramTable(survivors, "doc_id", "text", state.spanK)),
+      cells = cells)
+  }
+
+  // --- Lake-backed state (the production form) ---------------------------
+  //
+  // [[step]] holds state as in-memory DataFrames — right for specs and the
+  // single-process bench, but the scaladocs' production story ("at scale
+  // each append is a lake-table append, bands bucketed by band_digest, …")
+  // was only prose until here. [[initLake]]/[[stepLake]] make it concrete:
+  // every state table is a [[graft.sources.StateLake]] table clustered by
+  // its probe key, a step's appends are atomic batch-grain commits, and a
+  // step crash between the per-table commits is recovered by REPLAYING the
+  // same batch — the state version is the min committed batch across
+  // tables, the replay re-derives the identical survivor set from that
+  // version (the step is deterministic in its inputs), and already-
+  // committed tables skip their append idempotently.
+
+  import graft.sources.StateLake
+  import org.apache.spark.sql.SparkSession
+
+  /** Tables a lake state MAY hold, with the probe key each is clustered
+    * by: docs by doc_id (the near-dup verify semi-join key; the exact
+    * stage's digest probe reads only the digest COLUMN — column-pruned,
+    * never joined by layout), bands by band_digest, lines/grams by their
+    * digest, cells by cell, hosts by host. */
+  private val lakeKeys: Seq[(String, String)] = Seq(
+    "docs" -> "doc_id", "bands" -> "band_digest", "lines" -> "line_digest",
+    "grams" -> "g", "cells" -> "cell", "hosts" -> "host")
+
+  private def metaPath(root: String) = s"$root/meta.properties"
+
+  private def writeMeta(spark: SparkSession, root: String,
+                        kv: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(kv.toSeq.sorted.map { case (k, v) => s"$k=$v\n" }
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, root: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      Iterator.continually(in.read(tmp)).takeWhile(_ > 0)
+        .foreach(n => buf.write(tmp, 0, n))
+      buf.toByteArray
+    } finally in.close()
+    new String(bytes, "UTF-8").linesIterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+  }
+
+  private def tableDirs(spark: SparkSession, root: String): Seq[String] =
+    lakeKeys.map(_._1).filter(t =>
+      StateLake.committedBatches(spark, s"$root/$t").nonEmpty)
+
+  /** Bootstrap a lake-backed state at `root` from an already-curated
+    * corpus — [[init]] persisted: each table written as batch 0 of its
+    * [[StateLake]] table, the frozen centroids and the (spanK, buckets)
+    * config alongside. `hostArrivals` (optional) seeds the per-host
+    * admission counters ([[graft.operators.IncrementalSelect.hostCapInit]]
+    * shape: host, n_seen). */
+  def initLake(corpus: DataFrame, embeddings: Option[DataFrame],
+               root: String, nCells: Int = 16,
+               withLineDedup: Boolean = false,
+               withSpanDedup: Boolean = false, spanK: Int = 8,
+               nBuckets: Int = 16,
+               hostArrivals: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    val st = init(corpus, embeddings, nCells, withLineDedup, withSpanDedup,
+      spanK)
+    StateLake.append(st.docs, s"$root/docs", "doc_id", nBuckets, 0)
+    StateLake.append(st.bands, s"$root/bands", "band_digest", nBuckets, 0)
+    st.lines.foreach(l =>
+      StateLake.append(l, s"$root/lines", "line_digest", nBuckets, 0))
+    st.grams.foreach(g => StateLake.append(g, s"$root/grams", "g", nBuckets, 0))
+    st.semantic.foreach { sem =>
+      StateLake.append(sem.cells, s"$root/cells", "cell", nBuckets, 0)
+      import spark.implicits._
+      sem.centroids.zipWithIndex.map { case (u, i) => (i, u.toSeq) }.toSeq
+        .toDF("cell", "u").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/centroids")
+    }
+    hostArrivals.foreach(h =>
+      StateLake.append(h, s"$root/hosts", "host", nBuckets, 0))
+    writeMeta(spark, root, Map(
+      "spanK" -> spanK.toString, "buckets" -> nBuckets.toString))
+  }
+
+  /** The lake state as plain (lazy) DataFrames — [[State]] re-assembled
+    * from the persisted tables as of `upTo` (default: everything
+    * committed). Reads are column-pruned by each consumer; [[stepLake]]
+    * additionally bucket-prunes the probe-keyed tables. */
+  def loadLake(spark: SparkSession, root: String,
+               upTo: Int = Int.MaxValue): State = {
+    val meta = readMeta(spark, root)
+    val present = tableDirs(spark, root).toSet
+    def tbl(name: String, cols: String*): DataFrame =
+      StateLake.read(spark, s"$root/$name", upTo)
+        .select(cols.map(col): _*)
+    val sem =
+      if (!present("cells")) None
+      else {
+        val centroids = spark.read.parquet(s"$root/centroids")
+          .collect().sortBy(_.getInt(0))
+          .map(_.getSeq[Double](1).toArray)
+        Some(SemState(centroids, tbl("cells", "id", "u", "cell")))
+      }
+    State(
+      docs = tbl("docs", "doc_id", "text", "digest"),
+      bands = tbl("bands", "id", "band", "band_digest"),
+      semantic = sem,
+      lines = if (present("lines")) Some(tbl("lines", "line_digest")) else None,
+      grams = if (present("grams"))
+        Some(tbl("grams", "g", "first_id", "first_pos")) else None,
+      hosts = if (present("hosts"))
+        Some(StateLake.read(spark, s"$root/hosts", upTo)
+          .groupBy("host").agg(sum("n_seen").as("n_seen"))) else None,
+      spanK = meta("spanK").toInt)
+  }
+
+  /** One daily step against the LAKE-backed state: load state as of the
+    * last FULLY-committed batch, run the step, append the survivors'
+    * rows to every table as one batch id. Returns the survivors.
+    *
+    * Probe-keyed history tables (bands / lines / grams) are read
+    * BUCKET-PRUNED: the batch's probe keys hash to a bounded bucket set
+    * (collected driver-side, ≤ nBuckets longs — one narrow batch-scale
+    * pass per table), and history rows outside those buckets cannot match
+    * any batch key, so pruning them never changes the answer — only the
+    * scan footprint (a small daily batch against a month of history opens
+    * a fraction of the files; StateLakeSpec pins both the equality and
+    * the pruning).
+    *
+    * Crash contract: if a previous invocation died between per-table
+    * commits, re-invoke with the SAME batch — the state version is the
+    * minimum committed batch across tables, so the replay recomputes the
+    * identical survivors from the pre-crash state and fills exactly the
+    * missing table commits (the committed ones skip idempotently). */
+  def stepLake(spark: SparkSession, root: String, batch: DataFrame,
+               batchEmbeddings: Option[DataFrame] = None,
+               cfg: Curation.Config = Curation.Config(),
+               expectedHistoryDigests: Long = 1 << 20,
+               bloomShards: Int = 1,
+               expectedHistoryLines: Long = -1L,
+               expectedHistoryGrams: Long = -1L,
+               hostCapN: Option[Int] = None,
+               onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    val meta = readMeta(spark, root)
+    val nBuckets = meta("buckets").toInt
+    val present = tableDirs(spark, root)
+    val stateVersion = present
+      .map(t => StateLake.committedBatches(spark, s"$root/$t").max).min
+    val batchId = stateVersion + 1
+    val base = loadLake(spark, root, upTo = stateVersion)
+
+    // bucket-pruned probe-table reads: keys derived from the RAW batch —
+    // a superset of what the step actually probes (its probe sides are
+    // post-dedup subsets of the batch, and a subset's keys hash into a
+    // subset of the buckets), so pruning by them is sound
+    val bText = batch.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"))
+    def pruned(name: String, probe: DataFrame, probeKey: String,
+               cols: String*): DataFrame =
+      StateLake.readBuckets(spark, s"$root/$name",
+          StateLake.probedBuckets(probe, probeKey, nBuckets),
+          upTo = stateVersion)
+        .select(cols.map(col): _*)
+    val state = base.copy(
+      bands = pruned("bands",
+        IncrementalDedup.bandTable(bText, "doc_id", "text"), "band_digest",
+        "id", "band", "band_digest"),
+      lines = base.lines.map(_ => pruned("lines",
+        IncrementalDedup.lineDigests(bText, "doc_id", "text"), "line_digest",
+        "line_digest")),
+      grams = base.grams.map(_ => pruned("grams",
+        graft.operators.ExactSubstring
+          .occurrences(bText, "doc_id", "text", base.spanK), "g",
+        "g", "first_id", "first_pos")))
+
+    val core = stepCore(state, batch, batchEmbeddings, cfg,
+      expectedHistoryDigests, bloomShards, expectedHistoryLines,
+      expectedHistoryGrams, hostCapN, onStage)
+    val ap = appendPieces(core.survivors, batchEmbeddings, state)
+    StateLake.append(ap.docs, s"$root/docs", "doc_id", nBuckets, batchId)
+    StateLake.append(ap.bands, s"$root/bands", "band_digest", nBuckets, batchId)
+    ap.lines.foreach(l =>
+      StateLake.append(l, s"$root/lines", "line_digest", nBuckets, batchId))
+    ap.grams.foreach(g =>
+      StateLake.append(g, s"$root/grams", "g", nBuckets, batchId))
+    ap.cells.foreach(c =>
+      StateLake.append(c, s"$root/cells", "cell", nBuckets, batchId))
+    core.hostsDelta.foreach(d =>
+      StateLake.append(d, s"$root/hosts", "host", nBuckets, batchId))
+    core.mark("appends")
+    core.survivors.select("doc_id", "text")
   }
 }

@@ -1349,6 +1349,37 @@ object TextQueries {
         .orderBy("batch_id", "hist_id")
     }),
 
+    // q65 with the history band table PERSISTED: written once to a
+    // StateLake table bucketed by band_digest, then read back
+    // bucket-pruned by the batch's probed digests — the production layout
+    // ("only the batch shuffles; the history scan is satisfied from the
+    // table's clustering") must yield byte-identical verified pairs, which
+    // the shared q65 oracle checks end-to-end.
+    "q95_lake_incr_neardup" -> ((s, dir) => {
+      import graft.operators.IncrementalDedup
+      import graft.sources.StateLake
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = d.filter(col("doc_id") % 3 === 0)
+      val mutants = d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(TF.tokens(col("text")), 3, 1000000), " ").as("text"))
+      val batch = d.filter(col("doc_id") % 3 =!= 0).unionByName(mutants)
+      val root = java.nio.file.Files.createTempDirectory("q95lake").toString
+      val nBuckets = 16
+      StateLake.append(IncrementalDedup.bandTable(history, "doc_id", "text"),
+        s"$root/bands", "band_digest", nBuckets, 0)
+      val probed = StateLake.probedBuckets(
+        IncrementalDedup.bandTable(batch, "doc_id", "text"),
+        "band_digest", nBuckets)
+      val histBands = StateLake.readBuckets(s, s"$root/bands", probed)
+        .select("id", "band", "band_digest")
+      IncrementalDedup.nearCrossPairs(batch, history, "doc_id", "text",
+          historyBands = Some(histBands))
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("batch_id", "hist_id")
+    }),
+
     // Incremental SemDeDup (embedding-space daily batch): history = vectors
     // with id < 300 (frozen centroids fit there), batch = the rest ∪
     // planted scaled copies; batch verdicts judged against the persisted
@@ -1405,6 +1436,50 @@ object TextQueries {
   private def hostSql(nf: String): String =
     "regexp_replace(regexp_replace(lower(regexp_extract(" + nf +
       ", '^[a-zA-Z]+://([^/?#]+)', 1)), ':(443|80)$', ''), '^www\\.', '')"
+
+  /** The q65 DuckDB oracle — the full-corpus q16 LSH pipeline over
+    * batch ∪ history restricted to cross-boundary pairs. Shared by q95,
+    * whose Spark side routes the history band table through a
+    * [[graft.sources.StateLake]] persist + bucket-pruned read.  */
+  private val incrNeardupOracleSql: String =
+      """WITH u AS (
+        |  SELECT doc_id, text, (doc_id % 3 = 0) AS hist FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ') AS text,
+        |         FALSE AS hist
+        |  FROM documents WHERE doc_id % 15 = 0
+        |), shl AS (
+        |  SELECT doc_id, hist, list_distinct(list_transform(range(1, len(w)-1),
+        |           j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
+        |  FROM (SELECT doc_id, hist, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u)
+        |  WHERE len(w) >= 3
+        |), sig AS (
+        |  SELECT doc_id AS id, i,
+        |    CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
+        |      % 2305843009213693951) AS BIGINT) AS sig
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |    (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
+        |            ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
+        |     FROM (SELECT unnest(range(16)) AS i))
+        |  GROUP BY 1,2
+        |), bands AS (
+        |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
+        |  FROM sig GROUP BY 1,2
+        |), hb AS (
+        |  SELECT b.id, b.band, b.bd, s.hist
+        |  FROM bands b JOIN (SELECT DISTINCT doc_id, hist FROM u) s ON s.doc_id = b.id
+        |), prs AS (
+        |  SELECT DISTINCT b.id AS batch_id, h.id AS hist_id
+        |  FROM hb b JOIN hb h ON b.band = h.band AND b.bd = h.bd
+        |  WHERE NOT b.hist AND h.hist
+        |), j AS (
+        |  SELECT p.batch_id, p.hist_id,
+        |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+        |  FROM prs p JOIN shl sa ON sa.doc_id = p.batch_id JOIN shl sb ON sb.doc_id = p.hist_id)
+        |SELECT batch_id, hist_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY batch_id, hist_id""".stripMargin
 
   val sql: Map[String, String] = Map(
     "q10_dedup_exact" ->
@@ -1914,45 +1989,11 @@ object TextQueries {
         |ORDER BY stage_no""".stripMargin,
     // Incremental near-dup: the q16 LSH pipeline over batch ∪ history,
     // restricted to cross-boundary (batch, history) pairs.
-    "q65_incr_neardup" ->
-      """WITH u AS (
-        |  SELECT doc_id, text, (doc_id % 3 = 0) AS hist FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |         array_to_string(regexp_split_to_array(trim(text), '\s+')[3:], ' ') AS text,
-        |         FALSE AS hist
-        |  FROM documents WHERE doc_id % 15 = 0
-        |), shl AS (
-        |  SELECT doc_id, hist, list_distinct(list_transform(range(1, len(w)-1),
-        |           j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
-        |  FROM (SELECT doc_id, hist, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM u)
-        |  WHERE len(w) >= 3
-        |), sig AS (
-        |  SELECT doc_id AS id, i,
-        |    CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
-        |      % 2305843009213693951) AS BIGINT) AS sig
-        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shl),
-        |    (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
-        |            ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
-        |     FROM (SELECT unnest(range(16)) AS i))
-        |  GROUP BY 1,2
-        |), bands AS (
-        |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
-        |  FROM sig GROUP BY 1,2
-        |), hb AS (
-        |  SELECT b.id, b.band, b.bd, s.hist
-        |  FROM bands b JOIN (SELECT DISTINCT doc_id, hist FROM u) s ON s.doc_id = b.id
-        |), prs AS (
-        |  SELECT DISTINCT b.id AS batch_id, h.id AS hist_id
-        |  FROM hb b JOIN hb h ON b.band = h.band AND b.bd = h.bd
-        |  WHERE NOT b.hist AND h.hist
-        |), j AS (
-        |  SELECT p.batch_id, p.hist_id,
-        |    ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
-        |  FROM prs p JOIN shl sa ON sa.doc_id = p.batch_id JOIN shl sb ON sb.doc_id = p.hist_id)
-        |SELECT batch_id, hist_id, jaccard FROM j WHERE jaccard >= 0.5
-        |ORDER BY batch_id, hist_id""".stripMargin,
+    "q65_incr_neardup" -> incrNeardupOracleSql,
+    // Same oracle as q65 — q95 computes the identical answer with the
+    // history band table persisted through a StateLake round trip and the
+    // probe read bucket-pruned; the lake layout must not change the pairs.
+    "q95_lake_incr_neardup" -> incrNeardupOracleSql,
     "q51_bloom_dedup" ->
       """SELECT b.doc_id, md5(b.text) AS digest
         |FROM documents b

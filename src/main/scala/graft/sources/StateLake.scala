@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, bucket-clustered state tables for the incremental-curation
+  * surface — the concrete form of the layout every incremental operator's
+  * scaladoc prescribes ("bands bucketed by band_digest, digests by digest,
+  * cells by cell"): one parquet table per state class, clustered so the
+  * per-batch probe joins are satisfied from layout and only the batch side
+  * ever moves.
+  *
+  * Layout (Hive-partitioned parquet — what Iceberg's bucket-transform
+  * partitioning degrades to without the jars in this sandbox):
+  *
+  * {{{
+  *   <dir>/batch=000000/bucket=<k>/part-*.parquet   // bootstrap
+  *   <dir>/batch=000001/bucket=<k>/part-*.parquet   // day-1 append
+  *   ...
+  * }}}
+  *
+  * `bucket = pmod(xxhash64(key), nBuckets)` — a probe that knows its key
+  * set knows its bucket set, so a filter on `bucket` partition-prunes the
+  * scan to the matching directories (asserted in StateLakeSpec via the
+  * scan's numFiles metric).
+  *
+  * Appends are BATCH-grain and atomic: each batch is written to a hidden
+  * `.staging-<id>` directory and committed with one directory rename — a
+  * reader never sees a torn batch, and a crashed append leaves only a
+  * staging dir the retry deletes. Commits are idempotent per (table,
+  * batchId): re-appending an already-committed batch is a no-op (returns
+  * false), which is what makes the daily step's multi-table commit
+  * crash-recoverable — replaying the same batch after a crash re-derives
+  * the identical rows (the step is deterministic in its inputs) and fills
+  * in only the tables whose rename never happened
+  * ([[graft.pipeline.IncrementalCuration.stepLake]]).
+  */
+object StateLake {
+
+  /** Bucket-of-key: the clustering column every table is partitioned by. */
+  def bucketOf(key: Column, nBuckets: Int): Column =
+    pmod(xxhash64(key), lit(nBuckets.toLong))
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Append `df` as batch `batchId` of the table at `dir`, clustered by
+    * `keyCol` into `nBuckets` bucket partitions. Atomic (staging dir +
+    * rename) and idempotent: returns false without writing when the batch
+    * is already committed. */
+  def append(df: DataFrame, dir: String, keyCol: String, nBuckets: Int,
+             batchId: Int): Boolean = {
+    val spark = df.sparkSession
+    val f = fs(spark, dir)
+    val target = new Path(dir, f"batch=$batchId%06d")
+    if (f.exists(target)) return false
+    val staging = new Path(dir, s".staging-$batchId")
+    if (f.exists(staging)) f.delete(staging, true) // torn previous attempt
+    // one shuffle of the APPENDED piece only (batch-scale), clustering each
+    // bucket's rows into one task so each partition dir gets one file
+    df.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      .repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    if (!f.rename(staging, target))
+      throw new java.io.IOException(s"commit rename failed: $staging -> $target")
+    true
+  }
+
+  /** Batch ids committed at `dir` (ascending); empty when the table does
+    * not exist yet. */
+  def committedBatches(spark: SparkSession, dir: String): Seq[Int] = {
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toInt)
+      .sorted
+  }
+
+  /** The table as of `upTo` (inclusive; default: every committed batch) —
+    * original columns plus the `batch` and `bucket` partition columns.
+    * A filter on `bucket` partition-prunes (the point of the layout). */
+  def read(spark: SparkSession, dir: String, upTo: Int = Int.MaxValue): DataFrame = {
+    val batches = committedBatches(spark, dir).filter(_ <= upTo)
+    require(batches.nonEmpty, s"state table $dir has no committed batch <= $upTo")
+    val dirs = batches.map(b => new Path(dir, f"batch=$b%06d").toString)
+    spark.read.option("basePath", dir).parquet(dirs: _*)
+  }
+
+  /** [[read]] restricted to the buckets a probe key set can touch — the
+    * per-step history read: `buckets` comes from the batch side (bounded
+    * by nBuckets, never data-scale), and the filter prunes the scan to the
+    * matching partition directories. */
+  def readBuckets(spark: SparkSession, dir: String, buckets: Seq[Long],
+                  upTo: Int = Int.MaxValue): DataFrame =
+    read(spark, dir, upTo).filter(col("bucket").isInCollection(buckets))
+
+  /** The bucket ids `keys` hash into — the probe side's scan footprint,
+    * collected on the driver (≤ nBuckets values, never data-scale). */
+  def probedBuckets(keys: DataFrame, keyCol: String, nBuckets: Int): Seq[Long] =
+    keys.select(bucketOf(col(keyCol), nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
+  /** (files a bucket-pruned scan opens, total live files) — the pruning
+    * effectiveness measure (the PageLake.pruneStats analogue). */
+  def pruneStats(spark: SparkSession, dir: String,
+                 buckets: Seq[Long]): (Int, Int) = {
+    val f = fs(spark, dir)
+    val wanted = buckets.map(b => s"bucket=$b").toSet
+    val all = committedBatches(spark, dir).flatMap { b =>
+      f.listStatus(new Path(dir, f"batch=$b%06d")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .flatMap(d => f.listStatus(d.getPath).toSeq.filter(_.isFile)
+          .map(file => (d.getPath.getName, file.getPath.getName)))
+    }
+    (all.count(x => wanted.contains(x._1)), all.size)
+  }
+}
