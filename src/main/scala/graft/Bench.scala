@@ -143,7 +143,8 @@ object Bench {
       IncrementalCuration.initLake(histDocs, None, root, withLineDedup = true)
     }
     def resetToBootstrap(): Unit =
-      for (t <- Seq("docs", "bands", "lines", "grams", "cells", "hosts");
+      for (t <- Seq("docs", "bands", "lines", "grams", "cells", "hosts",
+                    "docs_bloom", "lines_bloom", "grams_bloom");
            d = new java.io.File(s"$root/$t") if d.isDirectory;
            b <- d.listFiles()
            if b.getName.startsWith("batch=") && b.getName != "batch=000000")

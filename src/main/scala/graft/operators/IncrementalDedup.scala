@@ -65,8 +65,22 @@ object IncrementalDedup {
     * after the consuming action finishes (required in per-batch loops). */
   def newOnlyManaged(batch: DataFrame, history: DataFrame, digestCol: String,
                      expectedItems: Long, fpp: Double = 0.01,
-                     shards: Int = 1): Prefiltered = {
-    val bfB = buildShardedFilters(history, digestCol, expectedItems, fpp, shards)
+                     shards: Int = 1): Prefiltered =
+    newOnlyPrebuilt(batch, history, digestCol,
+      buildFilterArray(history, digestCol, expectedItems, fpp, shards))
+
+  /** [[newOnlyManaged]] with the history's Bloom filters supplied instead
+    * of built — the persisted-sidecar path
+    * ([[graft.sources.StateLake.readBloom]]): a daily step loads the
+    * accumulated per-batch filters and never scans the history digest
+    * table to rebuild them (at 10¹²-key scale the rebuild is a full
+    * history pass per day; the sidecar read is megabytes). The verify
+    * anti-join against `history` still runs, so the answer is identical
+    * whatever filters are passed — a stale or over-full filter costs
+    * suspects, never correctness. */
+  def newOnlyPrebuilt(batch: DataFrame, history: DataFrame, digestCol: String,
+                      filters: Array[BloomFilter]): Prefiltered = {
+    val bfB = batch.sparkSession.sparkContext.broadcast(filters)
     // codegen'd probe, not a Scala UDF: it runs on every row of every
     // incoming batch, and the UDF's per-row encoder round-trip is a real
     // tax at 10⁹-row batches (PlanSpec pins zero ScalaUDF nodes here)
@@ -286,6 +300,16 @@ object IncrementalDedup {
     Prefiltered(ExactSubstring.rebuildDocs(pf.df), pf.release)
   }
 
+  /** [[newLinesOnlyManaged]] with the line-digest filters supplied — the
+    * persisted-sidecar path, same contract as [[newOnlyPrebuilt]]. */
+  def newLinesOnlyPrebuilt(batch: DataFrame, historyDigests: DataFrame,
+                           idCol: String, textCol: String,
+                           filters: Array[BloomFilter]): Prefiltered = {
+    val pf = newOnlyPrebuilt(lineDigests(batch, idCol, textCol),
+      historyDigests, "line_digest", filters)
+    Prefiltered(ExactSubstring.rebuildDocs(pf.df), pf.release)
+  }
+
   /** One-shot form of [[newLinesOnlyManaged]] (filter left to GC). */
   def newLinesOnly(batch: DataFrame, historyDigests: DataFrame,
                    idCol: String, textCol: String, expectedItems: Long,
@@ -334,8 +358,16 @@ object IncrementalDedup {
     * [[newOnlyManaged]]. */
   def seenOnlyManaged(probe: DataFrame, history: DataFrame, digestCol: String,
                       expectedItems: Long, fpp: Double = 0.01,
-                      shards: Int = 1): Prefiltered = {
-    val bfB = buildShardedFilters(history, digestCol, expectedItems, fpp, shards)
+                      shards: Int = 1): Prefiltered =
+    seenOnlyPrebuilt(probe, history, digestCol,
+      buildFilterArray(history, digestCol, expectedItems, fpp, shards))
+
+  /** [[seenOnlyManaged]] with the filters supplied — the persisted-sidecar
+    * path, same contract as [[newOnlyPrebuilt]]. */
+  def seenOnlyPrebuilt(probe: DataFrame, history: DataFrame,
+                       digestCol: String,
+                       filters: Array[BloomFilter]): Prefiltered = {
+    val bfB = probe.sparkSession.sparkContext.broadcast(filters)
     val mightContain = graft.functions.BloomMightContainSharded
       .might_contain_sharded(col(digestCol), bfB)
     val seen = probe.filter(mightContain)
@@ -343,21 +375,24 @@ object IncrementalDedup {
     Prefiltered(seen, () => { bfB.destroy(); () })
   }
 
-  /** One distributed pass builds all B filters: merge is associative +
-    * commutative, so treeAggregate keeps driver merge work O(log parts);
-    * the broadcast ships the array once per executor. */
-  private def buildShardedFilters(
-      history: DataFrame, digestCol: String, expectedItems: Long,
-      fpp: Double, shards: Int): org.apache.spark.broadcast.Broadcast[Array[BloomFilter]] = {
+  /** One distributed pass building the B-sharded filter array over
+    * `history(digestCol)` — public so a lake-backed pipeline can build a
+    * batch's filter CONTRIBUTION and persist it as a sidecar
+    * ([[graft.sources.StateLake.writeBloom]]). Sidecar discipline: every
+    * contribution to one logical filter MUST be built with the same
+    * (expectedItems, fpp, shards) — merging needs identical bit-array
+    * sizes, and the shard router depends on B. */
+  def buildFilterArray(history: DataFrame, digestCol: String,
+                       expectedItems: Long, fpp: Double = 0.01,
+                       shards: Int = 1): Array[BloomFilter] = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val b = shards
     val perShard = math.max(1L, expectedItems / b)
     import history.sparkSession.implicits._
-    val filters: Array[BloomFilter] = history.select(col(digestCol)).as[String]
+    history.select(col(digestCol)).as[String]
       .rdd.treeAggregate(Array.fill(b)(BloomFilter.create(perShard, fpp)))(
         (fs, d) => { if (d != null) fs(shardOf(d, b)).putString(d); fs },
         (a, x) => { a.indices.foreach(i => a(i).mergeInPlace(x(i))); a })
-    history.sparkSession.sparkContext.broadcast(filters)
   }
 
   /** The persisted gram-history table for incremental substring-span dedup:
@@ -420,6 +455,36 @@ object IncrementalDedup {
       cross.release)
   }
 
+  /** [[crossSpanCutsManaged]] with the gram filters supplied — the
+    * persisted-sidecar path. Contributions MUST be built over the same
+    * digest form the probe uses: `g.cast("string")` (see
+    * [[graft.pipeline.IncrementalCuration.stepLake]]). */
+  def crossSpanCutsPrebuilt(batch: DataFrame, historyGrams: DataFrame,
+                            idCol: String, textCol: String, k: Int,
+                            filters: Array[BloomFilter]): Prefiltered = {
+    val occ = ExactSubstring.occurrences(batch, idCol, textCol, k)
+      .withColumn("g_digest", col("g").cast("string"))
+    val pf = seenOnlyPrebuilt(occ,
+      historyGrams.select(col("g").cast("string").as("g_digest")),
+      "g_digest", filters)
+    Prefiltered(pf.df.select("id", "pos"), pf.release)
+  }
+
+  /** [[incrSpanStatsManaged]] with the gram filters supplied — the
+    * persisted-sidecar path, same answer contract. */
+  def incrSpanStatsPrebuilt(batch: DataFrame, historyGrams: DataFrame,
+                            idCol: String, textCol: String, k: Int,
+                            maxDf: Long,
+                            filters: Array[BloomFilter]): Prefiltered = {
+    val cross = crossSpanCutsPrebuilt(batch, historyGrams, idCol, textCol,
+      k, filters)
+    val cuts = ExactSubstring.cutSpans(batch, idCol, textCol, k, maxDf)
+      .unionByName(cross.df).distinct()
+    Prefiltered(
+      ExactSubstring.statsFromCuts(batch, idCol, textCol, cuts, k),
+      cross.release)
+  }
+
   /** One-shot form of [[incrSpanStatsManaged]] (filter left to GC). */
   def incrSpanStats(batch: DataFrame, historyGrams: DataFrame,
                     idCol: String, textCol: String, k: Int = 8,
@@ -431,7 +496,7 @@ object IncrementalDedup {
   /** Shard router — a plain JVM hash is fine: build and probe both run this
     * exact function (no SQL-side mirror needed; result equality with the
     * anti-join is what the oracle pins). */
-  @inline private[operators] def shardOf(digest: String, b: Int): Int =
+  @inline private[graft] def shardOf(digest: String, b: Int): Int =
     if (b == 1) 0
     else java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(digest), b)
 }

@@ -181,7 +181,14 @@ object IncrementalCuration {
                        expectedHistoryLines: Long,
                        expectedHistoryGrams: Long,
                        hostCapN: Option[Int],
-                       onStage: (String, Double) => Unit): CoreResult = {
+                       onStage: (String, Double) => Unit,
+                       // persisted-sidecar filters ([[stepLake]]): when
+                       // present, the exact / line stages probe these
+                       // instead of re-scanning history to build fresh ones
+                       docsFilters: Option[Array[org.apache.spark.util.sketch.BloomFilter]] = None,
+                       lineFilters: Option[Array[org.apache.spark.util.sketch.BloomFilter]] = None,
+                       gramFilters: Option[Array[org.apache.spark.util.sketch.BloomFilter]] = None)
+      : CoreResult = {
     var tMark = System.nanoTime()
     def mark(name: String): Unit = {
       val now = System.nanoTime()
@@ -200,9 +207,15 @@ object IncrementalCuration {
       .withColumn("digest", md5(col("text")))
 
     // 1. exact vs history (Bloom prefilter; broadcast released after the
-    //    step materializes)
-    val pf = IncrementalDedup.newOnlyManaged(b0, state.docs.select("digest"),
-      "digest", expectedHistoryDigests, shards = bloomShards)
+    //    step materializes). Sidecar filters, when supplied, skip the
+    //    per-step history scan the build would pay.
+    val pf = docsFilters match {
+      case Some(fs) => IncrementalDedup.newOnlyPrebuilt(
+        b0, state.docs.select("digest"), "digest", fs)
+      case None => IncrementalDedup.newOnlyManaged(
+        b0, state.docs.select("digest"),
+        "digest", expectedHistoryDigests, shards = bloomShards)
+    }
     val b1 = pf.df.localCheckpoint()
     pf.release()
     mark("exact")
@@ -217,8 +230,12 @@ object IncrementalCuration {
         val within = graft.operators.ExactSubstring
           .ccnetDedupLines(b1, "doc_id", "text")
           .select(col("id").as("doc_id"), col("text_dedup").as("text"))
-        val pfL = IncrementalDedup.newLinesOnlyManaged(within, ld,
-          "doc_id", "text", lineItems, shards = bloomShards)
+        val pfL = lineFilters match {
+          case Some(fs) => IncrementalDedup.newLinesOnlyPrebuilt(
+            within, ld, "doc_id", "text", fs)
+          case None => IncrementalDedup.newLinesOnlyManaged(within, ld,
+            "doc_id", "text", lineItems, shards = bloomShards)
+        }
         val out = pfL.df.select(col("id").as("doc_id"),
           col("text_dedup").as("text")).localCheckpoint()
         pfL.release()
@@ -257,9 +274,14 @@ object IncrementalCuration {
       case Some(g) =>
         // k comes from the STATE (what the gram table was built with) —
         // probing with an independent cfg knob would silently never match
-        val pfS = IncrementalDedup.incrSpanStatsManaged(b2, g,
-          "doc_id", "text", k = state.spanK, maxDf = cfg.substringMaxDf,
-          expectedItems = gramItems, shards = bloomShards)
+        val pfS = gramFilters match {
+          case Some(fs) => IncrementalDedup.incrSpanStatsPrebuilt(b2, g,
+            "doc_id", "text", k = state.spanK, maxDf = cfg.substringMaxDf,
+            filters = fs)
+          case None => IncrementalDedup.incrSpanStatsManaged(b2, g,
+            "doc_id", "text", k = state.spanK, maxDf = cfg.substringMaxDf,
+            expectedItems = gramItems, shards = bloomShards)
+        }
         val keep = pfS.df.filter(col("cut_ratio") <= cfg.maxCutRatio)
           .select(col("id").as("doc_id"))
         val out = b2.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
@@ -432,7 +454,16 @@ object IncrementalCuration {
                withLineDedup: Boolean = false,
                withSpanDedup: Boolean = false, spanK: Int = 8,
                nBuckets: Int = 16,
-               hostArrivals: Option[DataFrame] = None): Unit = {
+               hostArrivals: Option[DataFrame] = None,
+               // Bloom sidecar sizing — FIXED for the table's lifetime
+               // (per-batch contributions must share bit-array sizes to
+               // merge). 0 = 4x the bootstrap count: headroom for growth;
+               // outgrowing it degrades fpp (more verify-join suspects),
+               // never correctness. At real scale pass the target corpus
+               // size.
+               bloomDocsItems: Long = 0L, bloomLineItems: Long = 0L,
+               bloomGramItems: Long = 0L,
+               bloomFpp: Double = 0.01, bloomShards: Int = 1): Unit = {
     val spark = corpus.sparkSession
     val st = init(corpus, embeddings, nCells, withLineDedup, withSpanDedup,
       spanK)
@@ -450,8 +481,37 @@ object IncrementalCuration {
     }
     hostArrivals.foreach(h =>
       StateLake.append(h, s"$root/hosts", "host", nBuckets, 0))
+    // Bloom sidecars: the bootstrap's filter contribution, so no step
+    // ever re-scans history digests to build a prefilter
+    val docsItems =
+      if (bloomDocsItems > 0) bloomDocsItems else 4L * st.docs.count()
+    StateLake.writeBloom(spark, IncrementalDedup.buildFilterArray(
+        st.docs, "digest", docsItems, bloomFpp, bloomShards),
+      s"$root/docs_bloom", 0)
+    val lineItems = st.lines.map { l =>
+      val items = if (bloomLineItems > 0) bloomLineItems else 4L * l.count()
+      StateLake.writeBloom(spark, IncrementalDedup.buildFilterArray(
+          l, "line_digest", items, bloomFpp, bloomShards),
+        s"$root/lines_bloom", 0)
+      items
+    }
+    // gram filters probe the STRING form of g (crossSpanCutsManaged's
+    // digest form) — the contribution must be built over the same form
+    val gramItems = st.grams.map { g =>
+      val items = if (bloomGramItems > 0) bloomGramItems else 4L * g.count()
+      StateLake.writeBloom(spark, IncrementalDedup.buildFilterArray(
+          g.select(col("g").cast("string").as("g_digest")),
+          "g_digest", items, bloomFpp, bloomShards),
+        s"$root/grams_bloom", 0)
+      items
+    }
     writeMeta(spark, root, Map(
-      "spanK" -> spanK.toString, "buckets" -> nBuckets.toString))
+      "spanK" -> spanK.toString, "buckets" -> nBuckets.toString,
+      "bloomDocsItems" -> docsItems.toString,
+      "bloomFpp" -> bloomFpp.toString,
+      "bloomShards" -> bloomShards.toString) ++
+      lineItems.map(i => "bloomLineItems" -> i.toString) ++
+      gramItems.map(i => "bloomGramItems" -> i.toString))
   }
 
   /** The lake state as plain (lazy) DataFrames — [[State]] re-assembled
@@ -515,24 +575,44 @@ object IncrementalCuration {
                onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     val meta = readMeta(spark, root)
     val nBuckets = meta("buckets").toInt
-    val present = tableDirs(spark, root)
+    // the state version spans data tables AND Bloom sidecars: a crash
+    // between any of the per-component commits rolls the whole step back
+    val present = tableDirs(spark, root) ++
+      Seq("docs_bloom", "lines_bloom", "grams_bloom").filter(t =>
+        StateLake.committedBatches(spark, s"$root/$t").nonEmpty)
     val stateVersion = present
       .map(t => StateLake.committedBatches(spark, s"$root/$t").max).min
     val batchId = stateVersion + 1
     val base = loadLake(spark, root, upTo = stateVersion)
+    val docsFilters = meta.get("bloomDocsItems").map(_ =>
+      StateLake.readBloom(spark, s"$root/docs_bloom", stateVersion))
+    val lineFilters = meta.get("bloomLineItems").map(_ =>
+      StateLake.readBloom(spark, s"$root/lines_bloom", stateVersion))
+    val gramFilters = meta.get("bloomGramItems").map(_ =>
+      StateLake.readBloom(spark, s"$root/grams_bloom", stateVersion))
 
     // bucket-pruned probe-table reads: keys derived from the RAW batch —
     // a superset of what the step actually probes (its probe sides are
     // post-dedup subsets of the batch, and a subset's keys hash into a
-    // subset of the buckets), so pruning by them is sound
+    // subset of the buckets), so pruning by them is sound. Pruning is the
+    // SMALL-batch (trickle) optimization: computing the probed bucket set
+    // costs one narrow pass over the batch, and once the batch carries
+    // more than ~`8 ln(B)` keys per bucket every bucket is probed with
+    // near certainty (coupon collector) — so for day-scale batches the
+    // probe passes would buy nothing and the tables are read whole.
     val bText = batch.select(col("doc_id").cast("long").as("doc_id"),
       col("text"))
-    def pruned(name: String, probe: DataFrame, probeKey: String,
-               cols: String*): DataFrame =
-      StateLake.readBuckets(spark, s"$root/$name",
-          StateLake.probedBuckets(probe, probeKey, nBuckets),
-          upTo = stateVersion)
+    val batchDocs = bText.count()
+    val pruneWorthwhile =
+      batchDocs < 8L * nBuckets * math.max(1.0, math.log(nBuckets.toDouble)).toLong
+    def pruned(name: String, probe: => DataFrame, probeKey: String,
+               cols: String*): DataFrame = {
+      val t = StateLake.read(spark, s"$root/$name", upTo = stateVersion)
+      (if (!pruneWorthwhile) t
+       else t.filter(col("bucket").isInCollection(
+         StateLake.probedBuckets(probe, probeKey, nBuckets))))
         .select(cols.map(col): _*)
+    }
     val state = base.copy(
       bands = pruned("bands",
         IncrementalDedup.bandTable(bText, "doc_id", "text"), "band_digest",
@@ -547,7 +627,9 @@ object IncrementalCuration {
 
     val core = stepCore(state, batch, batchEmbeddings, cfg,
       expectedHistoryDigests, bloomShards, expectedHistoryLines,
-      expectedHistoryGrams, hostCapN, onStage)
+      expectedHistoryGrams, hostCapN, onStage,
+      docsFilters = docsFilters, lineFilters = lineFilters,
+      gramFilters = gramFilters)
     val ap = appendPieces(core.survivors, batchEmbeddings, state)
     StateLake.append(ap.docs, s"$root/docs", "doc_id", nBuckets, batchId)
     StateLake.append(ap.bands, s"$root/bands", "band_digest", nBuckets, batchId)
@@ -559,6 +641,29 @@ object IncrementalCuration {
       StateLake.append(c, s"$root/cells", "cell", nBuckets, batchId))
     core.hostsDelta.foreach(d =>
       StateLake.append(d, s"$root/hosts", "host", nBuckets, batchId))
+    // sidecar contributions: filters over JUST the appended digests, with
+    // the table's fixed sizing (bit-compat for the reader's merge)
+    val sFpp = meta.get("bloomFpp").map(_.toDouble).getOrElse(0.01)
+    val sShards = meta.get("bloomShards").map(_.toInt).getOrElse(1)
+    meta.get("bloomDocsItems").foreach(items =>
+      StateLake.writeBloom(spark, IncrementalDedup.buildFilterArray(
+          ap.docs, "digest", items.toLong, sFpp, sShards),
+        s"$root/docs_bloom", batchId))
+    (meta.get("bloomLineItems"), ap.lines) match {
+      case (Some(items), Some(l)) =>
+        StateLake.writeBloom(spark, IncrementalDedup.buildFilterArray(
+            l, "line_digest", items.toLong, sFpp, sShards),
+          s"$root/lines_bloom", batchId)
+      case _ => ()
+    }
+    (meta.get("bloomGramItems"), ap.grams) match {
+      case (Some(items), Some(g)) =>
+        StateLake.writeBloom(spark, IncrementalDedup.buildFilterArray(
+            g.select(col("g").cast("string").as("g_digest")), "g_digest",
+            items.toLong, sFpp, sShards),
+          s"$root/grams_bloom", batchId)
+      case _ => ()
+    }
     core.mark("appends")
     core.survivors.select("doc_id", "text")
   }

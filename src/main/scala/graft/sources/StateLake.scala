@@ -104,6 +104,67 @@ object StateLake {
     keys.select(bucketOf(col(keyCol), nBuckets).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq
 
+  // --- Bloom sidecars -----------------------------------------------------
+  //
+  // A digest table's Bloom prefilter, persisted NEXT TO the table so a
+  // daily step never re-scans the history to rebuild it: each batch
+  // commit writes the batch's filter CONTRIBUTION (built over just the
+  // appended digests with the table's fixed (expectedItems, fpp, shards)
+  // — merging requires identical bit-array sizes), and a reader ORs the
+  // per-batch contributions together (Bloom merge is bitwise-or:
+  // order-independent, no false negatives). Same batch-dir layout and
+  // atomic rename commit as the data tables, so one stateVersion covers
+  // both. A filter that outgrows its sizing degrades fpp (more rows pay
+  // the verify join), never correctness — rebuild from the digest table
+  // when saturated.
+
+  /** Write `filters` as batch `batchId`'s sidecar at `dir` (atomic,
+    * idempotent — the [[append]] contract). */
+  def writeBloom(spark: SparkSession,
+                 filters: Array[org.apache.spark.util.sketch.BloomFilter],
+                 dir: String, batchId: Int): Boolean = {
+    val f = fs(spark, dir)
+    val target = new Path(dir, f"batch=$batchId%06d")
+    if (f.exists(target)) return false
+    val staging = new Path(dir, s".staging-$batchId")
+    if (f.exists(staging)) f.delete(staging, true)
+    filters.zipWithIndex.foreach { case (bf, i) =>
+      val out = f.create(new Path(staging, f"shard-$i%03d.bf"), true)
+      try bf.writeTo(out) finally out.close()
+    }
+    if (!f.rename(staging, target))
+      throw new java.io.IOException(s"commit rename failed: $staging -> $target")
+    true
+  }
+
+  /** The merged filter array as of `upTo`: every committed batch's
+    * contribution OR-ed per shard. */
+  def readBloom(spark: SparkSession, dir: String,
+                upTo: Int = Int.MaxValue): Array[org.apache.spark.util.sketch.BloomFilter] = {
+    val f = fs(spark, dir)
+    val batches = committedBatches(spark, dir).filter(_ <= upTo)
+    require(batches.nonEmpty, s"bloom sidecar $dir has no committed batch <= $upTo")
+    var acc: Array[org.apache.spark.util.sketch.BloomFilter] = null
+    for (b <- batches) {
+      val d = new Path(dir, f"batch=$b%06d")
+      val shardFiles = f.listStatus(d).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".bf"))
+        .sortBy(_.getPath.getName)
+      val batchFilters = shardFiles.map { s =>
+        val in = f.open(s.getPath)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      }.toArray
+      if (acc == null) acc = batchFilters
+      else {
+        require(acc.length == batchFilters.length,
+          s"shard count drift in $dir at batch $b")
+        acc.indices.foreach(i => acc(i).mergeInPlace(batchFilters(i)))
+      }
+    }
+    acc
+  }
+
   /** (files a bucket-pruned scan opens, total live files) — the pruning
     * effectiveness measure (the PageLake.pruneStats analogue). */
   def pruneStats(spark: SparkSession, dir: String,

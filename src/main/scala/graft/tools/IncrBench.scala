@@ -21,13 +21,22 @@ object IncrBench {
     graft.pipeline.SyntheticPages.fromDocuments(spark, sfDir).repartition(64)
       .write.mode("overwrite").parquet(pagesDir)
     val nDocs = spark.read.parquet(pagesDir).count() * repFactor
-    val (initSec, stepSec, stages, histDocs, batchDocs, fullSec) =
-      Bench.incrementalBench(spark, pagesDir, repFactor, nDocs, alsoFull)
-    println(f"INCR init=$initSec%.1f s (untimed state bootstrap)")
-    stages.foreach { case (n, s) => println(f"INCR stage $n%-24s $s%.2f s") }
-    println(f"INCR step=$stepSec%.1f s  batch=$batchDocs docs  history=$histDocs" +
-      f"  => ${batchDocs / stepSec}%.0f docs/sec")
-    if (alsoFull) println(f"INCR full_recuration=$fullSec%.1f s (${fullSec / stepSec}%.1fx the step)")
+    if (args.contains("lake")) {
+      val (initSec, stepSec, stages, histDocs, batchDocs) =
+        Bench.incrementalLakeBench(spark, pagesDir, repFactor, nDocs)
+      println(f"LAKE init=$initSec%.1f s (untimed state bootstrap incl. sidecars)")
+      stages.foreach { case (n, s) => println(f"LAKE stage $n%-24s $s%.2f s") }
+      println(f"LAKE step=$stepSec%.1f s  batch=$batchDocs docs  history=$histDocs" +
+        f"  => ${batchDocs / stepSec}%.0f docs/sec")
+    } else {
+      val (initSec, stepSec, stages, histDocs, batchDocs, fullSec) =
+        Bench.incrementalBench(spark, pagesDir, repFactor, nDocs, alsoFull)
+      println(f"INCR init=$initSec%.1f s (untimed state bootstrap)")
+      stages.foreach { case (n, s) => println(f"INCR stage $n%-24s $s%.2f s") }
+      println(f"INCR step=$stepSec%.1f s  batch=$batchDocs docs  history=$histDocs" +
+        f"  => ${batchDocs / stepSec}%.0f docs/sec")
+      if (alsoFull) println(f"INCR full_recuration=$fullSec%.1f s (${fullSec / stepSec}%.1fx the step)")
+    }
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles.foreach(rm)
       p.delete(): Unit

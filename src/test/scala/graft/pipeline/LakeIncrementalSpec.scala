@@ -88,10 +88,11 @@ class LakeIncrementalSpec extends SparkSpecBase {
     for (r <- Seq(rootA, rootB))
       IncrementalCuration.initLake(history, None, r, withLineDedup = true)
     val sA = IncrementalCuration.stepLake(spark, rootA, batch)
-    // crash simulation on B: run the step, then tear out two of the four
-    // table commits (bands + lines) as if the process died mid-commit
+    // crash simulation on B: run the step, then tear out three of the
+    // component commits (bands + lines + the lines Bloom sidecar) as if
+    // the process died mid-commit
     IncrementalCuration.stepLake(spark, rootB, batch)
-    for (t <- Seq("bands", "lines")) {
+    for (t <- Seq("bands", "lines", "lines_bloom")) {
       val d = new java.io.File(s"$rootB/$t/batch=000001")
       assert(d.isDirectory, s"$t batch dir must exist before the tear")
       org.apache.commons.io.FileUtils.deleteDirectory(d)
@@ -99,6 +100,8 @@ class LakeIncrementalSpec extends SparkSpecBase {
     // the daily contract: re-invoke with the SAME batch
     val sB = IncrementalCuration.stepLake(spark, rootB, batch)
     assert(ids(sB) == ids(sA), "replay must re-derive the identical survivors")
+    assert(StateLake.committedBatches(spark, s"$rootB/lines_bloom") == Seq(0, 1),
+      "the torn Bloom sidecar commit must heal too")
     for (t <- Seq("docs", "bands", "lines")) {
       val a = StateLake.read(spark, s"$rootA/$t")
       val b = StateLake.read(spark, s"$rootB/$t")

@@ -83,4 +83,34 @@ class StateLakeSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"bucket filter must be a partition filter:\n$plan")
   }
+
+  test("bloom sidecar: per-batch contributions merge with no false negatives") {
+    import graft.operators.IncrementalDedup
+    val dir = tmp() + "_bloom"
+    val items = 4096L; val fpp = 0.01; val shards = 3
+    val b0 = rows(300).select(col("k").cast("string").as("digest"))
+    val b1 = rows(200, 1000).select(col("k").cast("string").as("digest"))
+    assert(StateLake.writeBloom(spark,
+      IncrementalDedup.buildFilterArray(b0, "digest", items, fpp, shards), dir, 0))
+    assert(StateLake.writeBloom(spark,
+      IncrementalDedup.buildFilterArray(b1, "digest", items, fpp, shards), dir, 1))
+    // idempotent commit
+    assert(!StateLake.writeBloom(spark,
+      IncrementalDedup.buildFilterArray(b1, "digest", items, fpp, shards), dir, 1))
+    val merged = StateLake.readBloom(spark, dir)
+    assert(merged.length == shards)
+    // every key from BOTH batches probes positive through the merged array
+    // (Bloom merge is bitwise-or: contributions from any batch survive)
+    val all = (b0.collect() ++ b1.collect()).map(_.getString(0))
+    val miss = all.filterNot { d =>
+      merged(IncrementalDedup.shardOf(d, shards)).mightContainString(d)
+    }
+    assert(miss.isEmpty, s"false negatives after merge: ${miss.take(5).toSeq}")
+    // version pinning: as of batch 0, batch-1 keys are mostly absent
+    val only0 = StateLake.readBloom(spark, dir, upTo = 0)
+    val hit1 = b1.collect().map(_.getString(0)).count { d =>
+      only0(IncrementalDedup.shardOf(d, shards)).mightContainString(d)
+    }
+    assert(hit1 < 20, s"batch-1 keys must be (almost) all absent at version 0, got $hit1/200")
+  }
 }
