@@ -1380,6 +1380,56 @@ object TextQueries {
         .orderBy("batch_id", "hist_id")
     }),
 
+    // The WHOLE composed daily step against ONE oracle — the incremental
+    // analogue of q64: history = the curation chain's fixed point over
+    // the %3==0 docs (an already-curated corpus, the step's contract);
+    // batch = the rest (ids above history — the monotonic-crawl contract)
+    // plus one plant per death class: exact recrawl (90001), near-mutant
+    // (90002), within-batch dup (90003), a composite whose every line is
+    // known history boilerplate (90004 — dies at the ccnet-line stage), a
+    // composite mostly made of one history doc's 8-gram spans (90005 —
+    // survives near-dup, dies at the span gate), and a quality reject
+    // (90006). The oracle runs the FULL chain over history ∪ batch in
+    // DuckDB (both instantiations generated from one chain template) and
+    // restricts to batch rows; the step must reproduce it VERBATIM, the
+    // rebuilt text included.
+    "q96_incr_step_full" -> ((s, dir) => {
+      import graft.pipeline.{Curation, IncrementalCuration}
+      import graft.operators.ExactSubstring
+      val cfg = Curation.Config()
+      def chain(df: DataFrame): DataFrame = {
+        val s1 = Curation.exactStage(df)
+        val s2 = ExactSubstring.ccnetDedupLines(s1, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("text_dedup").as("text"))
+        val s3 = Curation.neardupStage(s2, cfg.neardupThreshold)
+        val s4 = Curation.substringStage(s3, cfg)
+        Curation.qualityStage(s4, cfg)
+      }
+      val d = docs(s, dir).select("doc_id", "text")
+      val history = chain(d.filter(col("doc_id") % 3 === 0)).localCheckpoint()
+      val h = history.orderBy("doc_id").limit(3).collect()
+      val (t1, t2, t3) = (h(0).getString(1), h(1).getString(1), h(2).getString(1))
+      val freshMin = d.filter(col("doc_id") % 3 =!= 0).orderBy("doc_id")
+        .limit(1).collect()(0).getString(1)
+      import s.implicits._
+      val plants = Seq(
+        (90001L, t1),
+        (90002L, t2.trim.split("\\s+").drop(2).mkString(" ")),
+        (90003L, freshMin),
+        (90004L, t1 + "\n" + t2),
+        (90005L, t3.trim.split("\\s+").take(12).mkString(" ") + " zz90005"),
+        (90006L, "Too short."))
+      val batch = d.filter(col("doc_id") % 3 =!= 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+        .unionByName(plants.toDF("doc_id", "text"))
+      val st0 = IncrementalCuration.init(history, None,
+        withLineDedup = true, withSpanDedup = true)
+      val (out, _) = IncrementalCuration.step(st0, batch, None,
+        expectedHistoryDigests = 1 << 12, expectedHistoryLines = 1 << 15,
+        expectedHistoryGrams = 1 << 19)
+      out.select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // Incremental SemDeDup (embedding-space daily batch): history = vectors
     // with id < 300 (frozen centroids fit there), batch = the rest ∪
     // planted scaled copies; batch verdicts judged against the persisted
@@ -1436,6 +1486,160 @@ object TextQueries {
   private def hostSql(nf: String): String =
     "regexp_replace(regexp_replace(lower(regexp_extract(" + nf +
       ", '^[a-zA-Z]+://([^/?#]+)', 1)), ':(443|80)$', ''), '^www\\.', '')"
+
+  /** The doc-level curation chain (exact → ccnet-line dedup → near-dup CC
+    * → substring gate → quality) as a reusable SQL CTE block — the q64
+    * chain with the line stage keyed on CCNET-NORMALIZED lines (the form
+    * `IncrementalCuration.step` composes with, via ccnetDedupLines +
+    * the ccnet seen-line history). `«P»` prefixes every CTE name and
+    * `«IN»` is the (doc_id, text) input CTE, so the q96 oracle can
+    * instantiate the chain TWICE (history fixed point, then the full run
+    * over history ∪ batch) from one definition that cannot drift. */
+  private val chainTemplate: String =
+    """«P»s1 AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m FROM «IN»)
+      |  WHERE doc_id = m
+      |), «P»ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM «P»s1),
+      |«P»lns AS (
+      |  SELECT doc_id, i AS line_no, ls[i] AS line,
+      |    ('0x'||substr(md5(trim(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(ls[i]), '[0-9]', '0', 'g'),
+      |      '[^a-z0-9 \t\x0b-\x0d\x1c-\x1f]', '', 'g'),
+      |      '[ \t\x0b-\x0d\x1c-\x1f]+', ' ', 'g'))),1,15))::UBIGINT AS key
+      |  FROM «P»ln, UNNEST(range(1, len(ls) + 1)) AS t(i)
+      |), «P»occ2 AS (
+      |  SELECT doc_id, line_no, line,
+      |    COUNT(*) OVER (PARTITION BY key) AS n_occ,
+      |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, line_no) AS rn
+      |  FROM «P»lns
+      |), «P»s2 AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+      |  FROM «P»occ2 WHERE n_occ = 1 OR rn = 1
+      |  GROUP BY doc_id
+      |), «P»shl AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |           j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM «P»s2)
+      |  WHERE len(w) >= 3
+      |), «P»sig AS (
+      |  SELECT doc_id AS id, i,
+      |    CAST(MIN((pa::HUGEINT * ('0x'||substr(md5(s),1,15))::UBIGINT + pb)
+      |      % 2305843009213693951) AS BIGINT) AS sig
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM «P»shl),
+      |    (SELECT i, ('0x'||substr(md5('a'||i),1,15))::UBIGINT * 2 + 1 AS pa,
+      |            ('0x'||substr(md5('b'||i),1,15))::UBIGINT AS pb
+      |     FROM (SELECT unnest(range(16)) AS i))
+      |  GROUP BY 1,2
+      |), «P»bands AS (
+      |  SELECT id, i//4 AS band, md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bd
+      |  FROM «P»sig GROUP BY 1,2
+      |), «P»prs AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM «P»bands a JOIN «P»bands b ON a.band = b.band AND a.bd = b.bd AND a.id < b.id
+      |), «P»verified AS (
+      |  SELECT p.id_a, p.id_b FROM «P»prs p
+      |  JOIN «P»shl sa ON sa.doc_id = p.id_a JOIN «P»shl sb ON sb.doc_id = p.id_b
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+      |), «P»edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM «P»verified
+      |  UNION SELECT id_b, id_a FROM «P»verified
+      |), «P»r(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM «P»edges
+      |  UNION
+      |  SELECT e.dst, r.comp FROM «P»r r JOIN «P»edges e ON e.src = r.id
+      |), «P»labels AS (SELECT id, MIN(comp) AS comp FROM «P»r GROUP BY 1),
+      |«P»s3 AS (
+      |  SELECT s2.doc_id, s2.text FROM «P»s2 s2
+      |  LEFT JOIN «P»labels labels ON labels.id = s2.doc_id
+      |  WHERE labels.id IS NULL OR labels.comp = s2.doc_id
+      |), «P»toks4 AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM «P»s3
+      |), «P»occ4 AS (
+      |  SELECT doc_id, i AS pos,
+      |    ('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15))::UBIGINT AS g
+      |  FROM «P»toks4, UNNEST(range(1, len(w) - 6)) AS t(i)
+      |  WHERE len(w) >= 8
+      |), «P»ranked4 AS (
+      |  SELECT doc_id, pos,
+      |    COUNT(*) OVER (PARTITION BY g) AS n_occ,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |  FROM «P»occ4
+      |), «P»cuts4 AS (
+      |  SELECT doc_id, pos FROM «P»ranked4 WHERE n_occ > 1 AND (n_occ > 64 OR rn > 1)
+      |), «P»cov4 AS (
+      |  SELECT doc_id, pos,
+      |    LEAST(8, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS c
+      |  FROM «P»cuts4
+      |), «P»agg4 AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_cut FROM «P»cov4 GROUP BY 1
+      |), «P»s4 AS (
+      |  SELECT s3.doc_id, s3.text
+      |  FROM «P»s3 s3 JOIN «P»toks4 t ON t.doc_id = s3.doc_id
+      |  LEFT JOIN «P»agg4 a ON a.doc_id = s3.doc_id
+      |  WHERE ROUND(CAST(COALESCE(a.n_cut, 0) AS DOUBLE)/len(t.w), 4) <= 0.5
+      |), «P»q5 AS (
+      |  SELECT doc_id, text,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+      |    length(regexp_replace(text, '[ \t\n\v\f\r]', '', 'g')) AS n_chars,
+      |    length(text) - length(replace(replace(text, '#', ''), '…', '')) AS n_symbols,
+      |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+      |    list_transform(regexp_split_to_array(text, '\r?\n'), l -> trim(l)) AS ls
+      |  FROM «P»s4
+      |), «P»rep5 AS (
+      |  SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS rep FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c FROM (
+      |      SELECT doc_id, rt[i] || ' ' || rt[i+1] AS g
+      |      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS rt FROM «P»s4),
+      |           UNNEST(range(1, len(rt))) AS t(i))
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), «P»s5 AS (
+      |  SELECT q5.doc_id, q5.text
+      |  FROM «P»q5 q5 LEFT JOIN «P»rep5 rep5 ON rep5.doc_id = q5.doc_id
+      |  WHERE NOT (
+      |    n_words < 10 OR n_words > 200000
+      |    OR (n_chars::DOUBLE / n_words) < 2.0 OR (n_chars::DOUBLE / n_words) > 12.0
+      |    OR (n_symbols::DOUBLE / n_words) > 0.1
+      |    OR (n_alpha::DOUBLE / n_words) < 0.5
+      |    OR COALESCE(rep5.rep, 0) > 0.2
+      |    OR (CAST(len(list_filter(ls, l -> regexp_matches(l, '^[•*-]'))) AS DOUBLE) / len(ls)) > 0.9
+      |    OR (CAST(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE) / len(ls)) > 0.3)
+      |)""".stripMargin
+
+  private def chainSql(prefix: String, input: String): String =
+    chainTemplate.replace("«P»", prefix).replace("«IN»", input)
+
+  /** The q96 DuckDB oracle: history = the chain's FIXED POINT over the
+    * %3==0 docs; batch = the rest (ids +10000) plus one plant per death
+    * class (exact recrawl, near-mutant, within-batch dup, all-known-lines
+    * composite, history-span composite, quality reject); expected = the
+    * FULL chain over history ∪ batch restricted to batch rows — which the
+    * composed `IncrementalCuration.step` must reproduce verbatim, text
+    * included (the equivalence IncrementalCurationSpec pins in-memory). */
+  private val q96OracleSql: String =
+    s"""WITH RECURSIVE h0 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |), ${chainSql("h", "h0")},
+       |hist AS MATERIALIZED (SELECT doc_id, text FROM hs5),
+       |hsel AS MATERIALIZED (
+       |  SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM hist),
+       |fresh0 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+       |batch AS (
+       |  SELECT doc_id + 10000 AS doc_id, text FROM fresh0
+       |  UNION ALL SELECT 90001, text FROM hsel WHERE rk = 1
+       |  UNION ALL SELECT 90002, array_to_string(regexp_split_to_array(trim(text), '\\s+')[3:], ' ') FROM hsel WHERE rk = 2
+       |  UNION ALL SELECT 90003, (SELECT text FROM fresh0 ORDER BY doc_id LIMIT 1)
+       |  UNION ALL SELECT 90004, (SELECT text FROM hsel WHERE rk = 1) || chr(10) || (SELECT text FROM hsel WHERE rk = 2)
+       |  UNION ALL SELECT 90005, array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:12], ' ') || ' zz90005' FROM hsel WHERE rk = 3
+       |  UNION ALL SELECT 90006, 'Too short.'
+       |), u0 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM hist UNION ALL SELECT doc_id, text FROM batch
+       |), ${chainSql("f", "u0")}
+       |SELECT doc_id, text FROM fs5 WHERE doc_id >= 10000 ORDER BY doc_id""".stripMargin
 
   /** The q65 DuckDB oracle — the full-corpus q16 LSH pipeline over
     * batch ∪ history restricted to cross-boundary pairs. Shared by q95,
@@ -1994,6 +2198,9 @@ object TextQueries {
     // history band table persisted through a StateLake round trip and the
     // probe read bucket-pruned; the lake layout must not change the pairs.
     "q95_lake_incr_neardup" -> incrNeardupOracleSql,
+    // The composed daily step vs the full chain over history ∪ batch,
+    // both chain instantiations generated from `chainTemplate`.
+    "q96_incr_step_full" -> q96OracleSql,
     "q51_bloom_dedup" ->
       """SELECT b.doc_id, md5(b.text) AS digest
         |FROM documents b

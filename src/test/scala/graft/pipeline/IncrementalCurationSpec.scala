@@ -215,6 +215,56 @@ class IncrementalCurationSpec extends SparkSpecBase {
       "cap-off step must still count curated arrivals into host state")
   }
 
+  test("the COMPOSED step equals the full chain over history ∪ batch restricted to batch") {
+    import org.apache.spark.sql.DataFrame
+    val cfg = Curation.Config()
+    // the full-corpus chain with the step's ccnet-normalized line stage
+    // (the step's paragraph dedup keys on ccnet_normalize — stating the
+    // equivalence against Curation.lineStage's raw-trim key would be false)
+    def chain(df: DataFrame): DataFrame = {
+      val s1 = Curation.exactStage(df)
+      val s2 = graft.operators.ExactSubstring.ccnetDedupLines(s1, "doc_id", "text")
+        .select($"id".as("doc_id"), $"text_dedup".as("text"))
+      val s3 = Curation.neardupStage(s2, cfg.neardupThreshold)
+      val s4 = Curation.substringStage(s3, cfg)
+      Curation.qualityStage(s4, cfg)
+    }
+    // history = a FIXED POINT of the chain (an already-curated corpus —
+    // the step's contract; a non-fixed-point history would be re-judged
+    // by the full run but never by the step)
+    val history = chain(base.filter($"doc_id" % 3 === 0)).localCheckpoint()
+    val hRows = history.orderBy("doc_id").limit(2).collect()
+    val (hId0, hText0) = (hRows(0).getLong(0), hRows(0).getString(1))
+    val hText1 = hRows(1).getString(1)
+    // batch ids all ABOVE history ids (monotonic-crawl contract); plants:
+    // an exact recrawl of a history doc, a drop-3-token near-mutant of
+    // another, and a within-batch exact dup pair
+    val fresh = base.filter($"doc_id" % 3 =!= 0)
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+    val batch = fresh
+      .unionByName(spark.range(1).select(lit(90001L).as("doc_id"), lit(hText0).as("text")))
+      .unionByName(spark.range(1).select(lit(90002L).as("doc_id"),
+        lit(hText1.split("\\s+").drop(3).mkString(" ")).as("text")))
+      .unionByName(fresh.orderBy("doc_id").limit(1)
+        .select(lit(90003L).as("doc_id"), $"text"))
+    val st0 = IncrementalCuration.init(history, None,
+      withLineDedup = true, withSpanDedup = true)
+    val (stepOut, _) = IncrementalCuration.step(st0, batch, None,
+      expectedHistoryDigests = 1 << 10, expectedHistoryLines = 1 << 14,
+      expectedHistoryGrams = 1 << 17)
+    val full = chain(history.unionByName(batch))
+      .filter($"doc_id" >= 10000L)
+    def rows(df: DataFrame) =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSet
+    val (s, f) = (rows(stepOut), rows(full))
+    assert(s == f, s"step-only: ${(s -- f).map(_._1)}; full-only: ${(f -- s).map(_._1)}")
+    // the plants actually died (the fixture is live): exact recrawl,
+    // near-mutant, within-batch dup
+    assert(s.map(_._1).intersect(Set(90001L, 90002L, 90003L)).isEmpty)
+    assert(s.exists(_._1 >= 10000L), "fresh docs must survive")
+    assert(hId0 < 10000L, "fixture sanity: history ids below batch ids")
+  }
+
   test("replaying an already-applied batch yields zero survivors (crash-replay safe)") {
     val history = base.filter($"doc_id" < 100)
     val state0 = IncrementalCuration.init(history, None)
