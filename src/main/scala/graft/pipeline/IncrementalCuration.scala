@@ -443,6 +443,19 @@ object IncrementalCuration {
     lakeKeys.map(_._1).filter(t =>
       StateLake.committedBatches(spark, s"$root/$t").nonEmpty)
 
+  /** The lake state's version: the minimum max-committed batch id across
+    * every present data table AND Bloom sidecar — a crash between any of
+    * the per-component commits rolls the whole step back to this. A caller
+    * that must replay a step deterministically (the streaming driver)
+    * records this BEFORE stepping and passes it back as
+    * [[stepLake]]'s `atVersion`. */
+  def lakeStateVersion(spark: SparkSession, root: String): Int = {
+    val present = tableDirs(spark, root) ++
+      Seq("docs_bloom", "lines_bloom", "grams_bloom").filter(t =>
+        StateLake.committedBatches(spark, s"$root/$t").nonEmpty)
+    present.map(t => StateLake.committedBatches(spark, s"$root/$t").max).min
+  }
+
   /** Bootstrap a lake-backed state at `root` from an already-curated
     * corpus — [[init]] persisted: each table written as batch 0 of its
     * [[StateLake]] table, the frozen centroids and the (spanK, buckets)
@@ -563,7 +576,16 @@ object IncrementalCuration {
     * commits, re-invoke with the SAME batch — the state version is the
     * minimum committed batch across tables, so the replay recomputes the
     * identical survivors from the pre-crash state and fills exactly the
-    * missing table commits (the committed ones skip idempotently). */
+    * missing table commits (the committed ones skip idempotently).
+    *
+    * `atVersion` pins the state version a caller RECORDED before a prior
+    * attempt (the streaming driver's write-ahead intent,
+    * [[graft.streaming.CurationStream]]): a replay whose first attempt
+    * FULLY committed would otherwise compute version+1, treat the same
+    * rows as a fresh batch, and return zero survivors (they all look like
+    * exact dups of themselves) — pinned, the replay recomputes the
+    * identical survivor set from the same pre-batch state while every
+    * append skips idempotently. */
   def stepLake(spark: SparkSession, root: String, batch: DataFrame,
                batchEmbeddings: Option[DataFrame] = None,
                cfg: Curation.Config = Curation.Config(),
@@ -572,16 +594,11 @@ object IncrementalCuration {
                expectedHistoryLines: Long = -1L,
                expectedHistoryGrams: Long = -1L,
                hostCapN: Option[Int] = None,
-               onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+               onStage: (String, Double) => Unit = (_, _) => (),
+               atVersion: Option[Int] = None): DataFrame = {
     val meta = readMeta(spark, root)
     val nBuckets = meta("buckets").toInt
-    // the state version spans data tables AND Bloom sidecars: a crash
-    // between any of the per-component commits rolls the whole step back
-    val present = tableDirs(spark, root) ++
-      Seq("docs_bloom", "lines_bloom", "grams_bloom").filter(t =>
-        StateLake.committedBatches(spark, s"$root/$t").nonEmpty)
-    val stateVersion = present
-      .map(t => StateLake.committedBatches(spark, s"$root/$t").max).min
+    val stateVersion = atVersion.getOrElse(lakeStateVersion(spark, root))
     val batchId = stateVersion + 1
     val base = loadLake(spark, root, upTo = stateVersion)
     val docsFilters = meta.get("bloomDocsItems").map(_ =>

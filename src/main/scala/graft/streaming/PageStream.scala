@@ -104,7 +104,7 @@ object PageStream {
     * a recreated checkpoint gets a new UUID, so its restarted batch
     * numbering can never collide with the old markers. Falls back to a
     * path hash if the metadata is unreadable (older layouts). */
-  private def streamIdOf(spark: SparkSession, checkpointDir: String): String = {
+  private[streaming] def streamIdOf(spark: SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     scala.util.Try {

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.pipeline.IncrementalCuration
+import graft.sources.StateLake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The streaming daily step: foreachBatch-driven lake curation equals the
+  * sequential stepLake loop, exactly once under every crash point. */
+class CurationStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select($"doc_id".cast("long").as("doc_id"), $"text").cache()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def mutant(src: DataFrame, idOff: Long) =
+    src.select(($"doc_id" + idOff).as("doc_id"),
+      array_join(slice(split(trim($"text"), "\\s+"), 3, 1000000), " ").as("text"))
+
+  private lazy val history = base.filter($"doc_id" < 200)
+
+  // three crawl drops with cross-drop duplicate plants: d2 recrawls a
+  // history doc AND exactly copies / mutates d1 docs — the state must have
+  // advanced between micro-batches for those to die
+  private lazy val d1 = base.filter($"doc_id" >= 200 && $"doc_id" < 260)
+    .unionByName(history.filter($"doc_id" === 7)
+      .select(lit(9000007L).as("doc_id"), $"text"))
+  private lazy val d2 = base.filter($"doc_id" >= 260 && $"doc_id" < 320)
+    .unionByName(base.filter($"doc_id" === 210)
+      .select(lit(9000210L).as("doc_id"), $"text"))
+    .unionByName(mutant(base.filter($"doc_id" === 220), 9000000L))
+  private lazy val d3 = base.filter($"doc_id" >= 320 && $"doc_id" < 360)
+
+  private def initRoot(): String = {
+    val root = tmp("curstream") + "/state"
+    IncrementalCuration.initLake(history, None, root,
+      withLineDedup = true, withSpanDedup = true)
+    root
+  }
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  private val specCfg = CurationStream.Config(
+    expectedHistoryDigests = 1 << 10,
+    expectedHistoryLines = 1 << 14,
+    expectedHistoryGrams = 1 << 17)
+
+  test("streamed drops equal the sequential stepLake loop; restart drains nothing") {
+    val rootS = initRoot(); val rootR = initRoot()
+    val inDir = tmp("curstream-in"); val outDir = tmp("curstream-out")
+    val ckDir = tmp("curstream-ck")
+
+    // reference: the sequential batch loop over the same drops
+    val refSurvivors = Seq(d1, d2, d3).map(d =>
+      ids(IncrementalCuration.stepLake(spark, rootR, d,
+        expectedHistoryDigests = 1 << 10, expectedHistoryLines = 1 << 14,
+        expectedHistoryGrams = 1 << 17)))
+
+    // stream: one drop lands, the standing query drains it, repeat —
+    // checkpoint offsets make each run see only the new files
+    for (d <- Seq(d1, d2, d3)) {
+      d.coalesce(1).write.mode("append").parquet(inDir)
+      CurationStream.runAvailable(spark, inDir, rootS, outDir, ckDir, specCfg)
+    }
+
+    val out = spark.read.parquet(outDir)
+    assert(ids(out) == refSurvivors.reduce(_ ++ _),
+      "streamed survivor union must equal the sequential loop's")
+    // cross-drop plants died against state advanced by EARLIER micro-batches
+    assert(!ids(out).contains(9000007L), "history recrawl must die")
+    assert(!ids(out).contains(9000210L), "exact copy of a d1 doc must die")
+    assert(!ids(out).contains(9000220L), "near-mutant of a d1 doc must die")
+    // state advanced once per drop, identically to the reference loop
+    assert(StateLake.committedBatches(spark, s"$rootS/docs") == Seq(0, 1, 2, 3))
+    def docSet(root: String) = StateLake.read(spark, s"$root/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(docSet(rootS) == docSet(rootR), "state docs must match the loop")
+    // provenance partition column discovered from the layout
+    assert(out.columns.contains("ingest_batch"))
+
+    // restart with the same checkpoint and no new files: nothing replays
+    val nBefore = spark.read.parquet(outDir).count()
+    CurationStream.runAvailable(spark, inDir, rootS, outDir, ckDir, specCfg)
+    assert(spark.read.parquet(outDir).count() == nBefore)
+    assert(StateLake.committedBatches(spark, s"$rootS/docs") == Seq(0, 1, 2, 3),
+      "an empty drain must not advance the state")
+  }
+
+  test("crash after full state commit but before output append: replay restores the lost output") {
+    val rootA = initRoot(); val rootB = initRoot()
+    val outA = tmp("curstream-outA"); val outB = tmp("curstream-outB")
+
+    // clean run on A
+    CurationStream.curateBatch(d1, 0L, rootA, outA, "s", specCfg)
+
+    // crashed run on B: intent written, step fully committed, output and
+    // commit marker both missing — the worst case, where an UNPINNED
+    // replay would see its own rows as history and emit zero survivors
+    val fs = new org.apache.hadoop.fs.Path(rootB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = new org.apache.hadoop.fs.Path(rootB, "_stream_commits/s")
+    fs.mkdirs(mDir)
+    val v0 = IncrementalCuration.lakeStateVersion(spark, rootB)
+    val intent = new org.apache.hadoop.fs.Path(mDir, "0.intent")
+    val out0 = fs.create(intent, true)
+    try out0.write(v0.toString.getBytes("UTF-8")) finally out0.close()
+    IncrementalCuration.stepLake(spark, rootB, d1,
+      expectedHistoryDigests = 1 << 10, expectedHistoryLines = 1 << 14,
+      expectedHistoryGrams = 1 << 17, atVersion = Some(v0))
+    assert(StateLake.committedBatches(spark, s"$rootB/docs") == Seq(0, 1),
+      "fixture sanity: the crashed attempt fully committed the state")
+
+    // the replay (what the restarted stream does)
+    CurationStream.curateBatch(d1, 0L, rootB, outB, "s", specCfg)
+
+    val (a, b) = (spark.read.parquet(outA), spark.read.parquet(outB))
+    assert(ids(b) == ids(a), "replay must emit the clean run's survivors")
+    assert(a.count() > 0, "fixture sanity: the batch has survivors to lose")
+    assert(StateLake.committedBatches(spark, s"$rootB/docs") == Seq(0, 1),
+      "replay must not double-append the state")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(mDir, "0")) &&
+      !fs.exists(intent), "intent must have promoted to the commit marker")
+  }
+
+  test("a batch whose commit marker exists is skipped outright") {
+    val root = initRoot(); val outDir = tmp("curstream-out3")
+    CurationStream.curateBatch(d1, 0L, root, outDir, "s", specCfg)
+    val before = StateLake.committedBatches(spark, s"$root/docs")
+    val nOut = spark.read.parquet(outDir).count()
+    CurationStream.curateBatch(d1, 0L, root, outDir, "s", specCfg)
+    assert(StateLake.committedBatches(spark, s"$root/docs") == before,
+      "a committed batch must not step the state again")
+    assert(spark.read.parquet(outDir).count() == nOut,
+      "a committed batch must not append output again")
+  }
+
+  test("crash after output append but before the marker: replay completes without duplicating") {
+    val root = initRoot(); val outDir = tmp("curstream-out4")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mDir = new org.apache.hadoop.fs.Path(root, "_stream_commits/s")
+    fs.mkdirs(mDir)
+    val v0 = IncrementalCuration.lakeStateVersion(spark, root)
+    val intent = new org.apache.hadoop.fs.Path(mDir, "0.intent")
+    val o = fs.create(intent, true)
+    try o.write(v0.toString.getBytes("UTF-8")) finally o.close()
+    val surv = IncrementalCuration.stepLake(spark, root, d1,
+      expectedHistoryDigests = 1 << 10, expectedHistoryLines = 1 << 14,
+      expectedHistoryGrams = 1 << 17, atVersion = Some(v0))
+    CurationStream.appendOut(surv, outDir, "s", 0L)
+    val nOut = spark.read.parquet(outDir).count()
+    // crash here: marker missing — replay must finish idempotently
+    CurationStream.curateBatch(d1, 0L, root, outDir, "s", specCfg)
+    assert(spark.read.parquet(outDir).count() == nOut,
+      "the committed output partition must not double-append")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(mDir, "0")))
+  }
+}
