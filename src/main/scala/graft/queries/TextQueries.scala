@@ -375,6 +375,16 @@ object TextQueries {
           col("lang"), col("doc_id"), Map("en" -> 0.2), default = 0.5, salt = "s1")
         .orderBy("doc_id")),
 
+    // Training-shard assignment: a seeded deterministic global shuffle
+    // (shard = hash mod S, in-shard position = rank by the same hash)
+    // realized as S independent per-shard sorts, never a global sort —
+    // the write order IS the training order, reproducible from
+    // (doc_id, salt) under any partition layout.
+    "q97_train_shards" -> ((s, dir) =>
+      graft.operators.Sharding.assignShards(
+          rawDocs(s, dir).select("doc_id"), col("doc_id"), 8, salt = "ep0")
+        .orderBy("shard", "pos")),
+
     // Benchmark decontamination: corpus docs sharing ≥5 word-3-shingles with
     // a benchmark set (here: 15-token passages lifted from every 10th doc,
     // so contamination is planted and the gate is non-trivial).
@@ -1894,6 +1904,14 @@ object TextQueries {
         |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '|s1'),1,15))::UBIGINT % 10000
         |      < (CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END)
         |ORDER BY doc_id""".stripMargin,
+    "q97_train_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '|ep0'),1,15))::UBIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "q38_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tw FROM documents),
