@@ -117,6 +117,61 @@ object Sampling {
       .filter(col("domain_avg") >= domainBar || col(scoreCol) >= docBar)
   }
 
+  /** Token-budget mixture fill (the released-dataset contract: "this corpus
+    * contains AT the budget boundary exactly B_lang tokens of each
+    * language", not "≈ a fraction"): within each stratum, rows are taken in
+    * seeded-hash order (layout/run-invariant, like every sampler here)
+    * until the stratum's token budget is reached — a row is admitted iff
+    * the tokens of all rows BEFORE it in hash order total < budget, so the
+    * fill is greedy and the last admitted row may straddle the boundary.
+    *
+    * Scale design: the naive form is a per-stratum global sort + running
+    * sum — unaffordable at corpus scale. Instead the hash's top bits coarsen
+    * each stratum into 4096 order-preserving buckets; a (stratum, bucket)
+    * token histogram (map-side-combined, dimension-scale) prefix-sums to
+    * classify every bucket as fully-admitted (bucket ends strictly under
+    * budget), fully-rejected (bucket starts at/after budget), or the ONE
+    * straddling boundary bucket per stratum — and only the boundary
+    * bucket's rows (≈ corpus/4096) pay a window. The q79 hostCap
+    * discipline at token grain. Requires no token-count positivity: the
+    * strict fully-admit bound stays exact even for 0-token rows. */
+  def tokenBudget(df: DataFrame, strataCol: String, tokensCol: String,
+                  keyCol: Column, budgets: Map[String, Long], default: Long,
+                  salt: String = ""): DataFrame = {
+    val budget = budgets.foldLeft(lit(default)) { case (acc, (stratum, b)) =>
+      when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val h = TF.hash60(concat(keyCol.cast("string"), lit("|" + salt)))
+    val withH = df.withColumn("__h", h)
+      .withColumn("__bkt", shiftright(col("__h"), 48))
+    // dimension-scale histogram: |strata| × ≤4096 rows
+    val hist = withH.groupBy(strataCol, "__bkt")
+      .agg(sum(col(tokensCol)).as("__bkt_toks"))
+      .withColumn("__bkt_prior", coalesce(sum(col("__bkt_toks")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+          .orderBy("__bkt").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__budget", budget)
+    val fullBkts = hist
+      .filter(col("__bkt_prior") + col("__bkt_toks") < col("__budget"))
+      .select(col(strataCol), col("__bkt"))
+    val boundaryBkts = hist
+      .filter(col("__bkt_prior") < col("__budget") &&
+        col("__bkt_prior") + col("__bkt_toks") >= col("__budget"))
+      .select(col(strataCol), col("__bkt"), col("__bkt_prior"), col("__budget"))
+    val admitted = withH.join(broadcast(fullBkts), Seq(strataCol, "__bkt"), "left_semi")
+    // only the straddling bucket per stratum pays the sort
+    val boundary = withH
+      .join(broadcast(boundaryBkts), Seq(strataCol, "__bkt"))
+      .withColumn("__prior", col("__bkt_prior") + coalesce(
+        sum(col(tokensCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol), col("__bkt"))
+            .orderBy(col("__h"), keyCol).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("__prior") < col("__budget"))
+      .drop("__bkt_prior", "__budget", "__prior")
+    admitted.unionByName(boundary).drop("__h", "__bkt")
+  }
+
   /** Temperature-flattened multilingual sampling (the mixture rebalance of
     * XLM-R / mT5: raise each language's mass to a sub-linear exponent so
     * head languages shrink and tail languages keep everything). Keep rate

@@ -385,6 +385,19 @@ object TextQueries {
           rawDocs(s, dir).select("doc_id"), col("doc_id"), 8, salt = "ep0")
         .orderBy("shard", "pos")),
 
+    // Token-budget mixture fill: per language, admit docs in seeded-hash
+    // order while the tokens BEFORE each doc total under the language's
+    // budget (greedy fill; the straddling doc is admitted). Only the one
+    // boundary hash-bucket per language pays a window — the q79 discipline
+    // at token grain.
+    "q98_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudget(
+          rawDocs(s, dir).select(col("doc_id"), col("lang"),
+            TF.tokenCount(col("text")).as("toks")),
+          "lang", "toks", col("doc_id"),
+          Map("en" -> 6000L, "zh" -> 2500L), default = 1500L, salt = "mix2")
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: corpus docs sharing ≥5 word-3-shingles with
     // a benchmark set (here: 15-token passages lifted from every 10th doc,
     // so contamination is planted and the gate is non-trivial).
@@ -1912,6 +1925,21 @@ object TextQueries {
         |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
         |  ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+    "q98_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '|mix2'),1,15))::UBIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, toks,
+        |    COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(toks AS BIGINT) AS toks FROM c
+        |WHERE prior < (CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 2500
+        |               ELSE 1500 END)
+        |ORDER BY doc_id""".stripMargin,
     "q38_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tw FROM documents),

@@ -106,6 +106,49 @@ class SamplingSpec extends SparkSpecBase {
     assert(ids(docs) == ids(docs.repartition(17)))
   }
 
+  test("tokenBudget equals the naive per-stratum prefix fill, straddler included") {
+    // 3 strata × varied token sizes, including zero-token rows (the strict
+    // fully-admit bound must stay exact for them)
+    val docs = spark.range(0, 3000).toDF("id")
+      .withColumn("g", ($"id" % 3).cast("string"))
+      .withColumn("toks", ($"id" % 7).cast("long")) // 0..6 tokens
+    val budgets = Map("0" -> 800L, "1" -> 10L) // "2" uses default
+    val out = Sampling.tokenBudget(docs, "g", "toks", $"id",
+      budgets, default = 1000000L, salt = "tb")
+    // naive reference: sort each stratum by (hash, id), admit while prior < B
+    val hashed = docs.withColumn("h", graft.functions.TextFunctions.hash60(
+        concat($"id".cast("string"), lit("|tb"))))
+      .select("g", "id", "toks", "h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = hashed.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val b = budgets.getOrElse(g, 1000000L)
+      var prior = 0L
+      rows.sortBy(r => (r._4, r._2)).toSeq.flatMap { r =>
+        val admit = prior < b; prior += r._3
+        if (admit) Some(r._2) else None
+      }
+    }.toSet
+    val got = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // stratum "2" (budget far above total) is fully admitted
+    assert(out.filter($"g" === "2").count() == 1000)
+    // realized stratum-0 token sum straddles: ≥ budget, < budget + max toks
+    val sum0 = out.filter($"g" === "0").agg(sum("toks")).head.getLong(0)
+    assert(sum0 >= 800L && sum0 < 806L, s"stratum-0 tokens $sum0")
+  }
+
+  test("tokenBudget is invariant to input partition layout") {
+    val docs = spark.range(0, 5000).toDF("id")
+      .withColumn("g", ($"id" % 2).cast("string"))
+      .withColumn("toks", ($"id" % 11 + 1).cast("long"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudget(df, "g", "toks", $"id", Map("0" -> 2000L),
+        default = 3000L, salt = "tb2")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(docs) == ids(docs.repartition(23)))
+  }
+
   test("decontaminate flags the doc whose passage seeded the benchmark") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
