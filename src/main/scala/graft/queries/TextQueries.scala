@@ -385,6 +385,21 @@ object TextQueries {
           rawDocs(s, dir).select("doc_id"), col("doc_id"), 8, salt = "ep0")
         .orderBy("shard", "pos")),
 
+    // Epoch plan: the full trainer-feed composition — weighted mixture
+    // repeat (per-source epoch rates, fractional copies hash-resolved)
+    // THEN training-shard assignment keyed on (doc_id, copy), so repeated
+    // copies of one document land in different shards (the key includes
+    // the copy index) and the whole plan is one reproducible artifact.
+    "q99_mixture_shards" -> ((s, dir) => {
+      val mixed = graft.operators.Sampling.weightedRepeat(
+        rawDocs(s, dir).select("doc_id", "source"), col("source"), col("doc_id"),
+        Map("src18" -> 2.5, "src7" -> 0.4), default = 1.0, salt = "mix1")
+      graft.operators.Sharding.assignShards(mixed,
+          concat(col("doc_id").cast("string"), lit(":"), col("copy").cast("string")),
+          4, salt = "ep1")
+        .orderBy("shard", "pos")
+    }),
+
     // Token-budget mixture fill: per language, admit docs in seeded-hash
     // order while the tokens BEFORE each doc total under the language's
     // budget (greedy fill; the straddling doc is admitted). Only the one
@@ -1924,6 +1939,28 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
         |  ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "q99_mixture_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '|mix1'),1,15))::UBIGINT % 10000 AS BIGINT) AS bucket,
+        |    (CASE WHEN source = 'src18' THEN 2.5 WHEN source = 'src7' THEN 0.4 ELSE 1.0 END) AS rate
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(rate) AS BIGINT) +
+        |      (CASE WHEN bucket < CAST(round((rate - FLOOR(rate)) * 10000) AS BIGINT) THEN 1 ELSE 0 END) AS n_copies
+        |  FROM t
+        |), m AS (
+        |  SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+        |  FROM n, UNNEST(range(1, n_copies + 1)) AS u(copy)
+        |), h AS (
+        |  SELECT doc_id, source, copy,
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR) AS k,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR) || '|ep1'),1,15))::UBIGINT AS h
+        |  FROM m)
+        |SELECT doc_id, source, copy, CAST(h % 4 AS BIGINT) AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, k) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
     "q98_token_budget" ->
       """WITH t AS (
