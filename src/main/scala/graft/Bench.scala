@@ -275,7 +275,8 @@ object Bench {
       "q65_incr_neardup", "q68_html_extract",
       "q78_ccnet_paradedup", "q79_host_cap", "q81_url_latest",
       "q83_incr_linededup", "q86_syndication", "q88_semantic_decontam",
-      "q93_incr_hostcap", "q94_incr_latest")
+      "q93_incr_hostcap", "q94_incr_latest",
+      "q97_train_shards", "q98_token_budget", "q99_mixture_shards")
 
     var spark = session(cpus)
     // Two passes per headline query: the cold pass carries session/plan/
