@@ -300,4 +300,34 @@ class PlanSpec extends SparkSpecBase {
     assert(!f.contains("Join"), s"luhn gate must not join:\n$f")
     assert(f.contains("luhn_valid"), "expression missing from the plan")
   }
+
+  test("q97: shard assignment is one shard-keyed shuffle — no join, no global sort before it") {
+    val p = executedPlan("q97_train_shards")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(!f.contains("Join"), s"sharding must not join:\n$f")
+    // exactly the per-shard window's exchange; the oracle orderBy adds a
+    // range exchange, never a second hash one (a global sort would)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(f).length
+    assert(exchanges <= 1, s"sharding must shuffle once, on shard ($exchanges):\n$f")
+  }
+
+  test("q98: token budget broadcasts the bucket histogram; the corpus never sort-merges") {
+    val p = executedPlan("q98_token_budget")
+    assert(!p.contains("SortMergeJoin"),
+      s"bucket classification must broadcast back:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket classification must broadcast back:\n$p")
+    assert(p.contains("Window"), "boundary-bucket window missing")
+  }
+
+  test("q99: mixture repeat stays a narrow generate; shard assignment adds the only corpus shuffle") {
+    val p = executedPlan("q99_mixture_shards")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(!f.contains("Join"), s"epoch plan must not join (rates are literals):\n$f")
+    assert(f.contains("Generate explode"), "mixture explode generate missing")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(f).length
+    assert(exchanges <= 1, s"epoch plan must shuffle once, on shard ($exchanges):\n$f")
+  }
 }
