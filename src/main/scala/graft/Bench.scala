@@ -30,7 +30,7 @@ object Bench {
 
   private def nprocs: Int = Runtime.getRuntime.availableProcessors()
 
-  private def rmDir(path: String): Unit = {
+  private[graft] def rmDir(path: String): Unit = {
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles.foreach(rm)
       p.delete(): Unit

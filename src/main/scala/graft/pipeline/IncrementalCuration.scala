@@ -317,6 +317,12 @@ object IncrementalCuration {
     //     earned their place in the corpus count against their host's
     //     budget. Dropped-by-cap docs do NOT enter dedup state — state is
     //     the curated corpus, and a capped host's recrawls die here anyway.
+    if (state.hosts.isDefined && !batch.columns.contains("host"))
+      throw new IllegalArgumentException(
+        "state maintains per-host arrival counters but the batch has no " +
+          "'host' column — every curated arrival must be counted or a later " +
+          "capped step over-admits. Feed batches with (doc_id, text, host) " +
+          "(CurationStream.readDocs(withHost = true) for the streaming driver)")
     // the host mapping is deduped by doc_id: a duplicated input record
     // (same doc_id twice in a day's batch — a routine WARC artifact) was
     // collapsed by the exact stage, and the join back must not re-expand it
@@ -608,39 +614,55 @@ object IncrementalCuration {
     val gramFilters = meta.get("bloomGramItems").map(_ =>
       StateLake.readBloom(spark, s"$root/grams_bloom", stateVersion))
 
-    // bucket-pruned probe-table reads: keys derived from the RAW batch —
-    // a superset of what the step actually probes (its probe sides are
-    // post-dedup subsets of the batch, and a subset's keys hash into a
-    // subset of the buckets), so pruning by them is sound. Pruning is the
-    // SMALL-batch (trickle) optimization: computing the probed bucket set
-    // costs one narrow pass over the batch, and once the batch carries
-    // more than ~`8 ln(B)` keys per bucket every bucket is probed with
-    // near certainty (coupon collector) — so for day-scale batches the
-    // probe passes would buy nothing and the tables are read whole.
+    // Bucket-pruned probe-table reads: keys derived from the RAW batch.
+    // SOUNDNESS per table — pruning is only legal when the stage's actual
+    // probe keys are a subset of the raw batch's:
+    //   - lines: always sound. The line stage probes digests of the
+    //     within-batch-collapsed text, whose line SET is a subset of the
+    //     raw batch's lines (dedup removes lines, never rewrites them).
+    //   - bands/grams: sound ONLY when line dedup is OFF. With it on, the
+    //     near-dup and span stages probe signatures of the REWRITTEN
+    //     (line-stripped) text — MinHash bands and seam-spanning k-grams of
+    //     the stripped text are NOT a subset of the raw text's, so pruning
+    //     by raw-text keys could drop exactly the history rows a mutant
+    //     would match. Those tables are read whole in that configuration
+    //     (LakeIncrementalSpec pins the kill).
+    // WORTHWHILENESS per table (coupon collector): a probe pass costs one
+    // narrow batch pass + driver collect, and prunes nothing once the
+    // probe carries more than ~8·B·ln(B) KEYS — keys, not docs: a doc
+    // contributes ~4 bands, ~32 lines, ~512 grams (the Bloom-sizing
+    // ratios), so each table gets its own gate.
     val bText = batch.select(col("doc_id").cast("long").as("doc_id"),
       col("text"))
     val batchDocs = bText.count()
-    val pruneWorthwhile =
-      batchDocs < 8L * nBuckets * math.max(1.0, math.log(nBuckets.toDouble)).toLong
-    def pruned(name: String, probe: => DataFrame, probeKey: String,
-               cols: String*): DataFrame = {
+    val pruneBound = 8.0 * nBuckets * math.max(1.0, math.log(nBuckets.toDouble))
+    def pruned(name: String, keysPerDoc: Double, probe: => DataFrame,
+               probeKey: String, cols: String*): DataFrame = {
       val t = StateLake.read(spark, s"$root/$name", upTo = stateVersion)
-      (if (!pruneWorthwhile) t
+      (if (batchDocs * keysPerDoc >= pruneBound) t
        else t.filter(col("bucket").isInCollection(
          StateLake.probedBuckets(probe, probeKey, nBuckets))))
         .select(cols.map(col): _*)
     }
+    val lineDedupOn = base.lines.isDefined
+    def whole(name: String, cols: String*): DataFrame =
+      StateLake.read(spark, s"$root/$name", upTo = stateVersion)
+        .select(cols.map(col): _*)
     val state = base.copy(
-      bands = pruned("bands",
-        IncrementalDedup.bandTable(bText, "doc_id", "text"), "band_digest",
-        "id", "band", "band_digest"),
-      lines = base.lines.map(_ => pruned("lines",
+      bands =
+        if (lineDedupOn) whole("bands", "id", "band", "band_digest")
+        else pruned("bands", 4.0,
+          IncrementalDedup.bandTable(bText, "doc_id", "text"), "band_digest",
+          "id", "band", "band_digest"),
+      lines = base.lines.map(_ => pruned("lines", 32.0,
         IncrementalDedup.lineDigests(bText, "doc_id", "text"), "line_digest",
         "line_digest")),
-      grams = base.grams.map(_ => pruned("grams",
-        graft.operators.ExactSubstring
-          .occurrences(bText, "doc_id", "text", base.spanK), "g",
-        "g", "first_id", "first_pos")))
+      grams = base.grams.map(_ =>
+        if (lineDedupOn) whole("grams", "g", "first_id", "first_pos")
+        else pruned("grams", 512.0,
+          graft.operators.ExactSubstring
+            .occurrences(bText, "doc_id", "text", base.spanK), "g",
+          "g", "first_id", "first_pos")))
 
     val core = stepCore(state, batch, batchEmbeddings, cfg,
       expectedHistoryDigests, bloomShards, expectedHistoryLines,
@@ -654,8 +676,23 @@ object IncrementalCuration {
       StateLake.append(l, s"$root/lines", "line_digest", nBuckets, batchId))
     ap.grams.foreach(g =>
       StateLake.append(g, s"$root/grams", "g", nBuckets, batchId))
-    ap.cells.foreach(c =>
-      StateLake.append(c, s"$root/cells", "cell", nBuckets, batchId))
+    ap.cells match {
+      case Some(c) =>
+        StateLake.append(c, s"$root/cells", "cell", nBuckets, batchId)
+      case None => base.semantic.foreach { sem =>
+        // A semantic lake must advance its cells table EVERY batch, even
+        // when the batch carries no vectors (the streaming driver never
+        // does): the state version is the min committed batch across
+        // tables, so a stalled cells table would pin it at bootstrap
+        // forever — every later step would recompute the same batchId,
+        // skip all its appends idempotently, and silently curate against
+        // frozen state while emitting duplicates. An empty append keeps
+        // the tables in lockstep.
+        StateLake.append(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            sem.cells.schema), s"$root/cells", "cell", nBuckets, batchId)
+      }
+    }
     core.hostsDelta.foreach(d =>
       StateLake.append(d, s"$root/hosts", "host", nBuckets, batchId))
     // sidecar contributions: filters over JUST the appended digests, with

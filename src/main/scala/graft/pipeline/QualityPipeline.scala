@@ -103,8 +103,13 @@ object QualityPipeline {
     val draft = pages.withColumn("_jt_draft",
       when(textless, graft.functions.HtmlFunctions.justext_extract(htmlStr))
         .otherwise(col("text")))
+      // langid only where its result can be consumed (textless rows): every
+      // sharpened branch below is guarded by `textless`, so running the
+      // model on pages that arrived with text would be a pure waste — and
+      // langid is the most expensive narrow op in the chain
       .withColumn("_jt_lang",
-        QualityFunctions.langid(col("_jt_draft"), model).getField("lang"))
+        when(textless,
+          QualityFunctions.langid(col("_jt_draft"), model).getField("lang")))
     // deterministic when-chain over the (small, driver-side) language list
     val sharpened = lists.toSeq.sortBy(_._1).foldLeft(col("_jt_draft")) {
       case (acc, (lang, sw)) =>

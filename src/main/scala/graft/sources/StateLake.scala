@@ -45,6 +45,24 @@ object StateLake {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The crash-safe commit protocol every batch-grain writer here shares
+    * (data appends, Bloom sidecars, the stream's output partitions):
+    * skip if `target` is already committed (idempotent — returns false),
+    * delete a torn staging dir from a crashed previous attempt, run
+    * `write` into `staging`, then promote with ONE atomic rename. One
+    * implementation so a future semantics fix (e.g. rename-onto-existing
+    * behavior on object stores) cannot silently miss a writer. */
+  private[graft] def commitStaged(f: org.apache.hadoop.fs.FileSystem,
+                                  staging: Path, target: Path)
+                                 (write: Path => Unit): Boolean = {
+    if (f.exists(target)) return false
+    if (f.exists(staging)) f.delete(staging, true) // torn previous attempt
+    write(staging)
+    if (!f.rename(staging, target))
+      throw new java.io.IOException(s"commit rename failed: $staging -> $target")
+    true
+  }
+
   /** Append `df` as batch `batchId` of the table at `dir`, clustered by
     * `keyCol` into `nBuckets` bucket partitions. Atomic (staging dir +
     * rename) and idempotent: returns false without writing when the batch
@@ -52,20 +70,15 @@ object StateLake {
   def append(df: DataFrame, dir: String, keyCol: String, nBuckets: Int,
              batchId: Int): Boolean = {
     val spark = df.sparkSession
-    val f = fs(spark, dir)
-    val target = new Path(dir, f"batch=$batchId%06d")
-    if (f.exists(target)) return false
-    val staging = new Path(dir, s".staging-$batchId")
-    if (f.exists(staging)) f.delete(staging, true) // torn previous attempt
-    // one shuffle of the APPENDED piece only (batch-scale), clustering each
-    // bucket's rows into one task so each partition dir gets one file
-    df.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-      .repartition(nBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(staging.toString)
-    if (!f.rename(staging, target))
-      throw new java.io.IOException(s"commit rename failed: $staging -> $target")
-    true
+    commitStaged(fs(spark, dir), new Path(dir, s".staging-$batchId"),
+        new Path(dir, f"batch=$batchId%06d")) { staging =>
+      // one shuffle of the APPENDED piece only (batch-scale), clustering
+      // each bucket's rows into one task so each partition dir gets one file
+      df.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+        .repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(staging.toString)
+    }
   }
 
   /** Batch ids committed at `dir` (ascending); empty when the table does
@@ -124,17 +137,13 @@ object StateLake {
                  filters: Array[org.apache.spark.util.sketch.BloomFilter],
                  dir: String, batchId: Int): Boolean = {
     val f = fs(spark, dir)
-    val target = new Path(dir, f"batch=$batchId%06d")
-    if (f.exists(target)) return false
-    val staging = new Path(dir, s".staging-$batchId")
-    if (f.exists(staging)) f.delete(staging, true)
-    filters.zipWithIndex.foreach { case (bf, i) =>
-      val out = f.create(new Path(staging, f"shard-$i%03d.bf"), true)
-      try bf.writeTo(out) finally out.close()
+    commitStaged(f, new Path(dir, s".staging-$batchId"),
+        new Path(dir, f"batch=$batchId%06d")) { staging =>
+      filters.zipWithIndex.foreach { case (bf, i) =>
+        val out = f.create(new Path(staging, f"shard-$i%03d.bf"), true)
+        try bf.writeTo(out) finally out.close()
+      }
     }
-    if (!f.rename(staging, target))
-      throw new java.io.IOException(s"commit rename failed: $staging -> $target")
-    true
   }
 
   /** The merged filter array as of `upTo`: every committed batch's

@@ -57,11 +57,16 @@ object CurationStream {
       hostCapN: Option[Int] = None)
 
   /** Streaming scan of crawl drops: (doc_id, text) parquet files — the
-    * daily step's input shape. */
+    * daily step's input shape. `withHost = true` adds the `host` column,
+    * REQUIRED when the state lake maintains per-host arrival counters
+    * (every curated arrival must be counted or a later capped step
+    * over-admits — [[IncrementalCuration]]'s host contract). */
   def readDocs(spark: SparkSession, path: String,
-               maxFilesPerTrigger: Int = 64): DataFrame =
+               maxFilesPerTrigger: Int = 64,
+               withHost: Boolean = false): DataFrame =
     spark.readStream
-      .schema("doc_id LONG, text STRING")
+      .schema(if (withHost) "doc_id LONG, text STRING, host STRING"
+              else "doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
@@ -72,8 +77,17 @@ object CurationStream {
   def runAvailable(spark: SparkSession, inDir: String, stateRoot: String,
                    outDir: String, checkpointDir: String,
                    cfg: Config = Config(),
-                   maxFilesPerTrigger: Int = 64): Unit = {
-    val q = readDocs(spark, inDir, maxFilesPerTrigger)
+                   maxFilesPerTrigger: Int = 64,
+                   withHost: Boolean = false): Unit = {
+    // fail at START, not inside batch 0 after its intent is written (a
+    // schema mismatch there would crash-loop on every restart): a lake
+    // with host counters needs the host column on every batch
+    if (!withHost && graft.sources.StateLake
+          .committedBatches(spark, s"$stateRoot/hosts").nonEmpty)
+      throw new IllegalArgumentException(
+        s"state lake at $stateRoot maintains per-host arrival counters; " +
+          "run with withHost = true (input files must carry a host column)")
+    val q = readDocs(spark, inDir, maxFilesPerTrigger, withHost)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(batch, batchId, stateRoot, outDir,
@@ -141,12 +155,10 @@ object CurationStream {
     val hconf = spark.sparkContext.hadoopConfiguration
     val name = f"$streamId-$batchId%06d"
     val target = new org.apache.hadoop.fs.Path(outDir, s"ingest_batch=$name")
-    val fs = target.getFileSystem(hconf)
-    if (fs.exists(target)) return
-    val staging = new org.apache.hadoop.fs.Path(outDir, s".staging-$name")
-    if (fs.exists(staging)) fs.delete(staging, true) // torn previous attempt
-    survivors.write.mode("overwrite").parquet(staging.toString)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"output commit rename failed: $target")
+    graft.sources.StateLake.commitStaged(target.getFileSystem(hconf),
+        new org.apache.hadoop.fs.Path(outDir, s".staging-$name"), target) {
+      staging => survivors.write.mode("overwrite").parquet(staging.toString)
+    }
+    ()
   }
 }

@@ -24,11 +24,7 @@ object CurBench {
         Bench.curationRep(spark, pagesDir, repFactor)).minBy(_._1)
     stages.foreach { case (n, s) => println(f"CUR stage $n%-24s $s%.2f s") }
     println(f"CUR total=$sec%.1f s  docs=$nDocs  => ${nDocs / sec}%.0f docs/sec")
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(rm)
-      p.delete(): Unit
-    }
-    rm(new java.io.File(pagesDir))
+    Bench.rmDir(pagesDir)
     spark.stop()
   }
 }

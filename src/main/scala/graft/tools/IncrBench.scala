@@ -37,11 +37,7 @@ object IncrBench {
         f"  => ${batchDocs / stepSec}%.0f docs/sec")
       if (alsoFull) println(f"INCR full_recuration=$fullSec%.1f s (${fullSec / stepSec}%.1fx the step)")
     }
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(rm)
-      p.delete(): Unit
-    }
-    rm(new java.io.File(pagesDir))
+    Bench.rmDir(pagesDir)
     spark.stop()
   }
 }

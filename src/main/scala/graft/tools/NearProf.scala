@@ -98,11 +98,7 @@ object NearProf {
       }
       println(s"PROF survivors=${out.count()}")
     }
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles.foreach(rm)
-      p.delete(): Unit
-    }
-    rm(new java.io.File(pagesDir)); rm(new java.io.File(histDir))
+    Bench.rmDir(pagesDir); Bench.rmDir(histDir)
     spark.stop()
   }
 }

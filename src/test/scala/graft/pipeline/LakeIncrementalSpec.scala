@@ -133,11 +133,13 @@ class LakeIncrementalSpec extends SparkSpecBase {
     assert(StateLake.committedBatches(spark, s"$root/docs") == Seq(0, 1, 2))
   }
 
-  test("a small batch's history reads are bucket-pruned") {
+  test("a small batch's history reads are bucket-pruned (no line dedup — raw-text keys are the probe keys)") {
     val root = tmp()
-    IncrementalCuration.initLake(history, None, root,
-      withLineDedup = true, nBuckets = 32)
-    // two docs probe a handful of band/line buckets out of 32
+    // bands pruning is only SOUND without line dedup (with it on, the
+    // near-dup stage probes bands of REWRITTEN text — see the mutant test
+    // below); this lake prunes, the line-dedup one reads whole
+    IncrementalCuration.initLake(history, None, root, nBuckets = 32)
+    // two docs probe a handful of band buckets out of 32
     val tiny = base.filter($"doc_id".isin(400L, 401L))
     IncrementalCuration.stepLake(spark, root, tiny)
     import graft.operators.IncrementalDedup
@@ -149,6 +151,54 @@ class LakeIncrementalSpec extends SparkSpecBase {
       bandBuckets.distinct)
     assert(hit < total,
       s"a 2-doc batch must not scan the whole band table ($hit/$total files)")
+  }
+
+  test("line-dedup lake: a trickle near-mutant hidden behind known boilerplate still dies") {
+    val root = tmp()
+    IncrementalCuration.initLake(history, None, root, withLineDedup = true)
+    // batch doc = a line the line history already holds (history doc 50's
+    // whole text) + a near-mutant line of history doc 30. The line stage
+    // strips the known line, so the near-dup stage probes MinHash bands of
+    // the STRIPPED text — which match doc 30's stored bands. Bucket-pruning
+    // the band read by the RAW text's band digests (a different signature:
+    // the raw text mixes both docs' shingles) would miss doc 30's buckets
+    // and admit the duplicate — with line dedup on, the band table must be
+    // read whole.
+    val boiler = history.filter($"doc_id" === 50)
+      .select("text").as[String].head()
+    val mut = mutant(history.filter($"doc_id" === 30), 9000000L)
+      .select("text").as[String].head()
+    val fresh = base.filter($"doc_id" === 400)
+      .select("text").as[String].head()
+    val tiny = Seq((9000030L, boiler + "\n" + mut), (9000400L, fresh))
+      .toDF("doc_id", "text")
+    val s = IncrementalCuration.stepLake(spark, root, tiny,
+      expectedHistoryDigests = 1 << 10, expectedHistoryLines = 1 << 14)
+    assert(!ids(s).contains(9000030L),
+      "the stripped text is a near-dup of history doc 30 and must die")
+    assert(ids(s).contains(9000400L), "the fresh doc must survive")
+  }
+
+  test("semantic lake: steps without batch embeddings still advance the state version") {
+    val root = tmp()
+    IncrementalCuration.initLake(history, Some(histEmb), root)
+    // the streaming driver's shape: batches carry no vectors — the cells
+    // table must advance by an EMPTY append or the state version (min
+    // committed batch across tables) stalls at bootstrap and every later
+    // step silently skips its appends while curating against frozen state
+    val b1 = base.filter($"doc_id" >= 200 && $"doc_id" < 260)
+    val s1 = IncrementalCuration.stepLake(spark, root, b1)
+    assert(IncrementalCuration.lakeStateVersion(spark, root) == 1,
+      "cells must advance with the step (empty append)")
+    val sv = ids(s1).filter(id => id >= 200 && id < 260).min
+    val b2 = base.filter($"doc_id" >= 260 && $"doc_id" < 300)
+      .unionByName(base.filter($"doc_id" === sv)
+        .select(lit(9300000L + sv).as("doc_id"), $"text"))
+    val s2 = IncrementalCuration.stepLake(spark, root, b2)
+    assert(!ids(s2).contains(9300000L + sv),
+      "step 2 must dedup against step-1 state, not frozen bootstrap state")
+    assert(StateLake.committedBatches(spark, s"$root/docs") == Seq(0, 1, 2))
+    assert(StateLake.committedBatches(spark, s"$root/cells") == Seq(0, 1, 2))
   }
 
   test("host cap enforced through the lake hosts table, counters accumulate as deltas") {
