@@ -42,6 +42,17 @@ class CurationStreamSpec extends SparkSpecBase {
     root
   }
 
+  private def withHost(df: DataFrame): DataFrame =
+    df.withColumn("host", concat(lit("h"), ($"doc_id" % 3).cast("string")))
+
+  private def initHostRoot(): String = {
+    val root = tmp("curstream-host") + "/state"
+    IncrementalCuration.initLake(history, None, root,
+      hostArrivals = Some(graft.operators.IncrementalSelect.hostCapInit(
+        withHost(history), "host")))
+    root
+  }
+
   private def ids(df: DataFrame): Set[Long] =
     df.select("doc_id").as[Long].collect().toSet
 
@@ -137,6 +148,41 @@ class CurationStreamSpec extends SparkSpecBase {
       "a committed batch must not step the state again")
     assert(spark.read.parquet(outDir).count() == nOut,
       "a committed batch must not append output again")
+  }
+
+  test("streamed host-capped curation: budget enforced across drops; host-less schema refused at start") {
+    val root = initHostRoot()
+    val inDir = tmp("curstream-hin"); val outDir = tmp("curstream-hout")
+    val ckDir = tmp("curstream-hck")
+    // preflight: a lake with host counters must refuse a host-less stream
+    // BEFORE starting (a schema failure inside batch 0 would crash-loop
+    // behind its already-written intent)
+    intercept[IllegalArgumentException] {
+      CurationStream.runAvailable(spark, inDir, root, outDir, ckDir, specCfg)
+    }
+    // history holds 67/67/66 docs on hosts h0/h1/h2 — cap 67 leaves budget
+    // for exactly ONE more curated h2 arrival, nothing on h0/h1
+    val cfg = specCfg.copy(hostCapN = Some(67))
+    withHost(d1).coalesce(1).write.mode("append").parquet(inDir)
+    CurationStream.runAvailable(spark, inDir, root, outDir, ckDir, cfg,
+      withHost = true)
+    val out1 = spark.read.parquet(outDir)
+    assert(out1.count() == 1, "exactly one admission fits under the cap")
+    assert(out1.select("doc_id").as[Long].head() % 3 == 2,
+      "the admission must be on the one host with budget (h2)")
+    // second drop: every host saturated (h2's counter includes ALL of
+    // drop 1's curated arrivals, kept or capped) — nothing admitted
+    withHost(d3).coalesce(1).write.mode("append").parquet(inDir)
+    CurationStream.runAvailable(spark, inDir, root, outDir, ckDir, cfg,
+      withHost = true)
+    assert(spark.read.parquet(outDir).count() == 1,
+      "a saturated host must admit nothing in later drops")
+    // counters kept growing through both drops (capped-out rows count too)
+    val sums = StateLake.read(spark, s"$root/hosts")
+      .groupBy("host").agg(sum("n_seen").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.values.forall(_ > 66L), s"deltas must accumulate: $sums")
+    assert(StateLake.committedBatches(spark, s"$root/hosts") == Seq(0, 1, 2))
   }
 
   test("crash after output append but before the marker: replay completes without duplicating") {
