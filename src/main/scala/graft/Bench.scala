@@ -279,28 +279,14 @@ object Bench {
       "q97_train_shards", "q98_token_budget", "q99_mixture_shards")
 
     var spark = session(cpus)
-    // Two passes per headline query: the cold pass carries session/plan/
-    // codegen warmup (reported separately so it stays visible), the warm
-    // pass is the regression-comparable number.
-    val coldTimes = headline.map { name =>
-      name -> time(force(SparkEntry.queries(name)(spark, sfDir)))
-    }
-    // warm = best of 2 measurements, each a TWO-consecutive-force interval,
-    // applied UNIFORMLY to every headline query — and the two measurements
-    // of a query are separated by a FULL pass over the whole headline list
-    // (A₁B₁C₁…A₂B₂C₂…, not A₁A₂B₁B₂…). Back-to-back intervals let one
-    // minutes-long VM-steal burst corrupt BOTH measurements of whichever
-    // query it overlapped (r3 recorded q38 at 26.8s vs 1.6s steady);
-    // interleaving puts minutes between a query's two intervals, so a
-    // burst inflates at most one of them and min() discards it.
-    def interval(name: String): Double =
-      time { force(SparkEntry.queries(name)(spark, sfDir))
-             force(SparkEntry.queries(name)(spark, sfDir)) } / 2
-    val pass1 = headline.map(n => n -> interval(n)).toMap
-    val pass2 = headline.map(n => n -> interval(n)).toMap
-    val queryTimes = headline.map(n => n -> math.min(pass1(n), pass2(n)))
 
     // --- two-parallelism pipeline scaling -------------------------------
+    // Measured FIRST, before the headline suite: the north rule's criterion
+    // is per-spark-submit — a fresh JVM per job — and the in-suite reading
+    // taken after ~130 executed query plans was depressed ~0.05 by JVM
+    // aging (grown heap, GC pressure; the fresh-JVM tools.ScaleBench read
+    // 0.810 median / 0.822 best in the same hour post-suite runs read
+    // 0.744–0.817 — same code, same host).
     // Real crawl input arrives as thousands of splits; the driver fixture is
     // ONE row-group, whose scan would serialize at exactly the parallelism
     // being measured. Materialize the base pages as a 64-file parquet dir
@@ -381,6 +367,31 @@ object Bench {
     // engine capacity). They bracket the real figure.
     val eff = ratios(ratios.length / 2)
     val effBest = (tn / t4n) / (bigCpus.toDouble / smallCpus)
+
+    // --- headline suite (cold + interleaved warm passes), after the
+    // scaling pairs so THEIR measurement sees a young JVM ----------------
+    spark = session(cpus)
+    // Two passes per headline query: the cold pass carries session/plan/
+    // codegen warmup (reported separately so it stays visible), the warm
+    // pass is the regression-comparable number.
+    val coldTimes = headline.map { name =>
+      name -> time(force(SparkEntry.queries(name)(spark, sfDir)))
+    }
+    // warm = best of 2 measurements, each a TWO-consecutive-force interval,
+    // applied UNIFORMLY to every headline query — and the two measurements
+    // of a query are separated by a FULL pass over the whole headline list
+    // (A₁B₁C₁…A₂B₂C₂…, not A₁A₂B₁B₂…). Back-to-back intervals let one
+    // minutes-long VM-steal burst corrupt BOTH measurements of whichever
+    // query it overlapped (r3 recorded q38 at 26.8s vs 1.6s steady);
+    // interleaving puts minutes between a query's two intervals, so a
+    // burst inflates at most one of them and min() discards it.
+    def interval(name: String): Double =
+      time { force(SparkEntry.queries(name)(spark, sfDir))
+             force(SparkEntry.queries(name)(spark, sfDir)) } / 2
+    val pass1 = headline.map(n => n -> interval(n)).toMap
+    val pass2 = headline.map(n => n -> interval(n)).toMap
+    val queryTimes = headline.map(n => n -> math.min(pass1(n), pass2(n)))
+    spark.stop()
     val total = queryTimes.map(_._2).sum + t4n
 
     // --- FULL five-stage pipeline (extract → langid → quality → KN-
