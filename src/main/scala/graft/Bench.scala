@@ -319,8 +319,20 @@ object Bench {
             "<footer>© 2026 Example Corp</footer></body></html>")), "UTF-8").as("html"),
         lit("").as("text"))
       .write.mode("overwrite").parquet(htmlPagesDir)
+    // Task granularity: the 64-file dir bin-packs to ~defaultParallelism
+    // splits (openCost-dominated sizing), i.e. ONE wave of tasks per level —
+    // the big level's makespan is then its slowest-of-N task over variable-
+    // length text (ragged tail), which depresses measured efficiency below
+    // the engine's true value. Repartitioning the 5k base rows to 256 BEFORE
+    // the ×repFactor explode (a sub-ms shuffle) gives both levels many waves
+    // — the task-count >> cores discipline a real cluster job has anyway.
+    // A/B-measured (tools.ScaleExperiment, interleaved 3 rounds): rep256 is
+    // FASTER at both levels (t4 35.4–40.5 vs 37.2–42.8; t16 10.0–10.5 vs
+    // 11.1–11.9) and its per-round efficiency tighter (0.88–0.97 vs
+    // 0.78–0.96).
     def pipelineDf(s: SparkSession) = {
       val pages = s.read.parquet(pagesDir)
+        .repartition(256)
         .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
         .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
         .drop("rep")

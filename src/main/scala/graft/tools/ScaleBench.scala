@@ -39,8 +39,12 @@ object ScaleBench {
     val pagesDir = java.nio.file.Files.createTempDirectory("graft_scalebench").toString
     SyntheticPages.fromDocuments(spark, sfDir).repartition(64)
       .write.mode("overwrite").parquet(pagesDir)
+    // repartition(256) before the explode: many task waves at both levels
+    // (the 64-file dir otherwise bin-packs to one wave per level; see the
+    // task-granularity comment in Bench.main and tools.ScaleExperiment).
     def pipelineDf(s: SparkSession) = {
       val pages = s.read.parquet(pagesDir)
+        .repartition(256)
         .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
         .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
         .drop("rep")
