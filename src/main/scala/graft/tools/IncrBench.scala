@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * optimization without paying for the whole headline suite. Same fixture
   * and timing discipline as Bench.main's incremental section.
   * `SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=16 SPARK_GRAFT_REP=200
-  *  runMain graft.tools.IncrBench [alsoFull]`. */
+  *  runMain graft.tools.IncrBench [alsoFull] [lake] [all]` — `all` turns
+  * every optional class on (substring spans, semantic, host cap): the
+  * FULL-WIDTH daily step, priced standalone so the per-round JSON's
+  * incremental figure stays comparable across rounds. */
 object IncrBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,7 +33,8 @@ object IncrBench {
         f"  => ${batchDocs / stepSec}%.0f docs/sec")
     } else {
       val (initSec, stepSec, stages, histDocs, batchDocs, fullSec) =
-        Bench.incrementalBench(spark, pagesDir, repFactor, nDocs, alsoFull)
+        Bench.incrementalBench(spark, pagesDir, repFactor, nDocs, alsoFull,
+          allClasses = args.contains("all"))
       println(f"INCR init=$initSec%.1f s (untimed state bootstrap)")
       stages.foreach { case (n, s) => println(f"INCR stage $n%-24s $s%.2f s") }
       println(f"INCR step=$stepSec%.1f s  batch=$batchDocs docs  history=$histDocs" +
