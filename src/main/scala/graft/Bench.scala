@@ -59,6 +59,26 @@ object Bench {
     s""","detector":{"corpus_docs":${docs.length},"passes":$passes,"docs_sec_1thread":${"%.1f".format(dps)}}"""
   }
 
+  /** Pricing inputs for the daily step's OPTIONAL classes (correctness is
+    * q91/q66/q93's job): a heavy/mid/tail host mix sized so all three
+    * admission paths of IncrementalSelect.hostCapStep are exercised at
+    * cap=1000 — 8 saturated heavy hosts (~nDocs/32 prior arrivals each,
+    * dropped without ranking), 256 boundary mid hosts (~977 each — the
+    * only rows windowed), ~200k safe tail hosts (admitted without
+    * ranking). */
+  private def hostOf(c: org.apache.spark.sql.Column) =
+    when(pmod(c, lit(4)) === 0, concat(lit("heavy"), pmod(c, lit(8))))
+      .when(pmod(c, lit(4)) === 1, concat(lit("mid"), pmod(c, lit(256))))
+      .otherwise(concat(lit("tail"), pmod(c, lit(200000))))
+
+  /** Deterministic 16-dim hash embeddings: uniform vectors price the
+    * frozen-cell assignment + |history|x|batch| pairing — the semantic
+    * stage's cost drivers — without a model in the sandbox. */
+  private def embOf(df: DataFrame) = df.select(col("doc_id").as("vec_id"),
+    transform(sequence(lit(0), lit(15)), i =>
+      pmod(xxhash64(col("text"), i), lit(1000000)).cast("double")
+        / 500000.0 - 1.0).as("embedding"))
+
   /** The daily-incremental-step bench (shared with `tools.IncrBench` for
     * standalone profiling): history = ×repFactor MUTUALLY-DISTINCT docs
     * built from the fixture pages by THIRD-MIXING (one third each from
@@ -93,23 +113,6 @@ object Bench {
                        allClasses: Boolean = false)
       : (Double, Double, Seq[(String, Double)], Long, Long, Double) = {
     val (histDocs, batch0, histDir) = incrementalFixture(spark, pagesDir, repFactor)
-    // Pricing inputs for the optional classes (correctness is q91/q66/q93's
-    // job): a heavy/mid/tail host mix sized so all three admission paths of
-    // IncrementalSelect.hostCapStep are exercised at cap=1000 — 8 saturated
-    // heavy hosts (~nDocs/32 prior arrivals each, dropped without ranking),
-    // 256 boundary mid hosts (~977 each — the only rows windowed), ~200k
-    // safe tail hosts (admitted without ranking) — and deterministic
-    // 16-dim hash embeddings (uniform vectors price the frozen-cell
-    // assignment + |history|x|batch| pairing, the semantic stage's cost
-    // drivers, without a model in the sandbox).
-    def hostOf(c: org.apache.spark.sql.Column) =
-      when(pmod(c, lit(4)) === 0, concat(lit("heavy"), pmod(c, lit(8))))
-        .when(pmod(c, lit(4)) === 1, concat(lit("mid"), pmod(c, lit(256))))
-        .otherwise(concat(lit("tail"), pmod(c, lit(200000))))
-    def embOf(df: DataFrame) = df.select(col("doc_id").as("vec_id"),
-      transform(sequence(lit(0), lit(15)), i =>
-        pmod(xxhash64(col("text"), i), lit(1000000)).cast("double")
-          / 500000.0 - 1.0).as("embedding"))
     val batch = if (!allClasses) batch0
       else batch0.withColumn("host", hostOf(col("doc_id"))).localCheckpoint()
     val nBatch = batch.count()
@@ -172,14 +175,25 @@ object Bench {
     * 0 by dropping the appended batch dirs so both reps step the same
     * state. */
   def incrementalLakeBench(spark: SparkSession, pagesDir: String,
-                           repFactor: Int, nDocs: Long)
+                           repFactor: Int, nDocs: Long,
+                           // full-width variant (spans/semantic/hostcap on)
+                           // over the PRODUCTION state layout — see
+                           // incrementalBench's allClasses
+                           allClasses: Boolean = false)
       : (Double, Double, Seq[(String, Double)], Long, Long) = {
-    val (histDocs, batch, histDir) = incrementalFixture(spark, pagesDir, repFactor)
+    val (histDocs, batch0, histDir) = incrementalFixture(spark, pagesDir, repFactor)
+    val batch = if (!allClasses) batch0
+      else batch0.withColumn("host", hostOf(col("doc_id"))).localCheckpoint()
     val nBatch = batch.count()
     val root = java.nio.file.Files
       .createTempDirectory("graft_bench_lake").toString + "/state"
     val initSec = time {
-      IncrementalCuration.initLake(histDocs, None, root, withLineDedup = true)
+      IncrementalCuration.initLake(histDocs,
+        if (allClasses) Some(embOf(histDocs)) else None,
+        root, withLineDedup = true, withSpanDedup = allClasses,
+        hostArrivals = if (!allClasses) None
+          else Some(graft.operators.IncrementalSelect.hostCapInit(
+            histDocs.withColumn("host", hostOf(col("doc_id"))), "host")))
     }
     def resetToBootstrap(): Unit =
       for (t <- Seq("docs", "bands", "lines", "grams", "cells", "hosts",
@@ -192,8 +206,10 @@ object Bench {
       val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       val sec = time {
         graft.pipeline.IncrementalCuration.stepLake(spark, root, batch,
+          batchEmbeddings = if (allClasses) Some(embOf(batch)) else None,
           expectedHistoryDigests = nDocs,
           expectedHistoryLines = 2L * nDocs,
+          hostCapN = if (allClasses) Some(1000) else None,
           onStage = (n, s) => stages += ((n, s)))
       }
       resetToBootstrap()

@@ -26,7 +26,8 @@ object IncrBench {
     val nDocs = spark.read.parquet(pagesDir).count() * repFactor
     if (args.contains("lake")) {
       val (initSec, stepSec, stages, histDocs, batchDocs) =
-        Bench.incrementalLakeBench(spark, pagesDir, repFactor, nDocs)
+        Bench.incrementalLakeBench(spark, pagesDir, repFactor, nDocs,
+          allClasses = args.contains("all"))
       println(f"LAKE init=$initSec%.1f s (untimed state bootstrap incl. sidecars)")
       stages.foreach { case (n, s) => println(f"LAKE stage $n%-24s $s%.2f s") }
       println(f"LAKE step=$stepSec%.1f s  batch=$batchDocs docs  history=$histDocs" +
