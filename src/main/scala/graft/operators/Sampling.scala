@@ -68,6 +68,38 @@ object Sampling {
       .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Leakage-safe train/valid/test splitting: the split is a function of the
+    * HOST hash, never the document, so every page of a host — including the
+    * near-duplicates, boilerplate siblings and templated variants that live
+    * together on one site — lands in the same split. A document-grain split
+    * leaks: held-out pages have same-host near-twins in train, and the eval
+    * overstates generalization (the C4/Pile-era splitting lesson).
+    *
+    * `splits` are (label, fraction) in order; fractions must sum to 1. A row
+    * lands in the first label whose cumulative hash-bucket cut covers its
+    * host bucket, so a host's label is reproducible from (host, salt) alone
+    * — stable across runs, layouts, engines (md5-based, oracle-checkable),
+    * and corpus growth: adding documents never moves an existing host's
+    * split. NULL hosts hash as one group (empty string) — together in one
+    * split, like every host.
+    *
+    * Scale: a pure narrow projection — no shuffle, no dimension table, no
+    * driver state; the predicate codegens into the scan stage. */
+  def hostDisjointSplit(df: DataFrame, hostCol: Column,
+                        splits: Seq[(String, Double)],
+                        salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val bucket = bucketOf(coalesce(hostCol.cast("string"), lit("")), salt)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(f => math.round(f * Buckets))
+    val label = splits.init.zip(cuts.init).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, ((name, _), cut)) =>
+        when(bucket < lit(cut), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Per-host document cap (corpus-balance policy: no single host may
     * contribute more than `cap` pages, the best-`orderCol` ones win; ties
     * break on `idCol` ascending so the result is layout-invariant).

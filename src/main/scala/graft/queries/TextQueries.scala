@@ -413,6 +413,58 @@ object TextQueries {
           Map("en" -> 6000L, "zh" -> 2500L), default = 1500L, salt = "mix2")
         .orderBy("doc_id")),
 
+    // Leakage-safe corpus splitting: the split is a function of the HOST
+    // hash — every page of a host (near-dup/templated siblings included)
+    // lands in one split, so eval never sees a train host. Pure narrow
+    // projection (no shuffle); a host's split is reproducible from
+    // (host, salt) alone and never moves as the corpus grows.
+    "q100_host_split" -> ((s, dir) => {
+      val d = rawDocs(s, dir).select(col("doc_id"),
+        concat(lit("site-"), pmod(col("doc_id"), lit(40)).cast("int").cast("string"))
+          .as("host"))
+      Sampling.hostDisjointSplit(d, col("host"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "sp1")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus data card: per-language release statistics plus the grand
+    // total in ONE rollup pass — exact distinct host/source counts (a
+    // published artifact), one long division for the mean.
+    "q101_data_card" -> ((s, dir) => {
+      val d = rawDocs(s, dir).select(col("lang"), col("source"),
+        TF.tokenCount(col("text")).as("toks"),
+        concat(lit("site-"), pmod(col("doc_id"), lit(40)).cast("int").cast("string"))
+          .as("host"))
+      graft.operators.DataCard.summarize(d, "lang", col("toks"), col("host"),
+          col("source"))
+        .orderBy("lang")
+    }),
+
+    // Incoming anchor-text aggregation per target host — a page described
+    // in its LINKERS' words (classic quality/relevance signal spam can't
+    // cheaply forge). Oracled BY CONSTRUCTION like q71: each doc links two
+    // targets with id-derived anchor text; an inner <b> tag and ragged
+    // whitespace exercise the tag-strip + collapse; the oracle rebuilds
+    // the (host, anchor) rows directly.
+    "q102_anchor_text" -> ((s, dir) => {
+      val html = concat(
+        lit("<p><a href='"), linkTarget(col("doc_id"), 7, 1),
+        lit("'>alpha  <b>"), pmod(col("doc_id"), lit(5)).cast("int").cast("string"),
+        lit("</b>\n</a> mid <a href=\""), linkTarget(col("doc_id"), 13, 2),
+        lit("\">beta "), pmod(col("doc_id"), lit(7)).cast("int").cast("string"),
+        lit(" </a></p>"))
+      rawDocs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.ExtractLinks.extract_link_anchors(html)).as("l"))
+        .select(UrlFunctions.hostOf(col("l.href")).as("host"),
+          col("l.anchor").as("anchor"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("anchor")).as("n_anchors"),
+          array_join(array_sort(collect_set(col("anchor"))), "|").as("anchor_vocab"))
+        .orderBy("host")
+    }),
+
     // Benchmark decontamination: corpus docs sharing ≥5 word-3-shingles with
     // a benchmark set (here: 15-token passages lifted from every 10th doc,
     // so contamination is planted and the gate is non-trivial).
@@ -1977,6 +2029,41 @@ object TextQueries {
         |WHERE prior < (CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 2500
         |               ELSE 1500 END)
         |ORDER BY doc_id""".stripMargin,
+    "q100_host_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'site-' || CAST(doc_id % 40 AS VARCHAR) AS host
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, host,
+        |    ('0x'||substr(md5(host || '|sp1'),1,15))::UBIGINT % 10000 AS b
+        |  FROM d)
+        |SELECT doc_id, host,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'valid' ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q101_data_card" ->
+      """WITH d AS (
+        |  SELECT COALESCE(lang, 'unknown') AS lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+        |    'site-' || CAST(doc_id % 40 AS VARCHAR) AS host, source
+        |  FROM documents)
+        |SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT host) AS n_hosts, COUNT(DISTINCT source) AS n_sources,
+        |  MIN(toks) AS min_doc_tokens, MAX(toks) AS max_doc_tokens,
+        |  ROUND(CAST(SUM(toks) AS DOUBLE) / COUNT(*), 4) AS mean_doc_tokens
+        |FROM d GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin,
+    "q102_anchor_text" ->
+      """WITH l AS (
+        |  SELECT 'site-' || CAST((doc_id*7+1) % 40 AS VARCHAR) || '.example.com' AS host,
+        |         'alpha ' || CAST(doc_id % 5 AS VARCHAR) AS anchor FROM documents
+        |  UNION ALL
+        |  SELECT 'site-' || CAST((doc_id*13+2) % 40 AS VARCHAR) || '.example.com',
+        |         'beta ' || CAST(doc_id % 7 AS VARCHAR) FROM documents)
+        |SELECT host, COUNT(*) AS n_links,
+        |  COUNT(DISTINCT anchor) AS n_anchors,
+        |  array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchor_vocab
+        |FROM l GROUP BY host ORDER BY host""".stripMargin,
     "q38_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tw FROM documents),

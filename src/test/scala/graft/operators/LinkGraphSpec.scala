@@ -18,6 +18,30 @@ class LinkGraphSpec extends SparkSpecBase {
     assert(ExtractLinks.links("<a href=\"unterminated").isEmpty)
   }
 
+  test("linkAnchors: hrefs pair with tag-stripped, whitespace-collapsed anchors") {
+    val html = "<p><a href='/a'>alpha  <b>bold</b>\n tail</a> mid " +
+      "<a data-href=\"no\" href=\"/b\">beta <i class=\"x>y\">it</i></a>" +
+      "<a title='t'>no href text</a><a href=/c>last" // unterminated anchor
+    assert(ExtractLinks.linkAnchors(html).toSeq == Seq(
+      ("/a", "alpha bold tail"), ("/b", "beta it"), ("/c", "last")))
+    // hrefs agree with extract_links on the same markup, always
+    assert(ExtractLinks.linkAnchors(html).map(_._1).toSeq ==
+      ExtractLinks.links(html).toSeq)
+    // empty anchor bodies and </ABBR>-style lookalikes
+    assert(ExtractLinks.linkAnchors("<a href=/x></a>").toSeq == Seq(("/x", "")))
+    assert(ExtractLinks.linkAnchors("<a href=/x>see </abbr>more</a>").toSeq ==
+      Seq(("/x", "see more")))
+  }
+
+  test("extract_link_anchors column fn explodes to (href, anchor) rows") {
+    val df = Seq("<a href='/p1'>one</a><a href='/p2'> two  words </a>")
+      .toDF("html")
+      .select(explode(graft.functions.ExtractLinks.extract_link_anchors(col("html"))).as("l"))
+      .select("l.href", "l.anchor")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("/p1", "one"), ("/p2", "two words")))
+  }
+
   test("hostRank: symmetric cycle gets equal ranks; hub outranks leaves") {
     val cycle = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     val cr = LinkGraph.hostRank(cycle, 10).collect()

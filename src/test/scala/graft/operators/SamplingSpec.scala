@@ -149,6 +149,44 @@ class SamplingSpec extends SparkSpecBase {
     assert(ids(docs) == ids(docs.repartition(23)))
   }
 
+  test("hostDisjointSplit: a host's pages all land in one split, fractions near cuts") {
+    val pages = spark.range(0, 20000).toDF("id")
+      .withColumn("host", concat(lit("h"), ($"id" % 1000).cast("string")))
+    val out = Sampling.hostDisjointSplit(pages, $"host",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "sp")
+    // host determines split: no host straddles two splits
+    assert(out.groupBy("host").agg(countDistinct("split").as("k"))
+      .filter($"k" =!= 1).count() == 0)
+    val byHost = out.select("host", "split").distinct()
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byHost("train") - 800L) < 60, s"train hosts: $byHost")
+    assert(math.abs(byHost("valid") - 100L) < 40, s"valid hosts: $byHost")
+    assert(math.abs(byHost("test") - 100L) < 40, s"test hosts: $byHost")
+  }
+
+  test("hostDisjointSplit: layout-invariant, NULL hosts grouped, no shuffle") {
+    val pages = spark.range(0, 3000).toDF("id")
+      .withColumn("host", when($"id" % 11 === 0, lit(null: String))
+        .otherwise(concat(lit("h"), ($"id" % 97).cast("string"))))
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hostDisjointSplit(df, $"host",
+          Seq("train" -> 0.9, "eval" -> 0.1), salt = "z")
+        .select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(splits(pages) == splits(pages.repartition(17)))
+    // NULL hosts are one group: all carry the same split
+    val nullSplits = Sampling.hostDisjointSplit(pages.filter($"host".isNull),
+      $"host", Seq("train" -> 0.9, "eval" -> 0.1), salt = "z")
+      .select("split").distinct().count()
+    assert(nullSplits == 1)
+    // the operator itself is a narrow projection — no exchange in its plan
+    val plan = Sampling.hostDisjointSplit(pages, $"host",
+      Seq("train" -> 0.9, "eval" -> 0.1), salt = "z")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("decontaminate flags the doc whose passage seeded the benchmark") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
