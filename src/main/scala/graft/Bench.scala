@@ -38,6 +38,59 @@ object Bench {
     rm(new java.io.File(path))
   }
 
+  // --- scaling-pair fixture + job + estimator, SHARED with
+  // tools.ScaleBench so the in-suite and fresh-JVM scaling figures measure
+  // the SAME work by construction (a fixture tweak applied to one copy
+  // would silently make the two readings incomparable — that drift is the
+  // whole reason ScaleBench exists).
+
+  /** Materialize the base pages as a 64-file parquet dir (outside any timed
+    * region): real crawl input arrives as thousands of splits; the driver
+    * fixture is ONE row-group, whose scan would serialize at exactly the
+    * parallelism being measured. */
+  private[graft] def scalingFixture(spark: SparkSession, sfDir: String,
+                                    prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    SyntheticPages.fromDocuments(spark, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The scaling job: ×repFactor replication (narrow explode) through the
+    * full quality pipeline. The base rows repartition to 256 BEFORE the
+    * explode — the 64-file dir otherwise bin-packs to ~defaultParallelism
+    * splits (openCost-dominated sizing), i.e. ONE task wave per level, and
+    * the big level's makespan becomes its slowest-of-N task over variable-
+    * length text (ragged tail). A/B-measured in tools.ScaleExperiment:
+    * rep256 is faster at both levels AND tighter per-round efficiency. */
+  private[graft] def scalingPipelineDf(s: SparkSession, pagesDir: String,
+                                       repFactor: Int): DataFrame = {
+    val pages = s.read.parquet(pagesDir)
+      .repartition(256)
+      .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
+      .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
+      .drop("rep")
+    QualityPipeline.run(pages).select("url", "keep", "n_pii", "text_scrubbed")
+  }
+
+  /** One interleaved (N, 4N) pair: back-to-back so transient host noise
+    * (VM-steal bursts) hits both levels roughly equally. Each level is
+    * timed over an EQUAL-LENGTH interval — two consecutive forces at N,
+    * four at 4N (per-force wall time is ~4× shorter there) — so each
+    * level's steal exposure is equal; see the methodology comment at the
+    * call site in `main`. Returns (tN, t4N) per-force seconds. */
+  private[graft] def scalingPair(mkSession: Int => SparkSession,
+                                 smallCpus: Int, bigCpus: Int,
+                                 df: SparkSession => DataFrame): (Double, Double) = {
+    var spark = mkSession(smallCpus)
+    val a = time { force(df(spark)); force(df(spark)) } / 2
+    spark.stop()
+    spark = mkSession(bigCpus)
+    val b = time { (1 to 4).foreach(_ => force(df(spark))) } / 4
+    spark.stop()
+    (a, b)
+  }
+
   /** Single-thread detector throughput on the real Korean corpus — the direct
     * comparison with the reference's single-process run (~3k docs/sec). Plain
     * JVM loop; measured before any Spark work for a clean JIT/CPU state. */
@@ -66,10 +119,17 @@ object Bench {
     * dropped without ranking), 256 boundary mid hosts (~977 each — the
     * only rows windowed), ~200k safe tail hosts (admitted without
     * ranking). */
-  private def hostOf(c: org.apache.spark.sql.Column) =
-    when(pmod(c, lit(4)) === 0, concat(lit("heavy"), pmod(c, lit(8))))
-      .when(pmod(c, lit(4)) === 1, concat(lit("mid"), pmod(c, lit(256))))
-      .otherwise(concat(lit("tail"), pmod(c, lit(200000))))
+  private def hostOf(c: org.apache.spark.sql.Column) = {
+    // the class selector consumes c's low 2 bits, so the host index within a
+    // class must use DIFFERENT bits (shiftright 2): with the raw id, moduli
+    // divisible by 4 collapse the mix — 2 heavy hosts, 64 mid hosts at 4×
+    // the intended arrivals (already saturated) — and the boundary/windowed
+    // admission path prices at ZERO rows
+    val h = shiftright(c, 2)
+    when(pmod(c, lit(4)) === 0, concat(lit("heavy"), pmod(h, lit(8))))
+      .when(pmod(c, lit(4)) === 1, concat(lit("mid"), pmod(h, lit(256))))
+      .otherwise(concat(lit("tail"), pmod(h, lit(200000))))
+  }
 
   /** Deterministic 16-dim hash embeddings: uniform vectors price the
     * frozen-cell assignment + |history|x|batch| pairing — the semantic
@@ -331,7 +391,8 @@ object Bench {
       "q78_ccnet_paradedup", "q79_host_cap", "q81_url_latest",
       "q83_incr_linededup", "q86_syndication", "q88_semantic_decontam",
       "q93_incr_hostcap", "q94_incr_latest",
-      "q97_train_shards", "q98_token_budget", "q99_mixture_shards")
+      "q97_train_shards", "q98_token_budget", "q99_mixture_shards",
+      "q100_host_split", "q101_data_card", "q102_anchor_text")
 
     var spark = session(cpus)
 
@@ -342,14 +403,10 @@ object Bench {
     // aging (grown heap, GC pressure; the fresh-JVM tools.ScaleBench read
     // 0.810 median / 0.822 best in the same hour post-suite runs read
     // 0.744–0.817 — same code, same host).
-    // Real crawl input arrives as thousands of splits; the driver fixture is
-    // ONE row-group, whose scan would serialize at exactly the parallelism
-    // being measured. Materialize the base pages as a 64-file parquet dir
-    // once (outside the timed region) so both levels read in parallel; the
-    // ×repFactor replication stays inside the timed job (narrow explode).
-    val pagesDir = java.nio.file.Files.createTempDirectory("graft_bench_pages").toString
-    SyntheticPages.fromDocuments(spark, sfDir).repartition(64)
-      .write.mode("overwrite").parquet(pagesDir)
+    // Fixture + job + pair estimator live in scalingFixture /
+    // scalingPipelineDf / scalingPair above, shared verbatim with
+    // tools.ScaleBench.
+    val pagesDir = scalingFixture(spark, sfDir, "graft_bench_pages")
     // Raw-HTML variant of the same corpus for the extraction bench: the body
     // text sandwiched between two known-prose paragraphs (so jusText's
     // context resolution keeps it regardless of body length), wrapped in the
@@ -374,26 +431,7 @@ object Bench {
             "<footer>© 2026 Example Corp</footer></body></html>")), "UTF-8").as("html"),
         lit("").as("text"))
       .write.mode("overwrite").parquet(htmlPagesDir)
-    // Task granularity: the 64-file dir bin-packs to ~defaultParallelism
-    // splits (openCost-dominated sizing), i.e. ONE wave of tasks per level —
-    // the big level's makespan is then its slowest-of-N task over variable-
-    // length text (ragged tail), which depresses measured efficiency below
-    // the engine's true value. Repartitioning the 5k base rows to 256 BEFORE
-    // the ×repFactor explode (a sub-ms shuffle) gives both levels many waves
-    // — the task-count >> cores discipline a real cluster job has anyway.
-    // A/B-measured (tools.ScaleExperiment, interleaved 3 rounds): rep256 is
-    // FASTER at both levels (t4 35.4–40.5 vs 37.2–42.8; t16 10.0–10.5 vs
-    // 11.1–11.9) and its per-round efficiency tighter (0.88–0.97 vs
-    // 0.78–0.96).
-    def pipelineDf(s: SparkSession) = {
-      val pages = s.read.parquet(pagesDir)
-        .repartition(256)
-        .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
-        .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
-        .drop("rep")
-      QualityPipeline.run(pages)
-        .select("url", "keep", "n_pii", "text_scrubbed")
-    }
+    def pipelineDf(s: SparkSession) = scalingPipelineDf(s, pagesDir, repFactor)
     val nDocs = spark.read.parquet(pagesDir).count() * repFactor
     force(pipelineDf(spark)) // warm-up (JIT/codegen) before any timing
     spark.stop()
@@ -414,13 +452,7 @@ object Bench {
     // the best-times estimator held 0.90–0.92). Equalizing interval LENGTH
     // equalizes each level's steal exposure.
     val pairs = (1 to 7).map { _ =>
-      spark = session(smallCpus)
-      val a = time { force(pipelineDf(spark)); force(pipelineDf(spark)) } / 2
-      spark.stop()
-      spark = session(bigCpus)
-      val b = time { (1 to 4).foreach(_ => force(pipelineDf(spark))) } / 4
-      spark.stop()
-      (a, b)
+      scalingPair(session, smallCpus, bigCpus, pipelineDf)
     }
     val tn = pairs.map(_._1).min
     val t4n = pairs.map(_._2).min
@@ -438,9 +470,13 @@ object Bench {
     // --- headline suite (cold + interleaved warm passes), after the
     // scaling pairs so THEIR measurement sees a young JVM ----------------
     spark = session(cpus)
-    // Two passes per headline query: the cold pass carries session/plan/
-    // codegen warmup (reported separately so it stays visible), the warm
-    // pass is the regression-comparable number.
+    // Two passes per headline query: the "cold" pass carries each query's
+    // FIRST-execution cost (analysis, planning, per-query Janino codegen) in
+    // a fresh session — but since the scaling section now runs first, the
+    // JVM itself (JIT, shared-operator codegen cache) is already warm, so
+    // queries_cold is NOT comparable with rounds ≤4 where it was the first
+    // Spark work in the process. The warm pass is the regression-comparable
+    // number and is unaffected.
     val coldTimes = headline.map { name =>
       name -> time(force(SparkEntry.queries(name)(spark, sfDir)))
     }

@@ -53,5 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rrn_valid"),
       info("rrn_valid", "rrn_valid(rrn) - Korean RRN weighted mod-11 checksum + gender-digit rule"),
       (args: Seq[Expression]) => RrnValid(args.head)))
+    e.injectFunction((FunctionIdentifier("extract_links"),
+      info("extract_links", "extract_links(html) - href values of <a> tags, document order"),
+      (args: Seq[Expression]) => graft.functions.ExtractLinks(args.head)))
+    e.injectFunction((FunctionIdentifier("extract_link_anchors"),
+      info("extract_link_anchors", "extract_link_anchors(html) - array<struct<href,anchor>> of <a href> tags"),
+      (args: Seq[Expression]) => graft.functions.ExtractLinkAnchors(args.head)))
   }
 }

@@ -63,7 +63,12 @@ object ExtractLinks {
     var done = false
     while (i < n && !done) {
       val c = html.charAt(i)
-      if (c == '<') {
+      // a '<' only opens markup when followed by a letter, '/', '!' or '?'
+      // (the HTML5 tag-open rule) — a bare '<' in text ("5 < 6") is content,
+      // not a tag, and must not swallow the real </a> terminator
+      if (c == '<' && i + 1 < n && (html.charAt(i + 1).isLetter ||
+        html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
+        html.charAt(i + 1) == '?')) {
         if (i + 2 < n && html.charAt(i + 1) == '/' &&
           (html.charAt(i + 2) == 'a' || html.charAt(i + 2) == 'A') &&
           (i + 3 >= n || !html.charAt(i + 3).isLetterOrDigit)) {

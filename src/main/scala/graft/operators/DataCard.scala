@@ -28,7 +28,12 @@ object DataCard {
 
   /** Summarize `df` per `strataCol` value plus an `ALL` grand-total row.
     * NULL strata label as `unknown` (they are real documents — a data card
-    * that silently drops the unlabeled rows misstates the corpus). */
+    * that silently drops the unlabeled rows misstates the corpus; a corpus
+    * whose strata legitimately contain the literal value `unknown` will see
+    * those rows merged into the same label). The `is_total` flag (0 =
+    * per-stratum row, 1 = grand total) disambiguates the total row even if
+    * a stratum is literally named `ALL` — labels are for humans, the flag
+    * is the contract. */
   def summarize(df: DataFrame, strataCol: String, tokensCol: Column,
                 hostCol: Column, sourceCol: Column): DataFrame = {
     val prepared = df.select(
@@ -49,6 +54,7 @@ object DataCard {
           .as("mean_doc_tokens"))
       .select(
         when(col("__g") === 1, lit("ALL")).otherwise(col("__stratum")).as(strataCol),
+        col("__g").cast("int").as("is_total"),
         col("n_docs"), col("n_tokens"), col("n_hosts"), col("n_sources"),
         col("min_doc_tokens"), col("max_doc_tokens"), col("mean_doc_tokens"))
   }

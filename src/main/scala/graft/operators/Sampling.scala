@@ -89,6 +89,7 @@ object Sampling {
                         splits: Seq[(String, Double)],
                         salt: String = ""): DataFrame = {
     require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1: $splits")
     val bucket = bucketOf(coalesce(hostCol.cast("string"), lit("")), salt)

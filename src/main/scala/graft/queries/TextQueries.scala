@@ -2048,6 +2048,7 @@ object TextQueries {
         |    'site-' || CAST(doc_id % 40 AS VARCHAR) AS host, source
         |  FROM documents)
         |SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        |  CAST(GROUPING(lang) AS INTEGER) AS is_total,
         |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
         |  COUNT(DISTINCT host) AS n_hosts, COUNT(DISTINCT source) AS n_sources,
         |  MIN(toks) AS min_doc_tokens, MAX(toks) AS max_doc_tokens,

@@ -40,6 +40,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(!spark.sql("SELECT rrn_valid('900101-1234567') AS v").head().getBoolean(0))
       assert(spark.sql("SELECT winnow_fingerprint('some reasonably long text for fingerprinting') AS f")
         .head().getSeq[Long](0).nonEmpty)
+      assert(spark.sql("SELECT extract_links('<a href=/a>x</a><a href=\"/b\">y</a>') AS l")
+        .head().getSeq[String](0) == Seq("/a", "/b"))
+      val anchor = spark.sql(
+        "SELECT extract_link_anchors('<a href=/a>one <b>two</b></a>')[0] AS p").head()
+        .getStruct(0)
+      assert(anchor.getString(0) == "/a" && anchor.getString(1) == "one two")
       // redundancy detector: looped boilerplate compresses far below prose
       val Seq(spam, prose) = Seq(
         "SELECT deflate_ratio(repeat('click here to win big prizes now ', 40)) AS r",

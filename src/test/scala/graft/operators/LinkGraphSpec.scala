@@ -31,6 +31,11 @@ class LinkGraphSpec extends SparkSpecBase {
     assert(ExtractLinks.linkAnchors("<a href=/x></a>").toSeq == Seq(("/x", "")))
     assert(ExtractLinks.linkAnchors("<a href=/x>see </abbr>more</a>").toSeq ==
       Seq(("/x", "see more")))
+    // a bare '<' in body text (not followed by a letter, '/', '!' or '?' —
+    // the HTML5 tag-open rule) is content, not a tag — it must not swallow
+    // the real </a> terminator
+    assert(ExtractLinks.linkAnchors("<a href=/x>5 < 6, x <= y</a> outside").toSeq ==
+      Seq(("/x", "5 < 6, x <= y")))
   }
 
   test("extract_link_anchors column fn explodes to (href, anchor) rows") {
