@@ -44,6 +44,30 @@ object Sharding {
       .drop("__h")
   }
 
+  /** Curriculum/annealing order inside seeded shards: shard MEMBERSHIP
+    * stays the seeded random partition of [[assignShards]] (same hash,
+    * same salt → the same shard, so no difficulty skew ACROSS shards —
+    * every shard sees the full distribution), but the in-shard position
+    * follows the caller's `curriculum` sort columns (length ascending for
+    * short-to-long curricula, quality descending for anneal-to-best late
+    * in training), with the shuffle hash as the within-tie randomizer and
+    * the key as the final total-order tiebreak — the position is still
+    * reproducible from (key, salt, curriculum) under any layout. Same
+    * scale shape as [[assignShards]]: one shard-keyed shuffle + per-shard
+    * sorts, never a global sort. */
+  def curriculumShards(df: DataFrame, keyCol: Column, nShards: Int,
+                       curriculum: Seq[Column], salt: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = shuffleHash(keyCol, salt)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(curriculum :+ col("__h").asc :+ keyCol.asc: _*))
+        .cast("long"))
+      .drop("__h")
+  }
+
   /** Materialize the shards: one directory per shard
     * (`shard=<k>/part-*.parquet`, a single file each), rows written in
     * their in-shard shuffle order — a trainer streaming a shard file gets

@@ -465,6 +465,16 @@ object TextQueries {
         .orderBy("host")
     }),
 
+    // Curriculum-ordered training shards: membership is the q97 seeded
+    // random partition (no difficulty skew across shards), in-shard order
+    // is short-to-long by n_chars (the classic length curriculum), hash-
+    // randomized within ties — reproducible from (doc_id, salt) alone.
+    "q103_curriculum_shards" -> ((s, dir) =>
+      graft.operators.Sharding.curriculumShards(
+          rawDocs(s, dir).select("doc_id", "n_chars"), col("doc_id"), 4,
+          Seq(col("n_chars").asc), salt = "cur1")
+        .orderBy("shard", "pos")),
+
     // Benchmark decontamination: corpus docs sharing ≥5 word-3-shingles with
     // a benchmark set (here: 15-token passages lifted from every 10th doc,
     // so contamination is planted and the gate is non-trivial).
@@ -2065,6 +2075,14 @@ object TextQueries {
         |  COUNT(DISTINCT anchor) AS n_anchors,
         |  array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchor_vocab
         |FROM l GROUP BY host ORDER BY host""".stripMargin,
+    "q103_curriculum_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '|cur1'),1,15))::UBIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST(h % 4 AS BIGINT) AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY n_chars, h, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "q38_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tw FROM documents),

@@ -39,6 +39,27 @@ class ShardingSpec extends SparkSpecBase {
     assert(moved > n / 2, "a new salt must reshuffle most docs across shards")
   }
 
+  test("curriculumShards: same membership as assignShards, in-shard order follows the curriculum") {
+    val scored = docs.withColumn("score", ($"doc_id" * 37) % 100)
+    val cur = Sharding.curriculumShards(scored, $"doc_id", 4,
+      Seq($"score".asc), "ep0")
+    // membership identical to the plain seeded shuffle at the same salt
+    val plain = Sharding.assignShards(docs, $"doc_id", 4, "ep0")
+    assert(cur.select("doc_id", "shard").as[(Long, Long)].collect().toSet ==
+      plain.select("doc_id", "shard").as[(Long, Long)].collect().toSet)
+    // within every shard, pos order is nondecreasing in the score
+    val bad = cur.as[(Long, Long, Long, Long)].collect() // doc_id, score, shard, pos
+      .groupBy(_._3).values.map { rows =>
+        val byPos = rows.sortBy(_._4).map(_._2)
+        byPos.zip(byPos.tail).forall { case (a, b) => a <= b }
+      }
+    assert(bad.forall(identity), "curriculum order violated inside a shard")
+    // layout invariance
+    val cur2 = Sharding.curriculumShards(scored.repartition(13), $"doc_id", 4,
+      Seq($"score".asc), "ep0")
+    assert(cur.collect().toSet == cur2.collect().toSet)
+  }
+
   test("writeShards materializes one file per shard, rows in shuffle order") {
     val out = java.nio.file.Files.createTempDirectory("shards").toString
     Sharding.writeShards(docs, out, $"doc_id", 4, "ep0")
