@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
   *   efficiency = throughput_4N / (4 · throughput_N).
   */
 object Bench {
-  private def force(df: DataFrame): Unit =
+  private[graft] def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  private def time[A](f: => A): Double = {
+  private[graft] def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
     f
     (System.nanoTime() - t0) / 1e9
@@ -64,9 +64,13 @@ object Bench {
     * length text (ragged tail). A/B-measured in tools.ScaleExperiment:
     * rep256 is faster at both levels AND tighter per-round efficiency. */
   private[graft] def scalingPipelineDf(s: SparkSession, pagesDir: String,
-                                       repFactor: Int): DataFrame = {
-    val pages = s.read.parquet(pagesDir)
-      .repartition(256)
+                                       repFactor: Int,
+                                       // tools.ScaleExperiment's A/B knob;
+                                       // ≤0 skips the repartition (the
+                                       // one-wave baseline variant)
+                                       repartitionTo: Int = 256): DataFrame = {
+    val base = s.read.parquet(pagesDir)
+    val pages = (if (repartitionTo > 0) base.repartition(repartitionTo) else base)
       .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
       .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
       .drop("rep")

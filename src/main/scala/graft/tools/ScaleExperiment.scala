@@ -1,9 +1,7 @@
 package graft.tools
 
 import graft.{Bench, GraftSession}
-import graft.pipeline.{QualityPipeline, SyntheticPages}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** One-off A/B experiment for the scaling-pair fixture's task geometry.
   *
@@ -17,17 +15,13 @@ import org.apache.spark.sql.functions._
   * round-robin shuffle BEFORE the ×200 explode), giving both levels many
   * waves — the task-granularity discipline a real cluster job has anyway.
   *
-  * Interleaved within each round (baseA4, repB4, baseA16, repB16) so host
-  * drift hits both variants equally. `runMain graft.tools.ScaleExperiment
-  * [rounds]` with SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in ScaleBench.
-  */
+  * Fixture and job are Bench.scalingFixture / scalingPipelineDf (the
+  * repartitionTo knob selects the variant), so the experiment measures
+  * exactly the shipped job. Interleaved within each round (baseA4, repB4,
+  * baseA16, repB16) so host drift hits both variants equally.
+  * `runMain graft.tools.ScaleExperiment [rounds]` with
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in ScaleBench. */
 object ScaleExperiment {
-  private def force(df: org.apache.spark.sql.DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
-  private def time[A](f: => A): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -37,41 +31,33 @@ object ScaleExperiment {
     val bigCpus = math.max(math.min(cpus / 2, nprocs / 2), 4)
     val smallCpus = math.max(bigCpus / 4, 1)
 
-    var spark: SparkSession = GraftSession.local(bigCpus, "graft-scale-exp")
-    spark.sparkContext.setLogLevel("ERROR")
-    val pagesDir = java.nio.file.Files.createTempDirectory("graft_scaleexp").toString
-    SyntheticPages.fromDocuments(spark, sfDir).repartition(64)
-      .write.mode("overwrite").parquet(pagesDir)
-
-    def job(s: SparkSession, parts: Int) = {
-      val base = s.read.parquet(pagesDir)
-      val repart = if (parts > 0) base.repartition(parts) else base
-      val pages = repart
-        .withColumn("rep", explode(sequence(lit(0), lit(repFactor - 1))))
-        .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
-        .drop("rep")
-      QualityPipeline.run(pages).select("url", "keep", "n_pii", "text_scrubbed")
+    def mkSession(c: Int): SparkSession = {
+      val s = GraftSession.local(c, "graft-scale-exp")
+      s.sparkContext.setLogLevel("ERROR")
+      s
     }
+    var spark = mkSession(bigCpus)
+    val pagesDir = Bench.scalingFixture(spark, sfDir, "graft_scaleexp")
+    def job(s: SparkSession, parts: Int) =
+      Bench.scalingPipelineDf(s, pagesDir, repFactor, repartitionTo = parts)
+
     println(s"scan partitions @$bigCpus cores: " +
       spark.read.parquet(pagesDir).rdd.getNumPartitions)
-    force(job(spark, 0)); force(job(spark, 256)) // JIT warm-up, untimed
+    Bench.force(job(spark, 0)); Bench.force(job(spark, 256)) // JIT warm-up, untimed
     spark.stop()
-    spark = GraftSession.local(smallCpus, "graft-scale-exp")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = mkSession(smallCpus)
     println(s"scan partitions @$smallCpus cores: " +
       spark.read.parquet(pagesDir).rdd.getNumPartitions)
     spark.stop()
 
     val results = (1 to rounds).map { i =>
-      spark = GraftSession.local(smallCpus, "graft-scale-exp")
-      spark.sparkContext.setLogLevel("ERROR")
-      val a4 = time(force(job(spark, 0)))
-      val b4 = time(force(job(spark, 256)))
+      spark = mkSession(smallCpus)
+      val a4 = Bench.time(Bench.force(job(spark, 0)))
+      val b4 = Bench.time(Bench.force(job(spark, 256)))
       spark.stop()
-      spark = GraftSession.local(bigCpus, "graft-scale-exp")
-      spark.sparkContext.setLogLevel("ERROR")
-      val a16 = time { force(job(spark, 0)); force(job(spark, 0)) } / 2
-      val b16 = time { force(job(spark, 256)); force(job(spark, 256)) } / 2
+      spark = mkSession(bigCpus)
+      val a16 = Bench.time { Bench.force(job(spark, 0)); Bench.force(job(spark, 0)) } / 2
+      val b16 = Bench.time { Bench.force(job(spark, 256)); Bench.force(job(spark, 256)) } / 2
       spark.stop()
       val k = bigCpus.toDouble / smallCpus
       println(f"round $i: base t$smallCpus=$a4%.2f t$bigCpus=$a16%.2f eff=${a4 / a16 / k}%.3f" +
