@@ -33,16 +33,8 @@ object Sharding {
     * (shard, pos) contract a shard writer materializes. Deterministic for
     * any input layout; `salt` selects the epoch permutation. */
   def assignShards(df: DataFrame, keyCol: Column, nShards: Int,
-                   salt: String = ""): DataFrame = {
-    require(nShards > 0, s"nShards must be positive: $nShards")
-    val h = shuffleHash(keyCol, salt)
-    df.withColumn("__h", h)
-      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("__h"), keyCol))
-        .cast("long"))
-      .drop("__h")
-  }
+                   salt: String = ""): DataFrame =
+    curriculumShards(df, keyCol, nShards, Seq.empty, salt)
 
   /** Curriculum/annealing order inside seeded shards: shard MEMBERSHIP
     * stays the seeded random partition of [[assignShards]] (same hash,
@@ -53,8 +45,12 @@ object Sharding {
     * in training), with the shuffle hash as the within-tie randomizer and
     * the key as the final total-order tiebreak — the position is still
     * reproducible from (key, salt, curriculum) under any layout. Same
-    * scale shape as [[assignShards]]: one shard-keyed shuffle + per-shard
-    * sorts, never a global sort. */
+    * scale shape as [[assignShards]] (which is this with an empty
+    * curriculum): one shard-keyed shuffle + per-shard sorts, never a
+    * global sort. NULL-ordering caveat for nullable curriculum columns:
+    * Spark's `asc` is NULLS FIRST while ANSI/DuckDB ASC is NULLS LAST —
+    * oracle-parity callers should pass `asc_nulls_last`/
+    * `desc_nulls_first` explicitly. */
   def curriculumShards(df: DataFrame, keyCol: Column, nShards: Int,
                        curriculum: Seq[Column], salt: String = ""): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")

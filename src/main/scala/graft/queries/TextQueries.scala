@@ -472,7 +472,9 @@ object TextQueries {
     "q103_curriculum_shards" -> ((s, dir) =>
       graft.operators.Sharding.curriculumShards(
           rawDocs(s, dir).select("doc_id", "n_chars"), col("doc_id"), 4,
-          Seq(col("n_chars").asc), salt = "cur1")
+          // nulls_last matches ANSI/DuckDB ASC (Spark's bare asc is
+          // NULLS FIRST — a latent oracle divergence on nullable columns)
+          Seq(col("n_chars").asc_nulls_last), salt = "cur1")
         .orderBy("shard", "pos")),
 
     // Benchmark decontamination: corpus docs sharing ≥5 word-3-shingles with

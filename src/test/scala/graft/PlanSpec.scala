@@ -312,6 +312,15 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"sharding must shuffle once, on shard ($exchanges):\n$f")
   }
 
+  test("q103: curriculum shards keep the q97 shape — one shard-keyed shuffle, no join, no global sort") {
+    val p = executedPlan("q103_curriculum_shards")
+    val idx = p.indexOf("== Initial Plan ==")
+    val f = if (idx >= 0) p.substring(0, idx) else p
+    assert(!f.contains("Join"), s"curriculum sharding must not join:\n$f")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(f).length
+    assert(exchanges <= 1, s"curriculum sharding must shuffle once, on shard ($exchanges):\n$f")
+  }
+
   test("q98: token budget broadcasts the bucket histogram; the corpus never sort-merges") {
     val p = executedPlan("q98_token_budget")
     assert(!p.contains("SortMergeJoin"),

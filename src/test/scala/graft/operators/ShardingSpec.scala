@@ -48,12 +48,12 @@ class ShardingSpec extends SparkSpecBase {
     assert(cur.select("doc_id", "shard").as[(Long, Long)].collect().toSet ==
       plain.select("doc_id", "shard").as[(Long, Long)].collect().toSet)
     // within every shard, pos order is nondecreasing in the score
-    val bad = cur.as[(Long, Long, Long, Long)].collect() // doc_id, score, shard, pos
+    val orderedPerShard = cur.as[(Long, Long, Long, Long)].collect() // doc_id, score, shard, pos
       .groupBy(_._3).values.map { rows =>
         val byPos = rows.sortBy(_._4).map(_._2)
         byPos.zip(byPos.tail).forall { case (a, b) => a <= b }
       }
-    assert(bad.forall(identity), "curriculum order violated inside a shard")
+    assert(orderedPerShard.forall(identity), "curriculum order violated inside a shard")
     // layout invariance
     val cur2 = Sharding.curriculumShards(scored.repartition(13), $"doc_id", 4,
       Seq($"score".asc), "ep0")
