@@ -325,10 +325,15 @@ object IncrementalCuration {
           "(CurationStream.readDocs(withHost = true) for the streaming driver)")
     // the host mapping is deduped by doc_id: a duplicated input record
     // (same doc_id twice in a day's batch — a routine WARC artifact) was
-    // collapsed by the exact stage, and the join back must not re-expand it
+    // collapsed by the exact stage, and the join back must not re-expand
+    // it. min(host) — NOT dropDuplicates — because a conflicting duplicate
+    // (one doc_id, two hosts) must resolve DETERMINISTICALLY: the crash
+    // replay re-derives the survivor set, and dropDuplicates picks a
+    // partition-merge-order-dependent winner, so a replay could cap the
+    // doc under a different host budget than the committed first attempt
     def batchHosts = batch
       .select(col("doc_id").cast("long").as("doc_id"), col("host"))
-      .dropDuplicates("doc_id")
+      .groupBy("doc_id").agg(min(col("host")).as("host"))
     // curated-arrival counts: the rank-space increment of the host-cap
     // contract (KEPT and capped-out rows both occupy ranks) — what both
     // counter paths below merge into the state, and what [[stepLake]]
@@ -635,6 +640,29 @@ object IncrementalCuration {
     val bText = batch.select(col("doc_id").cast("long").as("doc_id"),
       col("text"))
     val batchDocs = bText.count()
+    // Monotone-crawl-id contract, enforced LOUDLY: every incremental
+    // operator keys on batch ids exceeding all history ids (near-dup pair
+    // canonicalization, the semantic a.id < b.id drop rule, the host-cap
+    // rank order) — a feed that reuses or replays doc_ids would produce
+    // silently-wrong keep/drop verdicts. Cheap by the same contract: the
+    // global max doc_id lives in the LATEST non-empty docs append, so this
+    // reads one batch directory + one batch-scale agg — the previous day's
+    // append on every step but the first, where the latest append IS the
+    // bootstrap corpus (a once-ever column-pruned max over doc_id).
+    // A pinned replay reads upTo = the recorded pre-batch version, so its
+    // own first attempt's append is excluded and the check replays clean.
+    val histMax: Option[Long] = (stateVersion to 0 by -1).iterator
+      .map(b => StateLake.readBatch(spark, s"$root/docs", b)
+        .agg(max("doc_id")).head())
+      .collectFirst { case r if !r.isNullAt(0) => r.getLong(0) }
+    val bMin = bText.agg(min("doc_id")).head()
+    if (!bMin.isNullAt(0)) histMax.foreach { hm =>
+      require(bMin.getLong(0) > hm,
+        s"monotone-crawl-id contract violated: batch min doc_id " +
+          s"${bMin.getLong(0)} <= history max doc_id $hm — assign fresh, " +
+          "strictly increasing ids per crawl drop (reused ids make the " +
+          "incremental dedup verdicts silently wrong)")
+    }
     val pruneBound = 8.0 * nBuckets * math.max(1.0, math.log(nBuckets.toDouble))
     def pruned(name: String, keysPerDoc: Double, probe: => DataFrame,
                probeKey: String, cols: String*): DataFrame = {

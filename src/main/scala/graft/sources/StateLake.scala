@@ -103,6 +103,12 @@ object StateLake {
     spark.read.option("basePath", dir).parquet(dirs: _*)
   }
 
+  /** One committed batch's rows only (batch-scale I/O — e.g. the
+    * monotone-id guard reads just the latest non-empty docs append). */
+  def readBatch(spark: SparkSession, dir: String, batchId: Int): DataFrame =
+    spark.read.option("basePath", dir)
+      .parquet(new Path(dir, f"batch=$batchId%06d").toString)
+
   /** [[read]] restricted to the buckets a probe key set can touch — the
     * per-step history read: `buckets` comes from the batch side (bounded
     * by nBuckets, never data-scale), and the filter prunes the scan to the
@@ -156,9 +162,13 @@ object StateLake {
     var acc: Array[org.apache.spark.util.sketch.BloomFilter] = null
     for (b <- batches) {
       val d = new Path(dir, f"batch=$b%06d")
+      // sort by the PARSED shard index, not the name: lexicographic order
+      // scrambles index-vs-shard beyond 1000 shards (shard-1000 < shard-101),
+      // and a scrambled array means might_contain_sharded probes the wrong
+      // filter — Bloom false NEGATIVES, i.e. silently admitted duplicates
       val shardFiles = f.listStatus(d).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".bf"))
-        .sortBy(_.getPath.getName)
+        .sortBy(_.getPath.getName.stripPrefix("shard-").stripSuffix(".bf").toInt)
       val batchFilters = shardFiles.map { s =>
         val in = f.open(s.getPath)
         try org.apache.spark.util.sketch.BloomFilter.readFrom(in)

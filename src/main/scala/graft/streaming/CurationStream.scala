@@ -47,14 +47,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object CurationStream {
 
-  /** Tunables forwarded to [[IncrementalCuration.stepLake]] per batch. */
+  /** Tunables forwarded to [[IncrementalCuration.stepLake]] per batch.
+    * `skipSemantic` is the explicit opt-in required to stream into a
+    * semantic-enabled lake: the stream carries no embeddings, so semantic
+    * dedup never runs for streamed batches AND streamed survivors never
+    * enter the cells table (even later embedding-bearing batch steps
+    * cannot dedup against them) — a degradation the caller must
+    * acknowledge, not discover. */
   final case class Config(
       curation: Curation.Config = Curation.Config(),
       expectedHistoryDigests: Long = 1 << 20,
       bloomShards: Int = 1,
       expectedHistoryLines: Long = -1L,
       expectedHistoryGrams: Long = -1L,
-      hostCapN: Option[Int] = None)
+      hostCapN: Option[Int] = None,
+      skipSemantic: Boolean = false)
 
   /** Streaming scan of crawl drops: (doc_id, text) parquet files — the
     * daily step's input shape. `withHost = true` adds the `host` column,
@@ -80,18 +87,53 @@ object CurationStream {
                    maxFilesPerTrigger: Int = 64,
                    withHost: Boolean = false): Unit = {
     // fail at START, not inside batch 0 after its intent is written (a
-    // schema mismatch there would crash-loop on every restart): a lake
-    // with host counters needs the host column on every batch
-    if (!withHost && graft.sources.StateLake
-          .committedBatches(spark, s"$stateRoot/hosts").nonEmpty)
+    // config/schema mismatch there would crash-loop on every restart):
+    // - a lake with host counters needs the host column on every batch
+    val hostsPresent = graft.sources.StateLake
+      .committedBatches(spark, s"$stateRoot/hosts").nonEmpty
+    if (!withHost && hostsPresent)
       throw new IllegalArgumentException(
         s"state lake at $stateRoot maintains per-host arrival counters; " +
           "run with withHost = true (input files must carry a host column)")
+    // - capping needs the counters table (stepCore throws mid-batch
+    //   otherwise) and the host column on the batch
+    if (cfg.hostCapN.nonEmpty && !hostsPresent)
+      throw new IllegalArgumentException(
+        s"hostCapN is set but the state lake at $stateRoot has no hosts " +
+          "table — bootstrap it via initLake(hostArrivals = ...)")
+    if (cfg.hostCapN.nonEmpty && !withHost)
+      throw new IllegalArgumentException(
+        "hostCapN is set but withHost = false — batches would carry no host column")
+    // - withHost injects an ALL-NULL host column when the files lack one
+    //   (a user-specified schema fills missing parquet columns with NULL),
+    //   silently bypassing the cap and freezing the counters — check the
+    //   files actually carry it (AvailableNow drains what exists at start)
+    if (withHost)
+      scala.util.Try(spark.read.parquet(inDir).schema).foreach { sch =>
+        if (!sch.fieldNames.contains("host"))
+          throw new IllegalArgumentException(
+            s"withHost = true but the files in $inDir carry no 'host' " +
+              "column — they would stream as all-NULL hosts (cap bypassed, " +
+              "counters never advancing)")
+      }
+    // - a semantic-enabled lake degrades when streamed (no embeddings on
+    //   the stream): require the explicit opt-in, never silent decay
+    if (!cfg.skipSemantic && graft.sources.StateLake
+          .committedBatches(spark, s"$stateRoot/cells").nonEmpty)
+      throw new IllegalArgumentException(
+        s"state lake at $stateRoot is semantic-enabled (cells table) but " +
+          "the stream carries no embeddings: semantic dedup would silently " +
+          "skip for every streamed batch and streamed docs would never " +
+          "enter the cells table. Pass Config(skipSemantic = true) to " +
+          "accept that, or feed embedding-bearing batches through " +
+          "IncrementalCuration.stepLake directly")
+    // resolved once on the first batch, cached for the run; STRICT — a
+    // fallback id would re-key the commit markers mid-stream
+    lazy val streamId = PageStream.streamIdOf(spark, checkpointDir)
     val q = readDocs(spark, inDir, maxFilesPerTrigger, withHost)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        curateBatch(batch, batchId, stateRoot, outDir,
-          PageStream.streamIdOf(spark, checkpointDir), cfg)
+        curateBatch(batch, batchId, stateRoot, outDir, streamId, cfg)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -142,6 +184,17 @@ object CurationStream {
     appendOut(survivors, outDir, streamId, batchId)
     if (!fs.rename(intent, commit))
       throw new java.io.IOException(s"stream commit rename failed for batch $batchId")
+    // GC old markers (the PageStream.ingestBatch retention discipline):
+    // replay only ever concerns the latest uncommitted batch, so a bounded
+    // window is safe — a standing query would otherwise accrete one tiny
+    // marker file per micro-batch forever
+    val retainMarkers = 128
+    if (batchId > retainMarkers) {
+      for (s <- fs.listStatus(dir)
+           if scala.util.Try(s.getPath.getName.takeWhile(_.isDigit).toLong)
+             .toOption.exists(_ < batchId - retainMarkers))
+        fs.delete(s.getPath, false)
+    }
   }
 
   /** Idempotent per-batch output append: staging write + one rename into

@@ -83,6 +83,9 @@ object PageStream {
                   checkpointDir: String,
                   cfg: QualityPipeline.Config = QualityPipeline.Config()): Unit = {
     import org.apache.spark.sql.functions._
+    // resolved once on the first batch, cached for the run (the metadata
+    // file exists by then — written at query start)
+    lazy val streamId = streamIdOf(spark, checkpointDir)
     val q = QualityPipeline.run(readPages(spark, inDir), cfg)
       .filter(col("keep"))
       .select(col("url"), col("warc_ts"),
@@ -91,7 +94,7 @@ object PageStream {
         col("text_scrubbed").as("text"), col("lang_pred").as("lang"))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, lakeDir, streamIdOf(spark, checkpointDir))
+        ingestBatch(batch, batchId, lakeDir, streamId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -102,8 +105,12 @@ object PageStream {
   /** The checkpoint's query UUID (from `<checkpoint>/metadata`, written at
     * query start — foreachBatch runs after, so it exists by first read):
     * a recreated checkpoint gets a new UUID, so its restarted batch
-    * numbering can never collide with the old markers. Falls back to a
-    * path hash if the metadata is unreadable (older layouts). */
+    * numbering can never collide with the old markers. STRICT — a read
+    * failure throws (failing the batch, which retries) rather than falling
+    * back to a path hash: a silent fallback would re-key the marker
+    * directory mid-stream, so a replay after a transient metadata-read
+    * blip would miss its own intent and double- or zero-apply the batch —
+    * exactly the corruption the markers exist to prevent. */
   private[streaming] def streamIdOf(spark: SparkSession, checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,7 +123,9 @@ object PageStream {
       } finally in.close()
       new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(bytes).get("id").asText()
-    }.getOrElse(java.lang.Integer.toHexString(checkpointDir.hashCode))
+    }.fold(e => throw new java.io.IOException(
+      s"cannot resolve the stream id from $p — refusing a fallback id " +
+        "(it would re-key the exactly-once commit markers)", e), identity)
   }
 
   /** One idempotent lake append (see [[runIntoLake]] for the protocol).

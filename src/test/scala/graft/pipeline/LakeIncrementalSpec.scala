@@ -38,6 +38,22 @@ class LakeIncrementalSpec extends SparkSpecBase {
   private def ids(df: DataFrame): Set[Long] =
     df.select("doc_id").as[Long].collect().toSet
 
+  test("monotone-id contract: a batch reusing history ids is refused loudly") {
+    val root = tmp()
+    IncrementalCuration.initLake(history, None, root)
+    val bad = base.filter($"doc_id" >= 100 && $"doc_id" < 150) // overlaps history
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.stepLake(spark, root, bad,
+        expectedHistoryDigests = 1 << 10)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    // a compliant batch on the same lake still steps
+    val ok = IncrementalCuration.stepLake(spark, root,
+      base.filter($"doc_id" >= 200 && $"doc_id" < 220),
+      expectedHistoryDigests = 1 << 10)
+    assert(ids(ok).nonEmpty)
+  }
+
   test("stepLake equals the in-memory step, state tables round-trip exactly") {
     val root = tmp()
     // in-memory reference: all state classes on

@@ -113,4 +113,21 @@ class StateLakeSpec extends SparkSpecBase {
     }
     assert(hit1 < 20, s"batch-1 keys must be (almost) all absent at version 0, got $hit1/200")
   }
+
+  test("bloom sidecar shard order survives >3-digit shard counts") {
+    // lexicographic file order puts shard-1000 before shard-101; readBloom
+    // must sort by the PARSED index or the probe routes to the wrong filter
+    val dir = tmp() + "_bigbloom"
+    val n = 1001
+    val filters = Array.tabulate(n) { i =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+      bf.putLong(i.toLong); bf
+    }
+    assert(graft.sources.StateLake.writeBloom(spark, filters, dir, 0))
+    val back = graft.sources.StateLake.readBloom(spark, dir)
+    assert(back.length == n)
+    for (i <- Seq(0, 5, 99, 101, 500, 999, 1000))
+      assert(back(i).mightContainLong(i.toLong),
+        s"shard $i holds the wrong filter — index order scrambled")
+  }
 }

@@ -102,6 +102,52 @@ class CurationStreamSpec extends SparkSpecBase {
       "an empty drain must not advance the state")
   }
 
+  test("start-time guards: semantic lake needs opt-in; hostCapN needs counters and host-bearing files") {
+    val inDir = tmp("curstream-gin"); val outDir = tmp("curstream-gout")
+    withHost(d1).coalesce(1).write.mode("append").parquet(inDir)
+
+    // semantic-enabled lake without skipSemantic: refused at start (the
+    // stream carries no embeddings — silent decay must be opted into)
+    val rootSem = tmp("curstream-gsem") + "/state"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").filter($"vec_id" < 200)
+    IncrementalCuration.initLake(history, Some(emb), rootSem)
+    val eSem = intercept[IllegalArgumentException] {
+      CurationStream.runAvailable(spark, inDir, rootSem, outDir,
+        tmp("curstream-gck1"), specCfg, withHost = true)
+    }
+    assert(eSem.getMessage.contains("skipSemantic"), eSem.getMessage)
+    // with the explicit opt-in the same stream drains
+    CurationStream.runAvailable(spark, inDir, rootSem, outDir,
+      tmp("curstream-gck2"), specCfg.copy(skipSemantic = true), withHost = true)
+    assert(spark.read.parquet(outDir).count() > 0)
+
+    // hostCapN without the counters table: refused at start, not inside
+    // batch 0 after its intent is written
+    val eCap = intercept[IllegalArgumentException] {
+      CurationStream.runAvailable(spark, inDir, initRoot(), outDir,
+        tmp("curstream-gck3"), specCfg.copy(hostCapN = Some(5)), withHost = true)
+    }
+    assert(eCap.getMessage.contains("hosts table"), eCap.getMessage)
+
+    // hostCapN without withHost: refused at start
+    val rootHost = initHostRoot()
+    intercept[IllegalArgumentException] {
+      CurationStream.runAvailable(spark, inDir, rootHost, outDir,
+        tmp("curstream-gck4"), specCfg.copy(hostCapN = Some(5)), withHost = false)
+    }
+
+    // withHost = true but the drop files carry no host column: refused at
+    // start (they would stream as all-NULL hosts — cap silently bypassed)
+    val inNoHost = tmp("curstream-gin2")
+    d1.coalesce(1).write.mode("append").parquet(inNoHost)
+    val eFiles = intercept[IllegalArgumentException] {
+      CurationStream.runAvailable(spark, inNoHost, rootHost, outDir,
+        tmp("curstream-gck5"), specCfg, withHost = true)
+    }
+    assert(eFiles.getMessage.contains("NULL"), eFiles.getMessage)
+  }
+
   test("crash after full state commit but before output append: replay restores the lost output") {
     val rootA = initRoot(); val rootB = initRoot()
     val outA = tmp("curstream-outA"); val outB = tmp("curstream-outB")
