@@ -34,7 +34,10 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 case class BloomMightContainSharded(child: Expression,
                                     bf: Broadcast[Array[BloomFilter]])
-    extends UnaryExpression {
+    extends UnaryExpression
+    // analysis-time type check: a non-string digest (e.g. the LongType gram
+    // column) would otherwise launch and die per-task with ClassCastException
+    with org.apache.spark.sql.graftshim.ExpectsStringInput {
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "might_contain_sharded"
@@ -67,15 +70,14 @@ object BloomMightContainSharded {
 
   /** Shard-route + probe. Static so generated code is one call; the string
     * materialization matches the build side's `putString` exactly (same
-    * UTF-8 bytes, same MurmurHash3 shard router as
-    * [[graft.operators.IncrementalDedup.shardOf]]). */
+    * UTF-8 bytes), and the shard router IS the build side's
+    * [[graft.operators.IncrementalDedup.shardOf]] — one implementation, so
+    * the two sides cannot drift (a divergent probe router would route to
+    * the wrong filter: Bloom false negatives, silently admitted dups). */
   def probe(filters: Array[BloomFilter], d: UTF8String): Boolean = {
     val s = d.toString
-    val b = filters.length
-    val shard =
-      if (b == 1) 0
-      else java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s), b)
-    filters(shard).mightContainString(s)
+    filters(graft.operators.IncrementalDedup.shardOf(s, filters.length))
+      .mightContainString(s)
   }
 
   def might_contain_sharded(digest: Column,

@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform(TextFunctions.ngrams(text, k, distinct = false), hash60)`
   * it replaces in [[graft.operators.ExactSubstring.occurrences]]:
   * same tokenizer quirks as [[MinHashSignatures]] (space-only trim,
-  * Spark's split with limit -1, default-locale lowercasing), hash60 =
+  * Spark's split with limit -1, Spark-dispatch lowercasing), hash60 =
   * first 15 hex digits of md5 = top 60 bits of the digest
   * (GramHash60Spec pins the equality; the q53/q74/q91 DuckDB oracles
   * recompute the same value independently). NULL text → EMPTY array,
@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * the posexplode downstream fans out 8-byte longs instead of ~50-byte
   * gram strings. */
 case class GramHash60s(child: Expression, gramWidth: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftshim.ExpectsStringInput {
   require(gramWidth >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -50,7 +51,8 @@ case class GramHash60s(child: Expression, gramWidth: Int)
     var e = text.length
     while (s < e && text.charAt(s) == ' ') s += 1
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
-    val toks = MinHashSignatures.Ws.split(text.substring(s, e).toLowerCase(), -1)
+    val toks = MinHashSignatures.Ws.split(
+      MinHashPerms.lowerLikeSpark(text.substring(s, e)), -1)
     if (toks.length < gramWidth) return ArrayData.toArrayData(Array.emptyLongArray)
     val n = toks.length - gramWidth + 1
     val out = new Array[Long](n)
@@ -65,12 +67,9 @@ case class GramHash60s(child: Expression, gramWidth: Int)
         sb.append(toks(i + j)); j += 1
       }
       md.reset()
-      val h = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 15 hex digits of the md5 = top 60 bits of the first 8 bytes
-      var d = 0L
-      var b = 0
-      while (b < 8) { d = (d << 8) | (h(b) & 0xffL); b += 1 }
-      out(i) = d >>> 4
+      out(i) = MinHashPerms.h60Bytes(
+        md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       i += 1
     }
     ArrayData.toArrayData(out)

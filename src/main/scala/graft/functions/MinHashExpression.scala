@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (md5(s + "#" + i), which spent 16 md5 block computations per shingle).
   */
 case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftshim.ExpectsStringInput {
   require(k >= 1 && shingleWidth >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"
@@ -39,12 +40,13 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
     var e = text.length
     while (s < e && text.charAt(s) == ' ') s += 1
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
-    // no-arg toLowerCase on purpose: Spark's lower() (UTF8String
-    // .toLowerCaseSlow) calls String.toLowerCase() with the DEFAULT locale
-    // for non-ASCII input, so Locale.ROOT here would diverge from the long
-    // form / oracle under e.g. a tr-TR JVM (İ → i̇ vs ı̇ dotting rules)
+    // lowerLikeSpark replicates Spark's lower() dispatch: ASCII input
+    // lowers locale-independently (Spark's fast path), non-ASCII falls to
+    // default-locale toLowerCase (Spark's slow path) — Locale.ROOT there
+    // would diverge under e.g. a tr-TR JVM (İ dotting rules), and a bare
+    // toLowerCase() would diverge on ASCII under the same locale
     val toks = MinHashSignatures.Ws.split(
-      text.substring(s, e).toLowerCase(), -1)
+      MinHashPerms.lowerLikeSpark(text.substring(s, e)), -1)
     val sigs = Array.fill(k)(Long.MaxValue)
     if (toks.length >= shingleWidth) {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -62,12 +64,9 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
         val sh = sb.toString
         if (seen.add(sh)) {
           md.reset()
-          val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          // first 15 hex digits = top 60 bits of the first 8 bytes, >>> 4
-          var h = 0L
-          var b = 0
-          while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-          h = h >>> 4
+          // first 15 hex digits = top 60 bits of the first 8 bytes
+          val h = MinHashPerms.h60Bytes(
+            md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           var p = 0
           while (p < k) {
             val v = MinHashPerms.permute(as(p), bs(p), h)
@@ -104,13 +103,47 @@ object MinHashSignatures {
 object MinHashPerms {
   val P: Long = (1L << 61) - 1
 
-  private def h60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** Top 60 bits of an md5 digest's first 8 bytes (== the value of the
+    * first 15 hex digits) — THE portable hash primitive every persisted
+    * key in the engine shares with the DuckDB oracles. One implementation
+    * so the eval paths (minhash, gram hashes, the permutation constants)
+    * cannot drift from each other. */
+  @inline def h60Bytes(d: Array[Byte]): Long = {
     var v = 0L
     var b = 0
     while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
     v >>> 4
+  }
+
+  /** Lowercase EXACTLY like Spark's `lower()` (UTF8String.toLowerCase):
+    * full-ASCII input takes a locale-INDEPENDENT 'A'–'Z' fast path; only
+    * non-ASCII input falls to default-locale String.toLowerCase (which is
+    * what UTF8String.toLowerCaseSlow does). A bare String.toLowerCase()
+    * would diverge on ASCII under a tr-TR default locale ("WIFI" →
+    * "wıfı" with dotless ı, where Spark's ASCII path gives "wifi") —
+    * breaking the value-identity these expressions pin against the
+    * declarative forms and the SQL oracles. */
+  def lowerLikeSpark(s: String): String = {
+    var i = 0
+    val n = s.length
+    var ascii = true
+    while (i < n && ascii) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) s.toLowerCase()
+    else {
+      val arr = s.toCharArray
+      var j = 0
+      while (j < n) {
+        val c = arr(j)
+        if (c >= 'A' && c <= 'Z') arr(j) = (c + 32).toChar
+        j += 1
+      }
+      new String(arr)
+    }
+  }
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    h60Bytes(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   def a(i: Int): Long = h60("a" + i) * 2 + 1

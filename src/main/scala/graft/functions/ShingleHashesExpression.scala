@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform(array_distinct(grams), xxhash64)` it replaces
   * ([[TextFunctions.shingleHashes]]'s original formulation) — same
   * tokenizer quirks as [[MinHashSignatures]] (space-only trim, Spark's
-  * split with limit -1, default-locale lowercasing), distinct BY STRING
+  * split with limit -1, Spark-dispatch lowercasing), distinct BY STRING
   * (an xxhash collision between two distinct shingles yields the value
   * twice, exactly like the old chain) — but computed in one pass per row.
   *
@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Catalyst arrays.
   */
 case class ShingleHashes(child: Expression, shingleWidth: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftshim.ExpectsStringInput {
   require(shingleWidth >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -47,12 +48,13 @@ case class ShingleHashes(child: Expression, shingleWidth: Int)
     val text = v.asInstanceOf[UTF8String].toString
     // tokenize EXACTLY like split(lower(trim(text)), "\s+") — see
     // MinHashSignatures for why trim is space-only, split keeps empties
-    // (limit -1) and lowercasing uses the default locale
+    // (limit -1) and lowercasing follows Spark's ASCII/slow dispatch
     var s = 0
     var e = text.length
     while (s < e && text.charAt(s) == ' ') s += 1
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
-    val toks = MinHashSignatures.Ws.split(text.substring(s, e).toLowerCase(), -1)
+    val toks = MinHashSignatures.Ws.split(
+      MinHashPerms.lowerLikeSpark(text.substring(s, e)), -1)
     if (toks.length < shingleWidth) return ArrayData.toArrayData(Array.emptyLongArray)
     val seen = new java.util.HashSet[String]()
     val out = new scala.collection.mutable.ArrayBuilder.ofLong

@@ -74,10 +74,18 @@ object IncrementalDedup {
     * ([[graft.sources.StateLake.readBloom]]): a daily step loads the
     * accumulated per-batch filters and never scans the history digest
     * table to rebuild them (at 10¹²-key scale the rebuild is a full
-    * history pass per day; the sidecar read is megabytes). The verify
-    * anti-join against `history` still runs, so the answer is identical
-    * whatever filters are passed — a stale or over-full filter costs
-    * suspects, never correctness. */
+    * history pass per day; the sidecar read is megabytes).
+    *
+    * CONTRACT: `filters` must cover a SUPERSET of `history(digestCol)`.
+    * A filter MISSING history digests produces Bloom false negatives —
+    * those rows route to `definitelyNew` and BYPASS the verify anti-join,
+    * silently admitting duplicates (correctness, not cost). Only
+    * OVER-full filters are harmless: extra digests merely degrade fpp, so
+    * more rows pay the verify join. The lake path guarantees the superset
+    * by construction — the state version is the min committed batch across
+    * data tables AND Bloom sidecars
+    * ([[graft.pipeline.IncrementalCuration.lakeStateVersion]]), so a
+    * sidecar can never lag the table it guards. */
   def newOnlyPrebuilt(batch: DataFrame, history: DataFrame, digestCol: String,
                       filters: Array[BloomFilter]): Prefiltered = {
     val bfB = batch.sparkSession.sparkContext.broadcast(filters)
@@ -171,7 +179,12 @@ object IncrementalDedup {
     import graft.functions.{TextFunctions => TF}
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "band_digest").orderBy("id")
+    // materialized once: the batch band table feeds hB's semi-join probe
+    // set AND the candidate join, and (through cand) three more consumers —
+    // left lazy, the md5-per-shingle MinHash pass over the whole batch
+    // would re-run per plan subtree (the CPU-dominant stage of the step)
     val bB = bandTable(batch, idCol, textCol, shingleWidth = shingleWidth)
+      .localCheckpoint()
     // the flood-cap window runs ONLY over buckets the batch probes: the
     // history band table is 10-100x the batch and windowing all of it per
     // step dominated the step's cost (at scale the semi-join is satisfied
@@ -186,10 +199,13 @@ object IncrementalDedup {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxBucket).drop("_rn")
       .localCheckpoint()
+    // candidate pairs are batch-scale and consumed three times (both
+    // verify-side semi-joins + the final join) — materialize once
     val cand = bB.select(col("band"), col("band_digest"), col("id").as("batch_id"))
       .join(hB.select(col("band"), col("band_digest"), col("id").as("hist_id")),
         Seq("band", "band_digest"))
       .select("batch_id", "hist_id").distinct()
+      .localCheckpoint()
     // shingles ONLY for docs that reached a candidate pair: the history is
     // 10-100x the batch, and computing (and shuffling) a ~200-element
     // shingle array for every history doc to verify a few thousand
@@ -301,7 +317,9 @@ object IncrementalDedup {
   }
 
   /** [[newLinesOnlyManaged]] with the line-digest filters supplied — the
-    * persisted-sidecar path, same contract as [[newOnlyPrebuilt]]. */
+    * persisted-sidecar path, same SUPERSET contract as [[newOnlyPrebuilt]]
+    * (a filter missing history line digests silently re-admits known
+    * boilerplate lines). */
   def newLinesOnlyPrebuilt(batch: DataFrame, historyDigests: DataFrame,
                            idCol: String, textCol: String,
                            filters: Array[BloomFilter]): Prefiltered = {
@@ -326,22 +344,30 @@ object IncrementalDedup {
   def lineDedupBatches(batches: Seq[DataFrame], history0: DataFrame,
                        idCol: String, textCol: String, expectedItems: Long,
                        fpp: Double = 0.01, shards: Int = 1): Seq[DataFrame] = {
-    var history = lineDigests(history0, idCol, textCol).select("line_digest")
-      .localCheckpoint()
+    // the digest history accumulates as PIECES (the nearDedupBatches
+    // discipline): each piece is checkpointed once at birth and the
+    // per-batch view is a lazy union — re-checkpointing the whole history
+    // per batch would recompute and copy O(N²) rows across the loop and
+    // hold a full history generation per iteration in the block manager
+    var pieces = Vector(
+      lineDigests(history0, idCol, textCol).select("line_digest")
+        .localCheckpoint())
     val out = Seq.newBuilder[DataFrame]
     for (batch <- batches) {
-      val pf = newLinesOnlyManaged(batch, history, idCol, textCol,
-        expectedItems, fpp, shards)
+      val pf = newLinesOnlyManaged(batch, pieces.reduce(_ unionByName _),
+        idCol, textCol, expectedItems, fpp, shards)
       val survivors = pf.df.localCheckpoint() // eager: probe tasks run now
       pf.release()
       out += survivors
       // distinct per appended piece: a boilerplate line surviving in 10k
       // batch docs must append ONE digest, not 10k — history size (and
       // every later filter build) should grow with distinct lines, not
-      // line occurrences
-      history = history.unionByName(
-        lineDigests(survivors.withColumnRenamed("text_dedup", "t"), "id", "t")
-          .select("line_digest").distinct()).localCheckpoint()
+      // line occurrences. (Cross-piece repeats of a digest are harmless:
+      // anti/semi semantics ignore right-side duplicates, the same reason
+      // newOnlyPrebuilt skips a history-wide distinct.)
+      pieces :+= lineDigests(survivors.withColumnRenamed("text_dedup", "t"),
+          "id", "t")
+        .select("line_digest").distinct().localCheckpoint()
     }
     out.result()
   }
@@ -363,7 +389,9 @@ object IncrementalDedup {
       buildFilterArray(history, digestCol, expectedItems, fpp, shards))
 
   /** [[seenOnlyManaged]] with the filters supplied — the persisted-sidecar
-    * path, same contract as [[newOnlyPrebuilt]]. */
+    * path, same SUPERSET contract as [[newOnlyPrebuilt]] (here a false
+    * negative silently SKIPS a span cut the history holds the canonical
+    * copy of). */
   def seenOnlyPrebuilt(probe: DataFrame, history: DataFrame,
                        digestCol: String,
                        filters: Array[BloomFilter]): Prefiltered = {
@@ -416,7 +444,15 @@ object IncrementalDedup {
     * gram already present in the gram history — the spans last month's
     * corpus holds the canonical copy of. Bloom-prefiltered membership
     * ([[seenOnlyManaged]]): the overwhelming majority of a fresh crawl's
-    * grams are new and never shuffle; only suspects pay the semi join. */
+    * grams are new and never shuffle; only suspects pay the semi join.
+    *
+    * SIZING: `expectedItems` must be sized for GRAM grain — ~512 distinct
+    * grams per doc at k=8, i.e. orders of magnitude above doc counts. The
+    * 2²⁰ default suits only small fixtures; an undersized filter saturates
+    * (fpp → 1) and silently degenerates the prefilter into shuffling every
+    * occurrence into the verify join (correct, but the cost the filter
+    * exists to avoid). Production sizes from the real gram-table count the
+    * way [[graft.pipeline.IncrementalCuration.stepLake]] does. */
   def crossSpanCutsManaged(batch: DataFrame, historyGrams: DataFrame,
                            idCol: String, textCol: String, k: Int = 8,
                            expectedItems: Long = 1 << 20, fpp: Double = 0.01,

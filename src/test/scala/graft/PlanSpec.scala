@@ -185,9 +185,15 @@ class PlanSpec extends SparkSpecBase {
     val p = executedPlan("q65_incr_neardup")
     assert(!p.contains("CartesianProduct"), s"candidate step must stay an equi-join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"candidate step must stay an equi-join:\n$p")
-    // the batch-side signature path is the per-row expression — no explode
-    // shuffle feeding the band computation
-    assert(p.contains("minhash_sigs"), "per-row signature expression missing")
+    // the batch band table and the candidate pairs materialize ONCE behind
+    // localCheckpoints (IncrementalDedup.nearCrossPairs) — the verify plan
+    // reads the stored tables (ExistingRDD scans) instead of re-running the
+    // md5-per-shingle signature pass per plan consumer; the per-row
+    // signature expression itself is plan-pinned in the q14/q16 guards
+    assert(p.contains("Scan ExistingRDD"),
+      s"materialized band/candidate scan missing:\n$p")
+    assert(!p.contains("minhash_sigs"),
+      "signature pass leaked back into the verify plan — bands no longer materialized once")
   }
 
   test("q66: incremental semdedup joins only on cell ids — no cartesian, no nested loop") {

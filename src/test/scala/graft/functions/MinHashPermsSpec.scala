@@ -29,6 +29,28 @@ class MinHashPermsSpec extends AnyFunSuite {
     }
   }
 
+  test("lowerLikeSpark matches Spark's lower() dispatch, including under tr-TR") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      // ASCII fast path is locale-INDEPENDENT in Spark — 'I' must lower to
+      // 'i', not the Turkish dotless ı a bare String.toLowerCase() gives
+      val ascii = "FREE WIFI IN LOBBY"
+      assert(MinHashPerms.lowerLikeSpark(ascii) == "free wifi in lobby")
+      assert(MinHashPerms.lowerLikeSpark(ascii) ==
+        UTF8String.fromString(ascii).toLowerCase.toString)
+      assert(ascii.toLowerCase() != "free wifi in lobby",
+        "precondition: the bare JVM lowercase DOES diverge under tr-TR")
+      // non-ASCII input takes Spark's slow path = default-locale toLowerCase
+      for (s <- Seq("İSTANBUL Ağrı", "STRASSE ß", "ΑΘΗΝΑ MIX")) {
+        assert(MinHashPerms.lowerLikeSpark(s) == s.toLowerCase())
+        assert(MinHashPerms.lowerLikeSpark(s) ==
+          UTF8String.fromString(s).toLowerCase.toString, s)
+      }
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("constants match their md5-60 definition and stay in range") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h60(s: String): Long =
