@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * text (a crawler follows links wherever they appear). One O(|html|) scan.
   */
 case class ExtractLinks(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftshim.ExpectsStringInput {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "extract_links"
 
@@ -44,7 +45,13 @@ object ExtractLinks {
     * tags stripped quote-aware, whitespace runs collapsed to one space,
     * trimmed; entities left verbatim — aggregation keys don't need them
     * decoded). An unterminated anchor runs to end of input; `<a>` tags
-    * without an href yield nothing, exactly like [[links]]. */
+    * without an href yield nothing, exactly like [[links]]. Known
+    * limitation (pinned in LinkAnchorsFuzzSpec): the inner-tag skip treats
+    * `<!-- ... -->` like any other tag — it skips only to the first '>' —
+    * so a commented-out close tag inside an anchor body (`<a href=x>t
+    * <!-- </a> --> u</a>`) leaks the comment tail into the anchor text or
+    * terminates it early, depending on where the comment's first '>'
+    * falls. hrefs are unaffected (scanAnchors is a separate pass). */
   def linkAnchors(html: String): Array[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     scanAnchors(html, (href, bodyStart) =>
@@ -162,7 +169,8 @@ object ExtractLinks {
   * host it describes a page in its LINKERS' words, which spam can't cheaply
   * forge at scale. One O(|html|) scan, same scanner as `extract_links`. */
 case class ExtractLinkAnchors(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftshim.ExpectsStringInput {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("href", StringType, nullable = false),
     StructField("anchor", StringType, nullable = false))), containsNull = false)

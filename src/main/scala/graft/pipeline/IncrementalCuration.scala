@@ -651,7 +651,12 @@ object IncrementalCuration {
     // bootstrap corpus (a once-ever column-pruned max over doc_id).
     // A pinned replay reads upTo = the recorded pre-batch version, so its
     // own first attempt's append is excluded and the check replays clean.
+    // skip data-file-less appends FIRST (a zero-survivor batch commits a
+    // dir holding only _SUCCESS, and spark.read.parquet on it throws
+    // UNABLE_TO_INFER_SCHEMA before the null-max skip could engage — one
+    // fully-deduped day must not break every later step on this lake)
     val histMax: Option[Long] = (stateVersion to 0 by -1).iterator
+      .filter(b => StateLake.batchHasData(spark, s"$root/docs", b))
       .map(b => StateLake.readBatch(spark, s"$root/docs", b)
         .agg(max("doc_id")).head())
       .collectFirst { case r if !r.isNullAt(0) => r.getLong(0) }

@@ -109,6 +109,23 @@ object StateLake {
     spark.read.option("basePath", dir)
       .parquet(new Path(dir, f"batch=$batchId%06d").toString)
 
+  /** True when committed batch `batchId` holds at least one parquet data
+    * file. A zero-row append (e.g. an all-duplicate crawl day) commits a
+    * batch dir containing only _SUCCESS — no partition dirs, no data —
+    * and `spark.read.parquet` on such a dir throws UNABLE_TO_INFER_SCHEMA,
+    * so callers that walk batch dirs ([[readBatch]] consumers like the
+    * monotone-id guard) must skip data-less batches first. One driver-side
+    * listing per batch dir, no Spark job. */
+  def batchHasData(spark: SparkSession, dir: String, batchId: Int): Boolean = {
+    val f = fs(spark, dir)
+    def any(p: Path): Boolean = f.listStatus(p).exists { s =>
+      if (s.isDirectory) any(s.getPath)
+      else !s.getPath.getName.startsWith("_") && s.getLen > 0
+    }
+    val d = new Path(dir, f"batch=$batchId%06d")
+    f.exists(d) && any(d)
+  }
+
   /** [[read]] restricted to the buckets a probe key set can touch — the
     * per-step history read: `buckets` comes from the batch side (bounded
     * by nBuckets, never data-scale), and the filter prunes the scan to the
@@ -166,8 +183,10 @@ object StateLake {
       // scrambles index-vs-shard beyond 1000 shards (shard-1000 < shard-101),
       // and a scrambled array means might_contain_sharded probes the wrong
       // filter — Bloom false NEGATIVES, i.e. silently admitted duplicates
+      // only files this writer's naming produced: a stray .bf (foreign tool
+      // output, a copy suffix) must not break the parsed-index sort
       val shardFiles = f.listStatus(d).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".bf"))
+        .filter(s => s.isFile && s.getPath.getName.matches("shard-\\d+\\.bf"))
         .sortBy(_.getPath.getName.stripPrefix("shard-").stripSuffix(".bf").toInt)
       val batchFilters = shardFiles.map { s =>
         val in = f.open(s.getPath)

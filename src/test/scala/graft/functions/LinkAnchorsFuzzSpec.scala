@@ -19,7 +19,23 @@ class LinkAnchorsFuzzSpec extends AnyFunSuite {
     "href=/s", ">", "<", "<b>", "</b>", "<i class=\"x>y\">", "</i>",
     "<abbr>", "</abbr>", "<A HREF='/UP'>", "</A>",
     "text", "5 < 6", "x <= y", "a > b", " ", "\n", "\t", "  ", "'", "\"",
-    "&amp;", "<!-- c -->", "<a href='un", "terminated", "=", "/p1")
+    "&amp;", "<!-- c -->", "<a href='un", "terminated", "=", "/p1",
+    // a commented-out close tag inside an anchor body: the inner-tag skip
+    // is NOT comment-aware (documented in linkAnchors) — this fragment
+    // pins that the chosen behavior at least keeps the 1:1 href pairing
+    "<!-- </a> -->")
+
+  test("commented-out </a> inside an anchor body: documented termination, hrefs unaffected") {
+    val html = "<a href=x>t <!-- </a> --> u</a><a href=y>v</a>"
+    val pairs = ExtractLinks.linkAnchors(html)
+    // hrefs always pair 1:1 with extract_links, comment or not
+    assert(pairs.map(_._1).toSeq == ExtractLinks.links(html).toSeq)
+    assert(pairs.map(_._1).toSeq == Seq("x", "y"))
+    // the documented (non-comment-aware) behavior: the inner-tag skip eats
+    // '<!-- </a' up to the comment's first '>', the comment tail '-- >'
+    // leaks into the body, and the real '</a>' terminates normally
+    assert(pairs.map(_._2).toSeq == Seq("t --> u", "v"))
+  }
 
   test("20k seeded random markups: no throw, hrefs pair 1:1 with extract_links, anchors collapsed") {
     val rnd = new scala.util.Random(20260819L)

@@ -54,6 +54,34 @@ class LakeIncrementalSpec extends SparkSpecBase {
     assert(ids(ok).nonEmpty)
   }
 
+  test("a zero-survivor batch (all exact recrawls) does not break later steps") {
+    val root = tmp()
+    IncrementalCuration.initLake(history, None, root)
+    // every row an exact recrawl of a history doc → zero survivors → the
+    // docs append for batch 1 commits with NO data files; the monotone-id
+    // guard's backward scan must skip it (spark.read.parquet on a
+    // data-less dir throws UNABLE_TO_INFER_SCHEMA)
+    val recrawls = history.filter($"doc_id" < 40)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val dead = IncrementalCuration.stepLake(spark, root, recrawls,
+      expectedHistoryDigests = 1 << 10)
+    assert(ids(dead).isEmpty)
+    assert(!StateLake.batchHasData(spark, s"$root/docs", 1))
+    // the next day still steps, and the guard still sees through the empty
+    // append to the bootstrap ids: a non-monotone batch is still refused
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.stepLake(spark, root,
+        base.filter($"doc_id" >= 100 && $"doc_id" < 120),
+        expectedHistoryDigests = 1 << 10)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    val ok = IncrementalCuration.stepLake(spark, root,
+      base.filter($"doc_id" >= 200 && $"doc_id" < 220)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"),
+      expectedHistoryDigests = 1 << 10)
+    assert(ids(ok).nonEmpty)
+  }
+
   test("stepLake equals the in-memory step, state tables round-trip exactly") {
     val root = tmp()
     // in-memory reference: all state classes on
