@@ -138,13 +138,21 @@ object Dedup {
     // cluster scale this is a reliable-checkpoint write)
     val p = pairs.localCheckpoint()
     val base = df.select(col(idCol).cast("long").as("id"), col(textCol))
-    def side(pairCol: String, shCol: String) = base
-      .join(p.select(col(pairCol).as("id")).distinct(), Seq("id"), "left_semi")
-      .select(col("id").as(pairCol),
-        TF.shingleHashes(col(textCol), shingleWidth).as(shCol))
+    // ONE shingle table for both pair sides: the per-side formulation paid
+    // the docs exchange (id + full text, for the semi join) and the shingle
+    // expression once PER SIDE, and a doc appearing in pairs as both a and
+    // b (any cluster of ≥3) computed its shingles twice. Candidate ids are
+    // pair-scale, so the materialized table is small and both attach joins
+    // broadcast it; at cluster scale this is a reliable-checkpoint write,
+    // like the pair checkpoint above.
+    val ids = p.select(col("id_a").as("id"))
+      .unionByName(p.select(col("id_b").as("id"))).distinct()
+    val sh = base.join(ids, Seq("id"), "left_semi")
+      .select(col("id"), TF.shingleHashes(col(textCol), shingleWidth).as("sh"))
+      .localCheckpoint()
     p
-      .join(side("id_a", "sh_a"), "id_a")
-      .join(side("id_b", "sh_b"), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -162,11 +170,16 @@ object Dedup {
     * "distinct contaminated shingles". */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, width: Int = 3): DataFrame = {
+    // both sides ride the one-pass ShingleHashes expression (the Jaccard-
+    // verify representation): the corpus explode and the broadcast set carry
+    // 8-byte longs instead of ~30-byte shingle strings, and the per-row
+    // higher-order gram construction collapses into one expression pass —
+    // same 2⁻⁶⁴ collision trade as every hashed-shingle key here
     val benchShingles = bench
-      .select(explode(TF.shingles(col(textCol), width)).as("s")).distinct()
+      .select(explode(TF.shingleHashes(col(textCol), width)).as("s")).distinct()
     corpus
       .select(col(idCol).cast("long").as("id"),
-        explode(TF.shingles(col(textCol), width)).as("s"))
+        explode(TF.shingleHashes(col(textCol), width)).as("s"))
       .join(broadcast(benchShingles), "s")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
@@ -188,15 +201,27 @@ object Dedup {
     * fixpoint still isn't reached the call THROWS rather than returning
     * partially-propagated labels. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // both directions in ONE pass over the pair subtree (the union-of-two-
+    // selects form planned the upstream pair pipeline twice — the verify
+    // joins included — because nothing upstream is an exchange a reuse rule
+    // could share)
     val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
+      .select(explode(array(
+          struct(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+          struct(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // seed = the first propagation round from identity labels, collapsed
+    // into ONE aggregation: with label(id) = id everywhere, a round's
+    // viaNeighbor/viaLabel min is exactly min(id, min neighbor(id)) — so
+    // the seed replaces the old identity-label distinct AND the first
+    // round's two joins with a single map-side-combining agg over edges
+    var labels = edges.groupBy(col("src").as("id")).agg(min("dst").as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
+      .localCheckpoint()
     var converged = false
-    var iter = 0
+    var iter = 1 // the seed is round 1
     while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
@@ -255,9 +280,25 @@ object Dedup {
   }
 
   /** SimHash-64: per token-hash bit voting — near-identical docs land on
-    * digests within small Hamming distance. Pure column algebra: for each of
-    * 64 bits, sum ±1 votes across token hashes; bit set iff the sum > 0. */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * digests within small Hamming distance. Computed by the one-pass
+    * [[graft.functions.SimHash60]] expression: SimHash is a pure
+    * per-document function, so no token ever shuffles (the declarative
+    * explode + 60-column vote aggregation it replaced moved every token
+    * hash through an exchange; DedupSpec pins the value identity). A doc
+    * with NULL text yields no row, exactly like the explode form. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        // coalesce never fires (nulls are filtered above) — it only pins the
+        // column non-nullable, matching the aggregate form's output schema
+        coalesce(graft.functions.SimHashFunctions.simhash60(col(textCol)),
+          lit(0L)).as("simhash"))
+
+  /** The explode/groupBy formulation [[simhash64]] replaced — kept for the
+    * DedupSpec value-identity pin (it IS the specification of the bit
+    * votes; the SQL oracle mirrors this shape). */
+  private[graft] def simhash64Declarative(df: DataFrame, idCol: String,
+                                          textCol: String): DataFrame = {
     val th = df.select(col(idCol).cast("long").as("id"),
         explode(TF.tokensLower(col(textCol))).as("tok"))
       .select(col("id"), TF.hash60(col("tok")).as("h"))

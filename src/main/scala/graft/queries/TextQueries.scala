@@ -503,10 +503,17 @@ object TextQueries {
 
     // Gopher-style duplicate-ngram signal: fraction of each doc's distinct
     // word-5-grams that occur in >1 document corpus-wide. One shuffle on the
-    // uniform gram key (window df count), one on doc_id.
+    // uniform gram key (window df count), one on doc_id. The gram key is the
+    // one-pass 60-bit gram hash (same expression and 2⁻⁶⁰ collision trade as
+    // q53, GramHash60Spec pins value-identity with hash60∘ngrams): the
+    // exploded rows and the window exchange carry 8-byte longs instead of
+    // ~40-byte gram strings, and the nested per-gram concat_ws/element_at
+    // tree (which re-evaluated the token split per element) collapses into
+    // one expression evaluation per row.
     "q40_dup_ngram_ratio" -> ((s, dir) => {
       val grams = docsWithNearDups(s, dir)
-        .select(col("doc_id"), explode(TF.shingles(col("text"), 5)).as("g"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.GramHash60Functions.gram_hash60s(col("text"), 5))).as("g"))
       val dfw = org.apache.spark.sql.expressions.Window.partitionBy("g")
       grams.withColumn("docfreq", count(lit(1)).over(dfw))
         .groupBy("doc_id").agg(

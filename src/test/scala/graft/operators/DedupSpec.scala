@@ -95,6 +95,28 @@ class DedupSpec extends SparkSpecBase {
     assert(hamming(sh(0L), sh(1L)) <= 8)
   }
 
+  test("simhash expression equals the declarative explode/groupBy form") {
+    // fixture corpus + the tokenizer's edge shapes: tab/newline framing
+    // (trim strips only ' ', split keeps the resulting empty tokens),
+    // empty and all-space docs (ONE "" token), repeated tokens (multiset
+    // votes), non-ASCII (locale lowercasing path), mixed-case ASCII
+    val edges = Seq(
+      (9001L, "\tleading tab"), (9002L, "trailing newline\n"),
+      (9003L, ""), (9004L, "   "), (9005L, "dup dup dup dup unique"),
+      (9006L, "İstanbul ŞEHİR café"), (9007L, "MIXED Case TOKENS"),
+      (9008L, " spaced  out  ")).toDF("doc_id", "text")
+    val in = docs.unionByName(edges)
+    val fast = Dedup.simhash64(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.simhash64Declarative(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    // a NULL text yields no row in either form
+    val withNull = edges.unionByName(
+      Seq((9100L, null: String)).toDF("doc_id", "text"))
+    assert(Dedup.simhash64(withNull, "doc_id", "text").count() == 8)
+  }
+
   test("candidate-pair flood cap: 1k identical docs star-link linearly, not 500k pairs") {
     // An identical-doc flood puts every copy in the same (band, digest)
     // bucket; without the cap the self-join squares it (1000 copies →
