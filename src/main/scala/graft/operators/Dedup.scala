@@ -89,6 +89,27 @@ object Dedup {
       .select(col("id"), col("pos").cast("long").as("band"), col("col").as("band_digest"))
   }
 
+  /** [[lshBandsFast]] with an 8-byte band key: digest = xxhash64 of the
+    * band's signature slice (the long array hashed directly — no string
+    * materialization, no md5). The INTERNAL band representation for tables
+    * that shuffle, window, and persist at history scale
+    * ([[IncrementalDedup.bandTable]], the lake bands table): the md5-hex
+    * form moves a 32-char string per band row where this moves a long —
+    * most of the band table's exchange and storage bytes (guide §2.3,
+    * narrower types). Candidate semantics are unchanged: equal sig slices
+    * hash equal, and an xxhash collision between DIFFERENT slices only
+    * MERGES two buckets — extra candidate pairs that then face the exact
+    * Jaccard verify, never a lost candidate (recall-safe; the 2⁻⁶⁴ trade
+    * every hashed key here makes). The md5-string form stays the declared
+    * q15 surface. */
+  def lshBandsHashed(sigs: DataFrame, rowsPerBand: Int = 4, k: Int = 16): DataFrame = {
+    val nBands = k / rowsPerBand
+    sigs.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(nBands - 1)), b =>
+          xxhash64(slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("id"), col("pos").cast("long").as("band"), col("col").as("band_digest"))
+  }
+
   /** LSH band digests: group each signature into bands of `rowsPerBand`,
     * digest = md5 of the ordered sig values. Docs sharing any (band, digest)
     * are near-duplicate candidates. */
@@ -153,9 +174,17 @@ object Dedup {
     p
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      // |A∪B| = |A|+|B|−|A∩B|: one hash-set intersect per pair instead of
+      // intersect + a materialized union array (the union allocated ~2×
+      // the shingle payload per pair just to be sized and thrown away).
+      // Shingle arrays are distinct-by-construction, so the identity is
+      // exact (ShingleHashes emits a duplicate hash only on an xxhash
+      // string collision — the same 2⁻⁶⁴ trade the hashed arrays make).
+      // The intersect stays in its own projection so CollapseProject
+      // cannot inline (and so duplicate) the non-cheap expression.
+      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("_i").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("_i")))
       .select("id_a", "id_b", "jaccard")
   }
 

@@ -140,11 +140,16 @@ object IncrementalDedup {
     * batch's survivors here and stores it BUCKETED BY band_digest
     * ([[graft.sources.PageLake.writeBucketedTable]] discipline) so the
     * per-batch candidate join below shuffles ONLY the incoming batch's
-    * bands — the 10¹²-row history never moves again. */
+    * bands — the 10¹²-row history never moves again.
+    * `band_digest` is the 8-byte hashed form ([[Dedup.lshBandsHashed]]):
+    * this table IS the history-scale exchange/persist surface the narrow
+    * key exists for — the md5-hex string form moved 4× the key bytes
+    * through every probe semi-join, flood-cap window, candidate join and
+    * lake append (recall-safe equivalence documented there). */
   def bandTable(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 16, rowsPerBand: Int = 4,
                 shingleWidth: Int = 3): DataFrame =
-    Dedup.lshBandsFast(
+    Dedup.lshBandsHashed(
       Dedup.minhashSignaturesFast(docs, idCol, textCol, k, shingleWidth)
         .filter(element_at(col("sigs"), 1) =!= Long.MaxValue),
       rowsPerBand, k)
@@ -221,9 +226,12 @@ object IncrementalDedup {
       .select(col("hist_id"),
         TF.shingleHashes(col(textCol), shingleWidth).as("sh_b"))
     cand.join(shB, "batch_id").join(shH, "hist_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      // |A∪B| = |A|+|B|−|A∩B| — see Dedup.jaccardVerify: one intersect per
+      // pair, no materialized union array (this is the dominant stage of
+      // the verify join at 400k+ candidate pairs per step)
+      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("_i").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("_i")))
       .select("batch_id", "hist_id", "jaccard")
   }
 

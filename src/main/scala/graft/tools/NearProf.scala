@@ -89,9 +89,9 @@ object NearProf {
       }
       val out = t("verify_anti") {
         val pairs = cand.join(shB, "batch_id").join(shH, "hist_id")
-          .withColumn("jaccard",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))))
+          .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard", col("_i").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("_i")))
           .filter(col("jaccard") >= 0.5)
           .select(col("batch_id").as(idCol)).distinct()
         bWithin.join(pairs, Seq(idCol), "left_anti").localCheckpoint()

@@ -95,6 +95,21 @@ class DedupSpec extends SparkSpecBase {
     assert(hamming(sh(0L), sh(1L)) <= 8)
   }
 
+  test("hashed band digests induce exactly the md5-string form's buckets") {
+    val sigs = Dedup.minhashSignaturesFast(docs, "doc_id", "text")
+      .filter(element_at($"sigs", 1) =!= Long.MaxValue)
+    val s = Dedup.lshBandsFast(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val h = Dedup.lshBandsHashed(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s.keySet == h.keySet)
+    // same candidate buckets: two (id, band) rows share a hashed digest iff
+    // they share the md5 digest (both directions — merging OR splitting a
+    // bucket would change the candidate set)
+    for (ks <- s.keySet.groupBy(_._2).values.map(_.toSeq); a <- ks; b <- ks)
+      assert((s(a) == s(b)) == (h(a) == h(b)), s"$a vs $b")
+  }
+
   test("simhash expression equals the declarative explode/groupBy form") {
     // fixture corpus + the tokenizer's edge shapes: tab/newline framing
     // (trim strips only ' ', split keeps the resulting empty tokens),

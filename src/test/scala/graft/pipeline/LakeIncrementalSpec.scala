@@ -110,7 +110,7 @@ class LakeIncrementalSpec extends SparkSpecBase {
       df.select("doc_id", "digest").as[(Long, String)].collect().toSet
     assert(docSet(lake1.docs) == docSet(st1.docs))
     def bandSet(df: DataFrame) =
-      df.select("id", "band", "band_digest").as[(Long, Long, String)]
+      df.select("id", "band", "band_digest").as[(Long, Long, Long)]
         .collect().toSet
     assert(bandSet(lake1.bands) == bandSet(st1.bands))
     assert(lake1.lines.get.select("line_digest").as[String].collect().toSet ==
