@@ -26,6 +26,26 @@ final case class LangIdModel(
     java.lang.Math.floorMod(h, dim)
   }
 
+  /** [[bucket]] of `s.substring(from, from + n)` WITHOUT the substring
+    * allocation — a transliteration of scala's `MurmurHash3.stringHash`
+    * over the char range (same mix/mixLast/finalizeHash calls, same
+    * char-pair packing, length = n). The scorer hashes every 2- and 3-gram
+    * position of up to 4000 chars per document; the substring-per-position
+    * form allocated ~8k short-lived strings per row for values this
+    * computes in place (equality with the allocating form is spec-pinned
+    * by fuzz in LangIdSpec). */
+  @inline private[filter] def bucketRange(s: String, from: Int, n: Int): Int = {
+    var h = 42
+    var i = from
+    val end = from + n
+    while (i + 1 < end) {
+      h = MurmurHash3.mix(h, (s.charAt(i) << 16) + s.charAt(i + 1))
+      i += 2
+    }
+    if (i < end) h = MurmurHash3.mixLast(h, s.charAt(i).toInt)
+    java.lang.Math.floorMod(MurmurHash3.finalizeHash(h, n), dim)
+  }
+
   /** Classify text → (language, confidence∈(0,1]). Deterministic. Scoring is
     * capped to the first 4000 chars — ample signal for language ID, and keeps
     * per-row cost bounded on multi-MB crawl documents. */
@@ -66,8 +86,7 @@ final case class LangIdModel(
       var j = 0
       val max = padded.length - n
       while (j <= max) {
-        val g = padded.substring(j, j + n)
-        val b = bucket(g) * nLangs
+        val b = bucketRange(padded, j, n) * nLangs
         var l = 0
         while (l < nLangs) { scores(l) += weights(b + l); l += 1 }
         ngrams += 1

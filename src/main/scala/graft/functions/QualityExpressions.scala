@@ -18,9 +18,20 @@ case class RepetitionRatio(child: Expression, n: Int)
   require(n >= 1)
   override def dataType: DataType = DoubleType
   override def prettyName: String = s"repetition_ratio_$n"
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.trim
-      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+  override def nullSafeEval(input: Any): Any =
+    RepetitionRatio.ratio(input.asInstanceOf[UTF8String].toString, n)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionRatio {
+  /** The ratio's one definition, shared with the fused pipeline expression
+    * ([[QualitySignalsFull]]) so the two paths cannot drift. Quirks are
+    * deliberate and pinned (QualitySignalsSpec): JAVA trim (strips control
+    * chars too), Locale.ROOT lowercase, String.split's trailing-empty drop
+    * — this signal is its own spec, not a TF-built-in mirror. */
+  private[functions] def ratio(s: String, n: Int): Double = {
+    val toks = s.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val total = toks.length - n + 1
     if (total <= 0) return 0.0d
     val counts = new java.util.HashMap[String, Int](total * 2)
@@ -38,8 +49,6 @@ case class RepetitionRatio(child: Expression, n: Int)
     }
     maxC.toDouble / total
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** langid(text) → struct(lang string, confidence double) via the fastText-
@@ -210,12 +219,51 @@ case class QualitySignals(child: Expression)
     StructField("n_alpha_words", IntegerType, nullable = false)))
   override def prettyName: String = "quality_signals"
 
-  @inline private def isJWs(c: Char): Boolean =
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    import QualitySignals._
+    InternalRow(wordCount(s), nonWsCodePoints(s), symbolCount(s),
+      alphaWords(u.toLowerCase.toString))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The signal definitions, shared verbatim with the fused pipeline
+  * expression ([[QualitySignalsFull]]) so the two paths cannot drift. */
+object QualitySignals {
+  @inline private[functions] def isJWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Non-whitespace CODE POINTS, not UTF-16 units — Spark length() counts
+    * code points, so a surrogate pair (emoji) is one char: skip the low
+    * half. */
+  private[functions] def nonWsCodePoints(s: String): Int = {
+    var nChars = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!isJWs(c) && !Character.isLowSurrogate(c)) nChars += 1
+      i += 1
+    }
+    nChars
+  }
+
+  private[functions] def symbolCount(s: String): Int = {
+    var nSym = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '#' || c == '…') nSym += 1
+      i += 1
+    }
+    nSym
+  }
 
   /** split(trim(s), "\s+", -1).length: non-ws runs inside the space-trimmed
     * region, plus the empty tokens a leading/trailing \s char produces. */
-  private def wordCount(s: String): Int = {
+  private[functions] def wordCount(s: String): Int = {
     var b = 0
     var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
@@ -233,7 +281,7 @@ case class QualitySignals(child: Expression)
   }
 
   /** Tokens (of the lowered text) containing at least one ASCII letter. */
-  private def alphaWords(lowered: String): Int = {
+  private[functions] def alphaWords(lowered: String): Int = {
     var n = 0
     var i = 0
     val len = lowered.length
@@ -251,24 +299,74 @@ case class QualitySignals(child: Expression)
     n
   }
 
+}
+
+/** The quality stage's per-row signal surface fused into ONE expression
+  * pass: the four [[QualitySignals]] counts, the Gopher 2-gram repetition
+  * ratio, and the line-shape counts behind
+  * [[graft.functions.TextFunctions.lineShapeSignals]]'s fractions — one
+  * UTF8String→String conversion and one expression eval per row where the
+  * unfused stage paid three expression/column passes (plus a declarative
+  * per-line regex pass).
+  *
+  * Every field is computed by the SAME code as its standalone form:
+  * [[QualitySignals]]' statics, [[RepetitionRatio.ratio]] (with its
+  * deliberate Java-trim/ROOT-lower quirks), and a JVM transliteration of
+  * the declarative line-shape chain — `split("\r?\n")` (limit -1),
+  * Spark trim (space-only), `^[•*-]` = first trimmed char in the set,
+  * `(\.\.\.|…)\z` = trimmed line ends with "..." or "…". Counts are
+  * returned (not fractions) so the caller's divisions are the identical
+  * int/int IEEE operations the declarative form performed. Value parity
+  * with all three standalone formulations is pinned in QualitySignalsSpec. */
+case class QualitySignalsFull(child: Expression)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftshim.ExpectsStringInput {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_symbols", IntegerType, nullable = false),
+    StructField("n_alpha_words", IntegerType, nullable = false),
+    StructField("rep2", DoubleType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet", IntegerType, nullable = false),
+    StructField("n_ellipsis", IntegerType, nullable = false)))
+  override def prettyName: String = "quality_signals_full"
+
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
     val s = u.toString
-    var nChars = 0
-    var nSym = 0
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      // CODE POINTS, not UTF-16 units — Spark length() counts code points,
-      // so a surrogate pair (emoji) is one char: skip the low half.
-      if (!isJWs(c) && !Character.isLowSurrogate(c)) nChars += 1
-      if (c == '#' || c == '…') nSym += 1
-      i += 1
+    import QualitySignals._
+    val lines = QualitySignalsFull.LineSplit.split(s, -1)
+    var nBullet = 0
+    var nEllipsis = 0
+    var li = 0
+    while (li < lines.length) {
+      val l = lines(li)
+      // Spark trim: strip ' ' only
+      var b = 0
+      var e = l.length
+      while (b < e && l.charAt(b) == ' ') b += 1
+      while (e > b && l.charAt(e - 1) == ' ') e -= 1
+      if (b < e) {
+        val c0 = l.charAt(b)
+        if (c0 == '•' || c0 == '*' || c0 == '-') nBullet += 1
+        if (l.charAt(e - 1) == '…' ||
+          (e - b >= 3 && l.charAt(e - 1) == '.' && l.charAt(e - 2) == '.' &&
+            l.charAt(e - 3) == '.')) nEllipsis += 1
+      }
+      li += 1
     }
-    InternalRow(wordCount(s), nChars, nSym, alphaWords(u.toLowerCase.toString))
+    InternalRow(wordCount(s), nonWsCodePoints(s), symbolCount(s),
+      alphaWords(u.toLowerCase.toString), RepetitionRatio.ratio(s, 2),
+      lines.length, nBullet, nEllipsis)
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object QualitySignalsFull {
+  /** Same pattern as the declarative `split(text, "\r?\n")`. */
+  private val LineSplit = java.util.regex.Pattern.compile("\r?\n")
 }
 
 /** Gopher within-document duplicate-shape counts (Rae et al. 2021 Table A1:
@@ -348,6 +446,8 @@ case class DupShapeSignals(child: Expression)
 object QualityFunctions {
   def quality_signals(c: Column): Column =
     ColumnBridge.column(QualitySignals(ColumnBridge.expression(c)))
+  def quality_signals_full(c: Column): Column =
+    ColumnBridge.column(QualitySignalsFull(ColumnBridge.expression(c)))
   def dup_shape_signals(c: Column): Column =
     ColumnBridge.column(DupShapeSignals(ColumnBridge.expression(c)))
   def repetition_ratio(c: Column, n: Int): Column =

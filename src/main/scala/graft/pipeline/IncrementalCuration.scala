@@ -59,7 +59,17 @@ object IncrementalCuration {
       // different k would silently never match (membership always false,
       // the gate neutered) — so the step reads k from here, never from an
       // independent knob
-      spanK: Int = 8)
+      spanK: Int = 8,
+      // NARROW materialized (digest) projection of `docs` for the exact
+      // stage's per-step Bloom build + verify anti-join. `docs` itself may
+      // be a lazy frame over the caller's corpus (texts included), so
+      // deriving digests from it per step re-reads — and re-md5s — the
+      // full history text every day; this 32-byte-per-row table is the
+      // projection materialized once at init and appended batch-wise.
+      // None (e.g. a lake-backed state, where the docs table is parquet
+      // and the digest column is scan-pruned) falls back to
+      // docs.select("digest").
+      digests: Option[DataFrame] = None)
 
   final case class SemState(centroids: Array[Array[Double]],
                             cells: DataFrame)
@@ -89,7 +99,8 @@ object IncrementalCuration {
       if (!withSpanDedup) None
       else Some(IncrementalDedup.spanGramTable(docs, "doc_id", "text", spanK)
         .localCheckpoint())
-    State(docs, bands, sem, lines, grams, spanK = spanK)
+    State(docs, bands, sem, lines, grams, spanK = spanK,
+      digests = Some(docs.select("digest").localCheckpoint()))
   }
 
   /** One daily step: returns (survivors of the batch, next state).
@@ -134,11 +145,14 @@ object IncrementalCuration {
     // [[stepLake]]'s lake appends) — lazy pieces would re-derive every
     // prior batch's signatures/assignments on every later step
     val ap = appendPieces(survivors, batchEmbeddings, state)
+    // the docs piece is checkpointed like every other state append: the
+    // N-batch state stays a union of materialized leaves, never a chain
+    // of projections the next step's verify join re-derives; the narrow
+    // digests table appends a projection of the SAME materialized piece
+    val docsPiece = ap.docs.localCheckpoint()
     val next = State(
-      // the docs piece is checkpointed like every other state append: the
-      // N-batch state stays a union of materialized leaves, never a chain
-      // of projections the next step's verify join re-derives
-      docs = state.docs.unionByName(ap.docs.localCheckpoint()),
+      docs = state.docs.unionByName(docsPiece),
+      digests = state.digests.map(_.unionByName(docsPiece.select("digest"))),
       bands = state.bands.unionByName(ap.bands.localCheckpoint()),
       semantic = (state.semantic, ap.cells) match {
         case (Some(sem), Some(c)) =>
@@ -208,12 +222,15 @@ object IncrementalCuration {
 
     // 1. exact vs history (Bloom prefilter; broadcast released after the
     //    step materializes). Sidecar filters, when supplied, skip the
-    //    per-step history scan the build would pay.
+    //    per-step history scan the build would pay; the digest frame is
+    //    the state's narrow materialized projection when present (deriving
+    //    it from `docs` re-reads and re-hashes the full history text).
+    val histDigests = state.digests.getOrElse(state.docs.select("digest"))
     val pf = docsFilters match {
       case Some(fs) => IncrementalDedup.newOnlyPrebuilt(
-        b0, state.docs.select("digest"), "digest", fs)
+        b0, histDigests, "digest", fs)
       case None => IncrementalDedup.newOnlyManaged(
-        b0, state.docs.select("digest"),
+        b0, histDigests,
         "digest", expectedHistoryDigests, shards = bloomShards)
     }
     val b1 = pf.df.localCheckpoint()
@@ -507,10 +524,11 @@ object IncrementalCuration {
       StateLake.append(h, s"$root/hosts", "host", nBuckets, 0))
     // Bloom sidecars: the bootstrap's filter contribution, so no step
     // ever re-scans history digests to build a prefilter
+    val stDigests = st.digests.getOrElse(st.docs.select("digest"))
     val docsItems =
-      if (bloomDocsItems > 0) bloomDocsItems else 4L * st.docs.count()
+      if (bloomDocsItems > 0) bloomDocsItems else 4L * stDigests.count()
     StateLake.writeBloom(spark, IncrementalDedup.buildFilterArray(
-        st.docs, "digest", docsItems, bloomFpp, bloomShards),
+        stDigests, "digest", docsItems, bloomFpp, bloomShards),
       s"$root/docs_bloom", 0)
     val lineItems = st.lines.map { l =>
       val items = if (bloomLineItems > 0) bloomLineItems else 4L * l.count()

@@ -156,21 +156,28 @@ object QualityPipeline {
 
   /** Stage 3: Gopher/C4-style heuristic quality signals + drop reasons. */
   def qualityStage(df: DataFrame, cfg: Config = Config()): DataFrame = {
-    // One fused single-pass scan for the ratio signals (value-parity with
-    // the TF built-in formulations pinned in QualitySignalsSpec) — the
-    // built-ins re-tokenize the document four times and were ~40% of the
-    // whole pipeline's CPU on the 1M-page bench.
+    // One fused single-pass scan for ALL the per-row signals (value-parity
+    // with the TF built-in / standalone-expression formulations pinned in
+    // QualitySignalsSpec) — the built-ins re-tokenized the document four
+    // times (~40% of the whole pipeline's CPU on the 1M-page bench), and
+    // the earlier fusion still paid three expression passes per row (the
+    // four counts, the repetition ratio, the per-line regex line-shape
+    // chain); quality_signals_full computes the whole surface in one eval
+    // and one UTF8String→String conversion. The lsig struct is rebuilt
+    // from the returned counts with the identical int/int divisions.
     val withSignals = df
-      .withColumn("qs", QualityFunctions.quality_signals(col("text")))
+      .withColumn("qs", QualityFunctions.quality_signals_full(col("text")))
       .withColumn("n_words", col("qs.n_words"))
       .withColumn("mean_word_len", col("qs.n_chars").cast("double") / col("qs.n_words"))
       .withColumn("symbol_ratio", col("qs.n_symbols").cast("double") / col("qs.n_words"))
       .withColumn("alpha_word_ratio", col("qs.n_alpha_words").cast("double") / col("qs.n_words"))
-      .withColumn("repetition_ratio", QualityFunctions.repetition_ratio(col("text"), 2))
+      .withColumn("repetition_ratio", col("qs.rep2"))
       // Gopher line-shape gates (bullet-started / ellipsis-ended line
-      // fractions) — one extra CRLF-safe split per document; single-line
-      // prose (frac 0) never trips them
-      .withColumn("lsig", graft.functions.TextFunctions.lineShapeSignals(col("text")))
+      // fractions); single-line prose (frac 0) never trips them
+      .withColumn("lsig", struct(
+        col("qs.n_lines").as("n_lines"),
+        (col("qs.n_bullet").cast("double") / col("qs.n_lines")).as("frac_bullet"),
+        (col("qs.n_ellipsis").cast("double") / col("qs.n_lines")).as("frac_ellipsis")))
       .drop("qs")
     // Gopher duplicate-shape signals (opt-in): one fused pass builds both
     // the line and paragraph duplicate counts

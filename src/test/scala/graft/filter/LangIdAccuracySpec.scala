@@ -142,4 +142,21 @@ class LangIdAccuracySpec extends AnyFunSuite {
     val detail = wrong.map { case (l, p, t) => s"  $l→$p: $t" }.mkString("\n")
     assert(acc >= 0.95, f"accuracy $acc%.3f < 0.95; misclassified:\n$detail")
   }
+
+  test("allocation-free range bucket equals MurmurHash3.stringHash of the substring") {
+    val m = LangIdModel.default
+    val rnd = new scala.util.Random(99L)
+    val alphabet = " abcdeéßİü한글щε.-"
+    for (_ <- 0 until 5000) {
+      val s = (0 until (2 + rnd.nextInt(30)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val n = 2 + rnd.nextInt(2) // 2- and 3-grams, the scorer's widths
+      if (s.length >= n) {
+        val j = rnd.nextInt(s.length - n + 1)
+        val want = java.lang.Math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(s.substring(j, j + n), 42), m.dim)
+        assert(m.bucketRange(s, j, n) == want, s"'$s' at $j width $n")
+      }
+    }
+  }
 }

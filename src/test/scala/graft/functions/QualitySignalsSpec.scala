@@ -89,4 +89,60 @@ class QualitySignalsSpec extends SparkSpecBase {
     }
     assertParity(rows.toDF("id", "text"))
   }
+
+  /** quality_signals_full vs the three standalone formulations it fuses:
+    * the four counts (quality_signals), the repetition ratio, and the
+    * line-shape fractions rebuilt from its counts vs TF.lineShapeSignals'
+    * declarative rlike chain. Exact equality, NaN-aware. */
+  private def assertFullParity(df: org.apache.spark.sql.DataFrame): Unit = {
+    val sep = df.select(col("id"),
+        QualityFunctions.quality_signals(col("text")).as("qs"),
+        QualityFunctions.repetition_ratio(col("text"), 2).as("rep2"),
+        TF.lineShapeSignals(col("text")).as("ls"))
+      .select(col("id"), col("qs.n_words"), col("qs.n_chars"),
+        col("qs.n_symbols"), col("qs.n_alpha_words"), col("rep2"),
+        col("ls.n_lines"), col("ls.frac_bullet"), col("ls.frac_ellipsis"))
+    val ful = df.select(col("id"),
+        QualityFunctions.quality_signals_full(col("text")).as("q"))
+      .select(col("id"), col("q.n_words"), col("q.n_chars"),
+        col("q.n_symbols"), col("q.n_alpha_words"), col("q.rep2"),
+        col("q.n_lines"),
+        (col("q.n_bullet").cast("double") / col("q.n_lines")).as("frac_bullet"),
+        (col("q.n_ellipsis").cast("double") / col("q.n_lines")).as("frac_ellipsis"))
+    val want = sep.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val got = ful.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, w) <- want) {
+      val g = got(id)
+      val same = w.zip(g).forall {
+        case (a: Double, b: Double) => (a.isNaN && b.isNaN) || a == b
+        case (a, b) => a == b
+      }
+      assert(same, s"id=$id full=$g separate=$w")
+    }
+  }
+
+  test("fused-full parity: corpus, line-shape/repetition edges, hostile fuzz") {
+    assertFullParity(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".as("id"), $"text"))
+    val edges = Seq(
+      "", " ", "\t", "line one\nline two\n", "• bullet\n* star\n- dash\nplain",
+      "ends...\nends…\nends with dots ... \n…",
+      "  • spaced bullet  \r\n-windows line\r\n",
+      "dup dup dup dup tokens", "a b a b a b", "\n\n\n", "one\rtwo",
+      "CRLF only\r\n", "- \n* x…\n...\n mixed … ends...",
+      "*", "-", "•", "...", "..", ". . .", "…x", "x…y")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    assertFullParity(edges.toDF("id", "text"))
+    val rnd = new scala.util.Random(777L)
+    val alphabet: Array[String] = Array(
+      " ", "\t", "\n", "\r", "\r\n", "\f", "•", "*", "-", "…", "...", ".",
+      "#", "a", "Z", "7", "한", "İ", "word", "dup",
+      new String(Character.toChars(0x1F600)))
+    val rows = (0 until 400).map { i =>
+      val n = rnd.nextInt(20)
+      (1000L + i, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    assertFullParity(rows.toDF("id", "text"))
+  }
 }
