@@ -68,16 +68,23 @@ case class BloomMightContainSharded(child: Expression,
 
 object BloomMightContainSharded {
 
-  /** Shard-route + probe. Static so generated code is one call; the string
-    * materialization matches the build side's `putString` exactly (same
-    * UTF-8 bytes), and the shard router IS the build side's
+  /** Spark's xxhash64() default seed — the probe key below MUST equal the
+    * build side's `xxhash64(digestCol)` column value bit-for-bit. */
+  private val XxSeed = 42L
+
+  /** Shard-route + probe, allocation-free: the filter key is
+    * XXH64.hashUTF8String(digest, 42) — exactly the build side's
+    * `xxhash64(digest)` ([[graft.operators.IncrementalDedup.buildFilterArray]]
+    * inserts with `putLong`) — computed straight off the UTF8String's bytes
+    * (the old string probe paid a toString + getBytes copy and hashed
+    * 20-32 digest bytes per row). The shard router IS the build side's
     * [[graft.operators.IncrementalDedup.shardOf]] — one implementation, so
     * the two sides cannot drift (a divergent probe router would route to
     * the wrong filter: Bloom false negatives, silently admitted dups). */
   def probe(filters: Array[BloomFilter], d: UTF8String): Boolean = {
-    val s = d.toString
-    filters(graft.operators.IncrementalDedup.shardOf(s, filters.length))
-      .mightContainString(s)
+    val k = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(d, XxSeed)
+    filters(graft.operators.IncrementalDedup.shardOf(k, filters.length))
+      .mightContainLong(k)
   }
 
   def might_contain_sharded(digest: Column,

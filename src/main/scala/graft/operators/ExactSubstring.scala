@@ -62,10 +62,16 @@ object ExactSubstring {
     * the occurrences exactly once. */
   def cutSpans(df: DataFrame, idCol: String, textCol: String,
                k: Int = 8, maxDf: Long = 64): DataFrame = {
-    val wg = Window.partitionBy("g")
-    val wgOrd = wg.orderBy("id", "pos")
+    // both window functions ride ONE ordered window spec: the unordered
+    // count form planned a second full Sort of the occurrence table (sort
+    // by g for count, then by (g, id, pos) for row_number); with matching
+    // partition+order specs CollapseWindow fuses them into a single Window
+    // over a single sort — count's whole-partition frame makes it the same
+    // total n_occ the unordered form computed
+    val wgOrd = Window.partitionBy("g").orderBy("id", "pos")
+    val whole = wgOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     occurrences(df, idCol, textCol, k)
-      .withColumn("n_occ", count(lit(1)).over(wg))
+      .withColumn("n_occ", count(lit(1)).over(whole))
       .withColumn("rn", row_number().over(wgOrd))
       .filter(col("n_occ") > 1 && (col("n_occ") > lit(maxDf) || col("rn") > 1))
       .select("id", "pos")
@@ -150,11 +156,14 @@ object ExactSubstring {
   /** Shared skeleton: line dedup under a caller-chosen key function. */
   def dedupLinesBy(df: DataFrame, idCol: String, textCol: String,
                    keyOf: Column => Column, maxDf: Long): DataFrame = {
-    val wk = Window.partitionBy("key")
+    // one ordered window spec for both functions — see cutSpans: the
+    // unordered count cost a second full Sort of the line table
+    val wkOrd = Window.partitionBy("key").orderBy("id", "line_no")
+    val whole = wkOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     rebuildDocs(explodeLines(df, idCol, textCol)
       .withColumn("key", keyOf(col("line")))
-      .withColumn("n_occ", count(lit(1)).over(wk))
-      .withColumn("rn", row_number().over(wk.orderBy("id", "line_no")))
+      .withColumn("n_occ", count(lit(1)).over(whole))
+      .withColumn("rn", row_number().over(wkOrd))
       .filter(col("n_occ") === 1 || (col("n_occ") <= lit(maxDf) && col("rn") === 1)))
   }
 
@@ -234,12 +243,14 @@ object ExactSubstring {
       transform(sequence(lit(1), size(col("ss")) - (span - 1)),
         i => TF.hash60(concat_ws(" ", slice(col("ss"), i, lit(span))))))
       .otherwise(array().cast("array<long>"))
-    val wg = Window.partitionBy("g")
+    // one ordered window spec for both functions — see cutSpans
+    val wgOrd = Window.partitionBy("g").orderBy("id", "pos")
+    val whole = wgOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cuts = base
       .select(col("id"), posexplode(windows))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-      .withColumn("n_occ", count(lit(1)).over(wg))
-      .withColumn("rn", row_number().over(wg.orderBy("id", "pos")))
+      .withColumn("n_occ", count(lit(1)).over(whole))
+      .withColumn("rn", row_number().over(wgOrd))
       .filter(col("n_occ") > 1 && (col("n_occ") > lit(maxDf) || col("rn") > 1))
       .groupBy("id").agg(sort_array(collect_list("pos")).as("cuts"))
     base.join(cuts, Seq("id"), "left")

@@ -180,7 +180,12 @@ object IncrementalDedup {
   def nearCrossPairs(batch: DataFrame, history: DataFrame,
                      idCol: String, textCol: String,
                      historyBands: Option[DataFrame] = None,
-                     maxBucket: Int = 4096, shingleWidth: Int = 3): DataFrame = {
+                     maxBucket: Int = 4096, shingleWidth: Int = 3,
+                     // precomputed batch bands (must equal
+                     // bandTable(batch, idCol, textCol) rows) — the daily
+                     // step derives them from its shared signature table
+                     // instead of re-running the MinHash pass
+                     batchBands: Option[DataFrame] = None): DataFrame = {
     import graft.functions.{TextFunctions => TF}
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "band_digest").orderBy("id")
@@ -188,7 +193,8 @@ object IncrementalDedup {
     // set AND the candidate join, and (through cand) three more consumers —
     // left lazy, the md5-per-shingle MinHash pass over the whole batch
     // would re-run per plan subtree (the CPU-dominant stage of the step)
-    val bB = bandTable(batch, idCol, textCol, shingleWidth = shingleWidth)
+    val bB = batchBands
+      .getOrElse(bandTable(batch, idCol, textCol, shingleWidth = shingleWidth))
       .localCheckpoint()
     // the flood-cap window runs ONLY over buckets the batch probes: the
     // history band table is 10-100x the batch and windowing all of it per
@@ -242,9 +248,10 @@ object IncrementalDedup {
   def nearNewOnly(batch: DataFrame, history: DataFrame,
                   idCol: String, textCol: String, threshold: Double = 0.5,
                   historyBands: Option[DataFrame] = None,
-                  maxBucket: Int = 4096, shingleWidth: Int = 3): DataFrame = {
+                  maxBucket: Int = 4096, shingleWidth: Int = 3,
+                  batchBands: Option[DataFrame] = None): DataFrame = {
     val dupIds = nearCrossPairs(batch, history, idCol, textCol,
-        historyBands, maxBucket, shingleWidth)
+        historyBands, maxBucket, shingleWidth, batchBands)
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id").as(idCol)).distinct()
     batch.join(dupIds, Seq(idCol), "left_anti")
@@ -425,9 +432,21 @@ object IncrementalDedup {
     val b = shards
     val perShard = math.max(1L, expectedItems / b)
     import history.sparkSession.implicits._
-    history.select(col(digestCol)).as[String]
+    // The filter KEY is xxhash64(digest) — 8 bytes through putLong instead
+    // of the digest string through putString (guide §2.3, narrower types):
+    // the old path re-encoded every digest to UTF-8 and Murmur-hashed
+    // 20-32 bytes per insert/probe; the long key is hashed once here by
+    // codegen and probed allocation-free. The probe side
+    // ([[graft.functions.BloomMightContainSharded.probe]]) derives the
+    // IDENTICAL key via XXH64.hashUTF8String(digest, 42) — Spark's
+    // xxhash64() with its fixed default seed — so false negatives remain
+    // impossible by construction; only the (filter-internal) false-positive
+    // pattern changes, which the verify join removes either way. Null
+    // digests are excluded to match the probe's NULL→false bypass.
+    history.where(col(digestCol).isNotNull)
+      .select(xxhash64(col(digestCol)).as("k")).as[Long]
       .rdd.treeAggregate(Array.fill(b)(BloomFilter.create(perShard, fpp)))(
-        (fs, d) => { if (d != null) fs(shardOf(d, b)).putString(d); fs },
+        (fs, k) => { fs(shardOf(k, b)).putLong(k); fs },
         (a, x) => { a.indices.foreach(i => a(i).mergeInPlace(x(i))); a })
   }
 
@@ -537,10 +556,10 @@ object IncrementalDedup {
     incrSpanStatsManaged(batch, historyGrams, idCol, textCol, k, maxDf,
       expectedItems, fpp, shards).df
 
-  /** Shard router — a plain JVM hash is fine: build and probe both run this
-    * exact function (no SQL-side mirror needed; result equality with the
-    * anti-join is what the oracle pins). */
-  @inline private[graft] def shardOf(digest: String, b: Int): Int =
-    if (b == 1) 0
-    else java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(digest), b)
+  /** Shard router over the 8-byte filter key — build and probe both run
+    * this exact function (no SQL-side mirror needed; result equality with
+    * the anti-join is what the oracle pins). The key is already an xxhash64
+    * value, so a plain floorMod spreads shards uniformly. */
+  @inline private[graft] def shardOf(key: Long, b: Int): Int =
+    if (b == 1) 0 else java.lang.Math.floorMod(key, b.toLong).toInt
 }

@@ -74,11 +74,30 @@ object Curation {
 
   /** MinHash-LSH near-dup resolution: verified pairs → connected
     * components → only each component's representative (min id) survives.
-    * Eager in part (the component loop iterates to a fixpoint). */
-  def neardupStage(df: DataFrame, threshold: Double): DataFrame = {
+    * Eager in part (the component loop iterates to a fixpoint).
+    *
+    * Internal band digests are the 8-byte hashed form
+    * ([[Dedup.lshBandsHashed]]): the candidate window + self-join move a
+    * long per band row instead of a 32-char md5 hex string, and the md5 +
+    * string materialization per band disappears (same recall-safe
+    * equivalence as the incremental band table — equal sig slices hash
+    * equal; a cross-slice collision only merges buckets into extra
+    * verify work). q15's declared md5-string band surface is untouched. */
+  def neardupStage(df: DataFrame, threshold: Double): DataFrame =
+    neardupStageFromSigs(df,
+      Dedup.minhashSignaturesFast(df, "doc_id", "text"), threshold)
+
+  /** [[neardupStage]] with the signature table supplied — the incremental
+    * step computes signatures ONCE and shares them between the
+    * within-batch stage and the cross-history band probe
+    * ([[IncrementalCuration]]): the MinHash expression (one md5 per
+    * shingle) is the CPU-dominant pass over the batch, and the separate
+    * formulation re-ran it per stage. `sigs` must be exactly
+    * `Dedup.minhashSignaturesFast(df, "doc_id", "text")` rows. */
+  private[graft] def neardupStageFromSigs(df: DataFrame, sigs: DataFrame,
+                                          threshold: Double): DataFrame = {
     val pairs = Dedup.jaccardVerify(df, "doc_id", "text",
-        Dedup.candidatePairs(
-          Dedup.lshBandsFast(Dedup.minhashSignaturesFast(df, "doc_id", "text"))))
+        Dedup.candidatePairs(Dedup.lshBandsHashed(sigs)))
       .filter(col("jaccard") >= threshold)
     val dropIds = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))

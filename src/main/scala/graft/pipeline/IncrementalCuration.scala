@@ -144,7 +144,7 @@ object IncrementalCuration {
     // materialized ONCE at birth like the init tables (at scale:
     // [[stepLake]]'s lake appends) — lazy pieces would re-derive every
     // prior batch's signatures/assignments on every later step
-    val ap = appendPieces(survivors, batchEmbeddings, state)
+    val ap = appendPieces(survivors, batchEmbeddings, state, Some(core.sigs))
     // the docs piece is checkpointed like every other state append: the
     // N-batch state stays a union of materialized leaves, never a chain
     // of projections the next step's verify join re-derives; the narrow
@@ -185,6 +185,12 @@ object IncrementalCuration {
     * merge — see [[graft.operators.IncrementalSelect.hostCapStep]]). */
   private final case class CoreResult(survivors: DataFrame,
                                       hostsDelta: Option[DataFrame],
+                                      // the step's shared (checkpointed)
+                                      // MinHash signature table over the
+                                      // post-line-stage batch — survivors'
+                                      // band append derives from it instead
+                                      // of re-running the signature pass
+                                      sigs: DataFrame,
                                       mark: String => Unit)
 
   private def stepCore(state: State, batch: DataFrame,
@@ -270,12 +276,27 @@ object IncrementalCuration {
     // consumers — left lazy, each re-runs the whole within-batch chain),
     // and the history-filtered set is read by the span gate's two consumers
     // and the quality chain
-    val bWithin = Curation.neardupStage(b1b, cfg.neardupThreshold)
+    // ONE MinHash signature pass over the batch, shared by both near-dup
+    // stages: the within-batch stage bands it directly; the history stage's
+    // band probe re-derives its (filtered, survivor-restricted) band table
+    // from the same checkpointed signatures — the signature expression (one
+    // md5 per shingle) is the CPU-dominant per-row pass of the step and
+    // previously ran once per stage. The checkpoint is narrow: (id, 16
+    // longs) per doc.
+    val sigs = graft.operators.Dedup
+      .minhashSignaturesFast(b1b, "doc_id", "text").localCheckpoint()
+    val bWithin = Curation.neardupStageFromSigs(b1b, sigs, cfg.neardupThreshold)
       .localCheckpoint()
     mark("neardup_batch")
+    // = IncrementalDedup.bandTable(bWithin): same per-row expressions, the
+    // short-doc sentinel filter, restricted to the within-batch survivors
+    val survivorBands = graft.operators.Dedup.lshBandsHashed(
+      sigs.filter(element_at(col("sigs"), 1) =!= Long.MaxValue)
+        .join(bWithin.select(col("doc_id").as("id")), Seq("id"), "left_semi"))
     val b2 = IncrementalDedup.nearNewOnly(
       bWithin, state.docs, "doc_id", "text",
-      threshold = cfg.neardupThreshold, historyBands = Some(state.bands))
+      threshold = cfg.neardupThreshold, historyBands = Some(state.bands),
+      batchBands = Some(survivorBands))
       .localCheckpoint()
     mark("neardup_history")
 
@@ -379,7 +400,7 @@ object IncrementalCuration {
 
     val survivors = b5.withColumn("digest", md5(col("text"))).localCheckpoint()
     mark("survivors") // the near-dup + quality chain materializes here
-    CoreResult(survivors, hostsDelta, mark)
+    CoreResult(survivors, hostsDelta, sigs, mark)
   }
 
   /** The rows one batch's survivors contribute to each state table — the
@@ -393,7 +414,11 @@ object IncrementalCuration {
 
   private def appendPieces(survivors: DataFrame,
                            batchEmbeddings: Option[DataFrame],
-                           state: State): Appends = {
+                           state: State,
+                           // the step's shared signature table (covers every
+                           // survivor: text is UNCHANGED from the post-line-
+                           // stage batch through the later filter stages)
+                           sigs: Option[DataFrame] = None): Appends = {
     val cells = (state.semantic, batchEmbeddings) match {
       case (Some(sem), Some(be)) =>
         val survEmb = be.join(
@@ -403,7 +428,14 @@ object IncrementalCuration {
     }
     Appends(
       docs = survivors.select("doc_id", "text", "digest"),
-      bands = IncrementalDedup.bandTable(survivors, "doc_id", "text"),
+      // = bandTable(survivors): the shared signature table restricted to
+      // survivor ids (every later stage only FILTERS rows — text never
+      // changes after the line stage, so the signatures still hold);
+      // without it the append re-ran the md5-per-shingle pass
+      bands = sigs.map(sg => graft.operators.Dedup.lshBandsHashed(
+          sg.filter(element_at(col("sigs"), 1) =!= Long.MaxValue)
+            .join(survivors.select(col("doc_id").as("id")), Seq("id"), "left_semi")))
+        .getOrElse(IncrementalDedup.bandTable(survivors, "doc_id", "text")),
       lines = state.lines.map(_ =>
         IncrementalDedup.lineDigests(survivors, "doc_id", "text")
           .select("line_digest").distinct()),
@@ -467,6 +499,17 @@ object IncrementalCuration {
       .toMap
   }
 
+  /** The docs table's per-batch running-max annotation: one column-pruned
+    * agg over the (materialized) appended piece, committed atomically with
+    * the batch so the monotone-id guard reads one tiny file instead of
+    * scanning the latest non-empty append's doc_id column every step.
+    * Empty value = a zero-survivor batch (known empty — the guard keeps
+    * walking backwards without touching the data). */
+  private def maxIdAnnotation(docs: DataFrame): Map[String, String] = {
+    val r = docs.agg(max("doc_id")).head()
+    Map("maxDocId" -> (if (r.isNullAt(0)) "" else r.getLong(0).toString))
+  }
+
   private def tableDirs(spark: SparkSession, root: String): Seq[String] =
     lakeKeys.map(_._1).filter(t =>
       StateLake.committedBatches(spark, s"$root/$t").nonEmpty)
@@ -508,7 +551,8 @@ object IncrementalCuration {
     val spark = corpus.sparkSession
     val st = init(corpus, embeddings, nCells, withLineDedup, withSpanDedup,
       spanK)
-    StateLake.append(st.docs, s"$root/docs", "doc_id", nBuckets, 0)
+    StateLake.append(st.docs, s"$root/docs", "doc_id", nBuckets, 0,
+      annotations = maxIdAnnotation(st.docs))
     StateLake.append(st.bands, s"$root/bands", "band_digest", nBuckets, 0)
     st.lines.foreach(l =>
       StateLake.append(l, s"$root/lines", "line_digest", nBuckets, 0))
@@ -669,15 +713,29 @@ object IncrementalCuration {
     // bootstrap corpus (a once-ever column-pruned max over doc_id).
     // A pinned replay reads upTo = the recorded pre-batch version, so its
     // own first attempt's append is excluded and the check replays clean.
-    // skip data-file-less appends FIRST (a zero-survivor batch commits a
+    // Fast path: every append since annotations existed carries its max
+    // doc_id as a batch annotation (committed atomically with the data) —
+    // the guard reads ONE tiny file, usually of the previous day's append.
+    // Legacy appends without the annotation fall back to the data scan,
+    // skipping data-file-less dirs FIRST (a zero-survivor batch commits a
     // dir holding only _SUCCESS, and spark.read.parquet on it throws
     // UNABLE_TO_INFER_SCHEMA before the null-max skip could engage — one
     // fully-deduped day must not break every later step on this lake)
     val histMax: Option[Long] = (stateVersion to 0 by -1).iterator
-      .filter(b => StateLake.batchHasData(spark, s"$root/docs", b))
-      .map(b => StateLake.readBatch(spark, s"$root/docs", b)
-        .agg(max("doc_id")).head())
-      .collectFirst { case r if !r.isNullAt(0) => r.getLong(0) }
+      .map { b =>
+        StateLake.batchAnnotation(spark, s"$root/docs", b, "maxDocId") match {
+          case Some("") => None // known-empty batch: keep walking
+          case Some(v)  => Some(v.toLong)
+          case None =>
+            if (!StateLake.batchHasData(spark, s"$root/docs", b)) None
+            else {
+              val r = StateLake.readBatch(spark, s"$root/docs", b)
+                .agg(max("doc_id")).head()
+              if (r.isNullAt(0)) None else Some(r.getLong(0))
+            }
+        }
+      }
+      .collectFirst { case Some(v) => v }
     val bMin = bText.agg(min("doc_id")).head()
     if (!bMin.isNullAt(0)) histMax.foreach { hm =>
       require(bMin.getLong(0) > hm,
@@ -720,8 +778,9 @@ object IncrementalCuration {
       expectedHistoryGrams, hostCapN, onStage,
       docsFilters = docsFilters, lineFilters = lineFilters,
       gramFilters = gramFilters)
-    val ap = appendPieces(core.survivors, batchEmbeddings, state)
-    StateLake.append(ap.docs, s"$root/docs", "doc_id", nBuckets, batchId)
+    val ap = appendPieces(core.survivors, batchEmbeddings, state, Some(core.sigs))
+    StateLake.append(ap.docs, s"$root/docs", "doc_id", nBuckets, batchId,
+      annotations = maxIdAnnotation(core.survivors))
     StateLake.append(ap.bands, s"$root/bands", "band_digest", nBuckets, batchId)
     ap.lines.foreach(l =>
       StateLake.append(l, s"$root/lines", "line_digest", nBuckets, batchId))

@@ -148,16 +148,25 @@ object RelationalQueries {
 
     // A8: latency-stats shape — mean/stddev/median/P90/P95/P99 (interpolated).
     "q7_percentiles" -> ((s, dir) => {
+      // ONE percentile aggregate with an array of percentages: four scalar
+      // percentile() calls each kept their own per-group value buffer (the
+      // whole column collected four times per group); the array form sorts
+      // one buffer and interpolates all four points from it — values are
+      // computed by the identical Percentile interpolation, element per
+      // element (the oracle's QUANTILE_CONT per point is unchanged)
       t(s, dir, "events")
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
           round((sum(dec("value")).cast("double") / count(lit(1))), 4).as("mean_v"),
           round(stddev_samp(col("value")), 4).as("stdev_v"),
-          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("value"), lit(0.9)), 4).as("p90"),
-          round(percentile(col("value"), lit(0.95)), 4).as("p95"),
-          round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+          percentile(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.95), lit(0.99))).as("_ps"))
+        .select(col("event_type"), col("n"), col("mean_v"), col("stdev_v"),
+          round(element_at(col("_ps"), 1), 4).as("p50"),
+          round(element_at(col("_ps"), 2), 4).as("p90"),
+          round(element_at(col("_ps"), 3), 4).as("p95"),
+          round(element_at(col("_ps"), 4), 4).as("p99"))
         .orderBy("event_type")
     }),
 

@@ -170,8 +170,11 @@ object TextQueries {
     // (production path: per-row signature expression, no explode shuffle).
     "q16_dup_pairs" -> ((s, dir) => {
       val d = docsWithNearDups(s, dir)
+      // internal band digests in the 8-byte hashed form (see
+      // Dedup.lshBandsHashed — candidate-equivalent; q15's declared
+      // md5-string surface is untouched)
       val pairs = Dedup.candidatePairs(
-        Dedup.lshBandsFast(Dedup.minhashSignaturesFast(d, "doc_id", "text")))
+        Dedup.lshBandsHashed(Dedup.minhashSignaturesFast(d, "doc_id", "text")))
       Dedup.jaccardVerify(d, "doc_id", "text", pairs)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .filter(col("jaccard") >= 0.5)
@@ -495,8 +498,8 @@ object TextQueries {
     "q39_dup_components" -> ((s, dir) => {
       val d = docsWithNearDups(s, dir)
       val pairs = Dedup.jaccardVerify(d, "doc_id", "text",
-          Dedup.candidatePairs(
-            Dedup.lshBandsFast(Dedup.minhashSignaturesFast(d, "doc_id", "text"))))
+          Dedup.candidatePairs(  // hashed internal bands — see q16
+            Dedup.lshBandsHashed(Dedup.minhashSignaturesFast(d, "doc_id", "text"))))
         .filter(col("jaccard") >= 0.5)
       Dedup.connectedComponents(pairs).orderBy("id")
     }),
@@ -1032,8 +1035,8 @@ object TextQueries {
       val d = base.unionByName(dropped).unionByName(appended)
         .withColumn("n_words", size(TF.tokens(col("text"))))
       val pairs = Dedup.jaccardVerify(d, "doc_id", "text",
-          Dedup.candidatePairs(
-            Dedup.lshBandsFast(Dedup.minhashSignaturesFast(d, "doc_id", "text"))))
+          Dedup.candidatePairs(  // hashed internal bands — see q16
+            Dedup.lshBandsHashed(Dedup.minhashSignaturesFast(d, "doc_id", "text"))))
         .filter(col("jaccard") >= 0.5)
       Dedup.keepBestPerComponent(d, "doc_id", "n_words", pairs)
         .select("doc_id", "n_words")

@@ -66,11 +66,19 @@ object StateLake {
   /** Append `df` as batch `batchId` of the table at `dir`, clustered by
     * `keyCol` into `nBuckets` bucket partitions. Atomic (staging dir +
     * rename) and idempotent: returns false without writing when the batch
-    * is already committed. */
+    * is already committed.
+    *
+    * `annotations` are tiny per-batch metadata values (e.g. the docs
+    * table's running max doc_id for the monotone-id guard) written as a
+    * `_annotations.properties` file INSIDE the staging dir — they commit
+    * atomically with the batch's data under the same rename, so a reader
+    * can never see an annotation without its batch or vice versa. The
+    * underscore prefix keeps parquet readers from touching the file. */
   def append(df: DataFrame, dir: String, keyCol: String, nBuckets: Int,
-             batchId: Int): Boolean = {
+             batchId: Int, annotations: Map[String, String] = Map.empty): Boolean = {
     val spark = df.sparkSession
-    commitStaged(fs(spark, dir), new Path(dir, s".staging-$batchId"),
+    val f = fs(spark, dir)
+    commitStaged(f, new Path(dir, s".staging-$batchId"),
         new Path(dir, f"batch=$batchId%06d")) { staging =>
       // one shuffle of the APPENDED piece only (batch-scale), clustering
       // each bucket's rows into one task so each partition dir gets one file
@@ -78,6 +86,36 @@ object StateLake {
         .repartition(nBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(staging.toString)
+      if (annotations.nonEmpty) {
+        val out = f.create(new Path(staging, "_annotations.properties"), true)
+        try out.write(annotations.toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+  }
+
+  /** One committed batch's annotation value, or None when the batch (or
+    * the annotation file, e.g. a lake written before annotations existed)
+    * is absent — callers fall back to deriving the value from the batch's
+    * data. Driver-side file read, no Spark job. */
+  def batchAnnotation(spark: SparkSession, dir: String, batchId: Int,
+                      key: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, f"batch=$batchId%06d/_annotations.properties")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      text.linesIterator.map(_.split("=", 2))
+        .collectFirst { case Array(k, v) if k == key => v }
     }
   }
 

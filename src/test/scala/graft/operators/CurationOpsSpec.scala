@@ -35,8 +35,9 @@ class CurationOpsSpec extends SparkSpecBase {
       assert(got == want, s"shards=$b")
     }
     // the router spreads digests across all shards (not a degenerate hash)
-    val digests = history.select("digest").as[String].collect()
-    val used = digests.map(IncrementalDedup.shardOf(_, 4)).distinct
+    // — keyed exactly as the build side keys them: xxhash64(digest)
+    val keys = history.select(xxhash64($"digest")).as[Long].collect()
+    val used = keys.map(IncrementalDedup.shardOf(_, 4)).distinct
     assert(used.sorted.toSeq == Seq(0, 1, 2, 3))
   }
 

@@ -82,6 +82,34 @@ class LakeIncrementalSpec extends SparkSpecBase {
     assert(ids(ok).nonEmpty)
   }
 
+  test("monotone-id guard: annotation fast path matches the legacy data-scan fallback") {
+    val root = tmp()
+    IncrementalCuration.initLake(history, None, root)
+    // the bootstrap append carries its max doc_id as an annotation
+    assert(StateLake.batchAnnotation(spark, s"$root/docs", 0, "maxDocId")
+      .exists(_.toLong == history.agg(max("doc_id")).head().getLong(0)))
+    // a lake written BEFORE annotations existed (annotation files absent)
+    // must still guard correctly through the data-scan fallback
+    for (b <- StateLake.committedBatches(spark, s"$root/docs")) {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$root/docs/batch=$b%06d".format(b), "_annotations.properties")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(
+        f"$root/docs/batch=$b%06d/_annotations.properties"), false)
+    }
+    assert(StateLake.batchAnnotation(spark, s"$root/docs", 0, "maxDocId").isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.stepLake(spark, root,
+        base.filter($"doc_id" >= 100 && $"doc_id" < 120), // overlaps history
+        expectedHistoryDigests = 1 << 10)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    val ok = IncrementalCuration.stepLake(spark, root,
+      base.filter($"doc_id" >= 200 && $"doc_id" < 220),
+      expectedHistoryDigests = 1 << 10)
+    assert(ids(ok).nonEmpty)
+  }
+
   test("stepLake equals the in-memory step, state tables round-trip exactly") {
     val root = tmp()
     // in-memory reference: all state classes on

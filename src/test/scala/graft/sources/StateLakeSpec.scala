@@ -101,16 +101,17 @@ class StateLakeSpec extends SparkSpecBase {
     assert(merged.length == shards)
     // every key from BOTH batches probes positive through the merged array
     // (Bloom merge is bitwise-or: contributions from any batch survive)
+    // probe through the ONE production probe helper (key derivation +
+    // shard routing live there; re-deriving them here could drift)
+    import org.apache.spark.unsafe.types.UTF8String
+    def probes(fs: Array[org.apache.spark.util.sketch.BloomFilter], d: String) =
+      graft.functions.BloomMightContainSharded.probe(fs, UTF8String.fromString(d))
     val all = (b0.collect() ++ b1.collect()).map(_.getString(0))
-    val miss = all.filterNot { d =>
-      merged(IncrementalDedup.shardOf(d, shards)).mightContainString(d)
-    }
+    val miss = all.filterNot(d => probes(merged, d))
     assert(miss.isEmpty, s"false negatives after merge: ${miss.take(5).toSeq}")
     // version pinning: as of batch 0, batch-1 keys are mostly absent
     val only0 = StateLake.readBloom(spark, dir, upTo = 0)
-    val hit1 = b1.collect().map(_.getString(0)).count { d =>
-      only0(IncrementalDedup.shardOf(d, shards)).mightContainString(d)
-    }
+    val hit1 = b1.collect().map(_.getString(0)).count(d => probes(only0, d))
     assert(hit1 < 20, s"batch-1 keys must be (almost) all absent at version 0, got $hit1/200")
   }
 
