@@ -50,8 +50,25 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
     val sigs = Array.fill(k)(Long.MaxValue)
     if (toks.length >= shingleWidth) {
       val md = java.security.MessageDigest.getInstance("MD5")
+      // Per-token UTF-8 bytes encoded ONCE: md5 over the concatenation of
+      // token encodings with a 0x20 separator is byte-identical to md5 of
+      // the joined shingle string's encoding (UTF-8 encodes characters
+      // independently, and whitespace tokenization never splits a
+      // surrogate pair), so the per-distinct-shingle getBytes encode+alloc
+      // is gone, and the digest lands in a reusable buffer instead of a
+      // fresh 16-byte array per shingle. The distinct-shingle String set
+      // STAYS: the corpus carries enough repeated shingles that paying
+      // md5 per occurrence (a value-neutral trade — min over a multiset
+      // equals min over its set) measured slower than deduping first.
+      val tokBytes = new Array[Array[Byte]](toks.length)
+      var t = 0
+      while (t < toks.length) {
+        tokBytes(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        t += 1
+      }
       val seen = new java.util.HashSet[String]()
       val sb = new java.lang.StringBuilder
+      val out = new Array[Byte](16)
       var i = 0
       val last = toks.length - shingleWidth
       while (i <= last) {
@@ -61,12 +78,16 @@ case class MinHashSignatures(child: Expression, k: Int, shingleWidth: Int)
           if (j > 0) sb.append(' ')
           sb.append(toks(i + j)); j += 1
         }
-        val sh = sb.toString
-        if (seen.add(sh)) {
+        if (seen.add(sb.toString)) {
           md.reset()
+          var b = 0
+          while (b < shingleWidth) {
+            if (b > 0) md.update(' '.toByte)
+            md.update(tokBytes(i + b)); b += 1
+          }
+          md.digest(out, 0, 16)
           // first 15 hex digits = top 60 bits of the first 8 bytes
-          val h = MinHashPerms.h60Bytes(
-            md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val h = MinHashPerms.h60Bytes(out)
           var p = 0
           while (p < k) {
             val v = MinHashPerms.permute(as(p), bs(p), h)

@@ -169,12 +169,18 @@ object Dedup {
     val ids = p.select(col("id_a").as("id"))
       .unionByName(p.select(col("id_b").as("id"))).distinct()
     val sh = base.join(ids, Seq("id"), "left_semi")
-      .select(col("id"), TF.shingleHashes(col(textCol), shingleWidth).as("sh"))
+      // sorted once per doc: the per-pair intersect below is then a
+      // zero-allocation merge walk (sorted_intersect_count) instead of a
+      // hash set built per pair — set size is order-insensitive, so
+      // jaccard is unchanged
+      .select(col("id"),
+        sort_array(TF.shingleHashes(col(textCol), shingleWidth)).as("sh"))
       .localCheckpoint()
     p
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      // |A∪B| = |A|+|B|−|A∩B|: one hash-set intersect per pair instead of
+      // |A∪B| = |A|+|B|−|A∩B|: one merge-walk intersect count per pair
+      // (see graft.functions.SortedIntersectCount) instead of
       // intersect + a materialized union array (the union allocated ~2×
       // the shingle payload per pair just to be sized and thrown away).
       // Shingle arrays are distinct-by-construction, so the identity is
@@ -182,7 +188,8 @@ object Dedup {
       // string collision — the same 2⁻⁶⁴ trade the hashed arrays make).
       // The intersect stays in its own projection so CollapseProject
       // cannot inline (and so duplicate) the non-cheap expression.
-      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("_i", graft.functions.SortedIntersectFunctions
+        .sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("_i").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("_i")))
       .select("id_a", "id_b", "jaccard")

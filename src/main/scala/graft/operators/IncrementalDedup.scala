@@ -223,19 +223,22 @@ object IncrementalDedup {
     // candidates dominated the whole step's cost before this semi-join
     // (at scale, the id-keyed semi join is satisfied by the docs table's
     // bucketing; the non-candidate history text is never even projected)
+    // sorted once per doc → zero-allocation merge-walk intersect per pair
+    // (see Dedup.jaccardVerify / graft.functions.SortedIntersectCount)
     val shB = batch.select(col(idCol).cast("long").as("batch_id"), col(textCol))
       .join(cand.select("batch_id").distinct(), Seq("batch_id"), "left_semi")
       .select(col("batch_id"),
-        TF.shingleHashes(col(textCol), shingleWidth).as("sh_a"))
+        sort_array(TF.shingleHashes(col(textCol), shingleWidth)).as("sh_a"))
     val shH = history.select(col(idCol).cast("long").as("hist_id"), col(textCol))
       .join(cand.select("hist_id").distinct(), Seq("hist_id"), "left_semi")
       .select(col("hist_id"),
-        TF.shingleHashes(col(textCol), shingleWidth).as("sh_b"))
+        sort_array(TF.shingleHashes(col(textCol), shingleWidth)).as("sh_b"))
     cand.join(shB, "batch_id").join(shH, "hist_id")
-      // |A∪B| = |A|+|B|−|A∩B| — see Dedup.jaccardVerify: one intersect per
-      // pair, no materialized union array (this is the dominant stage of
-      // the verify join at 400k+ candidate pairs per step)
-      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // |A∪B| = |A|+|B|−|A∩B| — see Dedup.jaccardVerify: one merge-walk
+      // intersect count per pair, no materialized union array (this is the
+      // dominant stage of the verify join at 400k+ candidate pairs per step)
+      .withColumn("_i", graft.functions.SortedIntersectFunctions
+        .sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("_i").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("_i")))
       .select("batch_id", "hist_id", "jaccard")

@@ -15,8 +15,16 @@ object Similarity {
 
   /** Cosine similarity of two equal-length float-array columns, computed in
     * double with a deterministic left-to-right fold (portable to DuckDB's
-    * list_cosine_similarity over DOUBLE[]). */
-  def cosine(a: Column, b: Column): Column = {
+    * list_cosine_similarity over DOUBLE[]). One fused expression pass —
+    * the declarative aggregate/zip_with form paid interpreted per-element
+    * lambda evaluation on every scored pair (higher-order functions are
+    * CodegenFallback); bit-identity with it is pinned in SimilaritySpec. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineFunctions.cosine_sim(a, b)
+
+  /** The declarative formulation [[cosine]] replaced — kept as the value
+    * specification (SimilaritySpec pins bit-identity on the real corpus). */
+  private[graft] def cosineDeclarative(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))

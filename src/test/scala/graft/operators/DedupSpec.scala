@@ -351,4 +351,35 @@ class DedupSpec extends SparkSpecBase {
     assert(got(caps) == viaWindow)
     assert(got(caps.repartition(13)) == viaWindow)
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import graft.functions.SortedIntersectFunctions.sorted_intersect_count
+    // fuzz over the real corpus: every doc's sorted shingle set against a
+    // mutated doc's — the exact pairing the verify joins evaluate
+    val sh = docs.select($"doc_id",
+      sort_array(graft.functions.TextFunctions.shingleHashes($"text", 3)).as("sh"))
+    val mut = docs.select(($"doc_id" + 1000000L).as("doc_id"),
+        array_join(slice(split(trim($"text"), "\\s+"), 3, 1000000), " ").as("text"))
+      .select($"doc_id",
+        sort_array(graft.functions.TextFunctions.shingleHashes($"text", 3)).as("sh"))
+    val pairs = sh.select($"doc_id".as("a"), $"sh".as("sh_a"))
+      .join(mut.select(($"doc_id" - 1000000L).as("a"), $"sh".as("sh_b")), "a")
+    val diff = pairs.select(
+        sorted_intersect_count($"sh_a", $"sh_b").as("merge"),
+        size(array_intersect($"sh_a", $"sh_b")).as("hash"))
+      .filter($"merge" =!= $"hash").count()
+    assert(diff == 0)
+    // plus hand-built edge cases: empty, disjoint, identical, interleaved
+    val edge = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 5L, 9L, 12L), Seq(5L, 6L, 9L, 20L))).toDF("a", "b")
+    val bad = edge.select(
+        sorted_intersect_count($"a", $"b").as("merge"),
+        size(array_intersect($"a", $"b")).as("hash"))
+      .filter($"merge" =!= $"hash").count()
+    assert(bad == 0)
+  }
 }

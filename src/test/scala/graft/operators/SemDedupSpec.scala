@@ -107,4 +107,28 @@ class SemDedupSpec extends SparkSpecBase {
         .select("vec_id", "keep").as[(Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(run(withPlanted) == run(withPlanted.repartition(13)))
   }
+
+  test("cosine_sim expression is bit-identical to the declarative fold on the real corpus") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // float arrays: every corpus vector against a shifted partner, plus the
+    // double-array shape (normalized u vectors) the SemDeDup rule scores
+    val pairs = e.select($"vec_id".as("a"), $"embedding".as("ea"))
+      .join(e.select(($"vec_id" + 1L).as("a"), $"embedding".as("eb")), "a")
+    val diffF = pairs.select(
+        Similarity.cosine($"ea", $"eb").as("fused"),
+        Similarity.cosineDeclarative($"ea", $"eb").as("decl"))
+      .filter($"fused" =!= $"decl" ||
+        ($"fused".isNull =!= $"decl".isNull)).count()
+    assert(diffF == 0)
+    val u = e.select($"vec_id".as("a"),
+      transform($"embedding", x => x.cast("double") * 2.0).as("ua"))
+    val pairsD = u.join(u.select(($"a" + 1L).as("a"), $"ua".as("ub")), "a")
+    val diffD = pairsD.select(
+        Similarity.cosine($"ua", $"ub").as("fused"),
+        Similarity.cosineDeclarative($"ua", $"ub").as("decl"))
+      .filter($"fused" =!= $"decl" ||
+        ($"fused".isNull =!= $"decl".isNull)).count()
+    assert(diffD == 0)
+  }
 }
