@@ -200,16 +200,17 @@ object IncrementalDedup {
     // history band table is 10-100x the batch and windowing all of it per
     // step dominated the step's cost (at scale the semi-join is satisfied
     // by the band table's band_digest bucketing — the history still never
-    // shuffles). The capped probe set is batch-scale, is consumed by the
-    // candidate join AND both verify-side semi-joins below, and would
-    // otherwise re-pay its window per consumer — materialize it once.
+    // shuffles). hB's ONLY consumer is the candidate join below, and cand
+    // is materialized — so hB itself stays lazy and evaluates exactly once
+    // inside cand's materialization job (an own localCheckpoint here cost
+    // one extra action barrier plus a block-manager copy of the capped
+    // probe set per step, for nothing: there is no second consumer).
     val hB = historyBands.getOrElse(bandTable(history, idCol, textCol,
         shingleWidth = shingleWidth))
       .join(bB.select("band", "band_digest").distinct(),
         Seq("band", "band_digest"), "left_semi")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxBucket).drop("_rn")
-      .localCheckpoint()
     // candidate pairs are batch-scale and consumed three times (both
     // verify-side semi-joins + the final join) — materialize once
     val cand = bB.select(col("band"), col("band_digest"), col("id").as("batch_id"))
