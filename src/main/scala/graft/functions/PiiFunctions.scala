@@ -60,6 +60,12 @@ case class PiiScrubExpression(child: Expression) extends UnaryExpression with Co
   * columns would each run the full pattern battery). The pipeline's hot path. */
 case class PiiProcessExpression(child: Expression, strict: Boolean = false)
     extends UnaryExpression with CodegenFallback {
+  // Pinned non-deterministic (the value is pure — see QualitySignalsFull):
+  // a downstream filter consuming both struct fields would otherwise inline
+  // the full detector pass once per reference via PushDownPredicates'
+  // guard-free alias substitution — and this is the single most expensive
+  // per-row expression in the pipeline.
+  override lazy val deterministic: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("text_scrubbed", StringType, nullable = false),
     StructField("n_pii", IntegerType, nullable = false)))
