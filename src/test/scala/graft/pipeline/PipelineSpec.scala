@@ -15,6 +15,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(mismatch == 0)
   }
 
+  test("runKept is row-identical to run().filter(keep), with one detector eval above the filter") {
+    val pages = SyntheticPages.fromDocuments(spark, sfDir)
+    val viaFilter = QualityPipeline.run(pages).filter(col("keep"))
+      .orderBy("url").collect()
+    val kept = QualityPipeline.runKept(pages)
+    val viaKept = kept.orderBy("url").collect()
+    assert(viaKept.toSeq == viaFilter.toSeq)
+    // exactly one detector eval in the plan, and it sits ABOVE the keep
+    // filter (the whole point: dropped pages never pay the scrub pass)
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert("process_pii".r.findAllIn(plan).length == 1, plan)
+    val filterIdx = plan.indexOf("Filter")
+    val piiIdx = plan.indexOf("process_pii")
+    assert(filterIdx >= 0 && piiIdx >= 0 && piiIdx < filterIdx,
+      s"keep filter must evaluate below (after in plan text, above in tree) the detector:\n$plan")
+  }
+
   test("quality stage: Gopher line-shape gates fire on bullet/teaser noise") {
     import spark.implicits._
     val bullets = (1 to 20).map(i => s"- item $i").mkString("\n")
